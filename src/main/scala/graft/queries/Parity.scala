@@ -73,19 +73,19 @@ object Parity {
       li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
     Some(
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -112,9 +112,15 @@ object Parity {
       |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS conversion_rate
       |FROM orders GROUP BY 1, 2, 3""".stripMargin
 
+  /** Output hygiene: cal_* to bigint and — critically — the decimal rate
+    * to double. The driver's compare stringifies cells after the oracle
+    * side loses decimal-ness, so `444718.30` (decimal) vs `444718.3`
+    * (double) hash-mismatch; final outputs must never carry DecimalType
+    * (compute exact in decimal, cast the *result* to double). */
   private def castCals(df: DataFrame): DataFrame =
     df.withColumn("cal_year", col("cal_year").cast("bigint"))
       .withColumn("cal_month", col("cal_month").cast("bigint"))
+      .withColumn("conversion_rate", col("conversion_rate").cast("double"))
 
   /** q05 — latest-rate argmax, CTE-faithful 4-step chain
     * (A2; ref sql:42-58). */
@@ -130,7 +136,8 @@ object Parity {
          |           FROM forex JOIN years
          |             ON from_currency = y_currency AND cal_year = y_year
          |           GROUP BY 1, 2)
-         |SELECT from_currency, cal_year, cal_month, conversion_rate
+         |SELECT from_currency, cal_year, cal_month,
+         |       CAST(conversion_rate AS DOUBLE) AS conversion_rate
          |FROM forex JOIN months
          |  ON from_currency = m_currency AND cal_year = m_year AND cal_month = m_month""".stripMargin))
 
@@ -145,7 +152,8 @@ object Parity {
          |  SELECT *, row_number() OVER (PARTITION BY from_currency
          |            ORDER BY cal_year DESC, cal_month DESC, conversion_rate DESC) AS rn
          |  FROM forex)
-         |SELECT from_currency, cal_year, cal_month, conversion_rate
+         |SELECT from_currency, cal_year, cal_month,
+         |       CAST(conversion_rate AS DOUBLE) AS conversion_rate
          |FROM ranked WHERE rn = 1""".stripMargin))
 
   /** q07 — China forex variant with the 2-digit-year quirk
@@ -158,11 +166,13 @@ object Parity {
         .agg(max(to_date(col("o_orderdate")))).first().getDate(0).toString
       Forex.chinaCurrentMonth(s, d, asOf)
         .withColumn("cal_year", col("cal_year").cast("bigint"))
+        .withColumn("conversion_rate", col("conversion_rate").cast("double"))
     },
     Some(
       s"""WITH forex AS ($forexSql),
          |asof_d AS (SELECT max(CAST(o_orderdate AS DATE)) AS d FROM orders)
-         |SELECT from_currency, max(cal_year) AS cal_year, conversion_rate
+         |SELECT from_currency, max(cal_year) AS cal_year,
+         |       CAST(conversion_rate AS DOUBLE) AS conversion_rate
          |FROM forex, asof_d
          |WHERE cal_month = EXTRACT(month FROM d)
          |  AND cal_year % 100 = CAST(strftime(d, '%y') AS BIGINT)

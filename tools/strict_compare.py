@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Strict (no-rounding) compare of Spark verify output vs DuckDB oracle —
+mimics the driver's hash-of-values gate more faithfully than
+verify_local.py (which rounds floats). Usage:
+
+    python3 tools/strict_compare.py [sfDir] [outDir]
+"""
+import decimal, json, sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+
+def driver_norm(v):
+    """Emulate the driver-side asymmetry: DuckDB's .df() turns DECIMAL
+    into float64 while Spark parquet keeps Decimal objects, and cells are
+    compared via their string form — so Decimal('1.30') != 1.3. We
+    normalize NOTHING here on purpose: any Decimal in either side is a
+    latent hash mismatch and gets flagged."""
+    return repr(v)
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def fetch_sorted(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0].lower() for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    data = [tuple(r[i] for i in order) for r in rows]
+    data.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return cols_sorted, data
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_r2"
+    oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = f"{out_dir}/{name}"
+        if not Path(spark_path).exists():
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        pfile = next(Path(spark_path).glob("*.parquet"), None)
+        if pfile is not None:
+            schema = pq.read_schema(str(pfile))
+            decs = [f.name for f in schema if "decimal" in str(f.type)]
+            if decs:
+                print(f"FAIL {name}: DECIMAL columns in spark output "
+                      f"(latent driver hash mismatch): {decs}")
+                n_fail += 1
+                continue
+        try:
+            ocols, orows = fetch_sorted(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        scols, srows = fetch_sorted(
+            con, f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1; continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1; continue
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b or repr(a) != repr(b)]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ (strict); first 2:")
+            for a, b in bad[:2]:
+                print("  spark :", repr(a))
+                print("  oracle:", repr(b))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed (strict)")
+
+
+if __name__ == "__main__":
+    main()
