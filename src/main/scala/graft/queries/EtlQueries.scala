@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{AggChina, Fact, ItemStatus, Tomford}
+
+/** The fact-build branches as verifiable queries (SURVEY.md §2.3 J1-J15,
+  * §2.2 P3-P5, §2.5 D2-D4, §2.6). Each DuckDB oracle mirrors the Spark
+  * derivation expression-by-expression over the same parquet tables —
+  * the oracle defines the contract.
+  */
+object EtlQueries {
+
+  // Fixed CDC offsets per source's time domain (P4 delta filters).
+  val itemStatusOffset = "1996-01-01"
+  val chinaOffset = "2024-01-10"
+  val tomfordOffset = "1997-06-01"
+
+  /** forex dimension stand-in (same derivation as Parity.forexSql /
+    * graft.etl.Forex.base). */
+  private val forexSql =
+    """SELECT o_orderpriority AS from_currency,
+      |       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS cal_year,
+      |       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS cal_month,
+      |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS conversion_rate
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin
+
+  /** latest rate per currency (window argmax — graft.etl.Dims.forexLatest). */
+  private val latestSql =
+    """SELECT from_currency, CAST(conversion_rate AS DOUBLE) AS conversion_rate
+      |FROM (SELECT *, row_number() OVER (PARTITION BY from_currency
+      |        ORDER BY cal_year DESC, cal_month DESC, conversion_rate DESC) AS rn
+      |      FROM forex)
+      |WHERE rn = 1""".stripMargin
+
+  /** config_brand_region stand-in (graft.etl.Dims.configBrandRegion). */
+  private val rcbSql =
+    """SELECT n_name AS dataset, CAST(n_nationkey AS BIGINT) AS brand_id,
+      |       CAST(n_regionkey AS BIGINT) AS country_id,
+      |       CASE CAST(n_nationkey % 5 AS INT)
+      |         WHEN 0 THEN '1-URGENT' WHEN 1 THEN '2-HIGH' WHEN 2 THEN '3-MEDIUM'
+      |         WHEN 3 THEN '4-NOT SPECIFIED' ELSE '5-LOW' END AS country_from_curr,
+      |       CASE WHEN n_nationkey % 11 = 10 THEN 'NA' ELSE 'A' END AS record_active
+      |FROM nation""".stripMargin
+
+  private val istSql =
+    """SELECT * FROM (VALUES ('SHIPPED(2)', 10), ('pending01', 20),
+      |  ('Returned(9)3', 30), ('CANCELLED 01', 40), ('Error', 50))
+      |  v(item_status_name, status_id)""".stripMargin
+
+  /** Branch 1 — ITEM_STATUS (ref sql:60-112). */
+  private val b1Sql =
+    s"""WITH forex AS ($forexSql),
+       |latest AS ($latestSql),
+       |rcb AS ($rcbSql),
+       |t AS (SELECT o_orderkey, o_custkey, o_orderdate,
+       |        CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey % 5 END AS region_id,
+       |        CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_custkey % 25 END AS brand_id,
+       |        CASE WHEN o_orderstatus = 'P' THEN 'na' ELSE 'A' END AS record_active
+       |      FROM orders),
+       |a AS (SELECT *, 'NATION_' || CAST(l_suppkey % 25 AS VARCHAR) AS dataset,
+       |        CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_shipdate END AS status_date
+       |      FROM lineitem WHERE l_shipdate >= TIMESTAMP '$itemStatusOffset')
+       |SELECT DISTINCT
+       |  CAST(a.l_orderkey AS VARCHAR) || '|' || CAST(a.l_linenumber AS VARCHAR)
+       |    || '|' || a.dataset AS fact_item_status_key,
+       |  CASE WHEN rcb.country_id IN (0, 1)
+       |       THEN coalesce(a.status_date, t.o_orderdate)
+       |       ELSE a.status_date END AS status_date_key,
+       |  rcb.country_id AS region_key,
+       |  a.l_returnflag || '-' || a.l_linestatus AS item_status_key,
+       |  a.l_linestatus AS line_item_status,
+       |  a.l_returnflag AS fulfiller_item_status,
+       |  CAST(a.l_linenumber AS BIGINT) AS item_status_id,
+       |  CAST(CASE WHEN a.l_linestatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS current_status,
+       |  rcb.brand_id AS brand_key,
+       |  CAST(0 AS BIGINT) AS dc_code,
+       |  CAST(a.l_orderkey AS BIGINT) AS trans_order_id,
+       |  CAST(t.o_custkey AS BIGINT) AS user_key,
+       |  CAST(a.l_orderkey % 1000 AS BIGINT) AS cart_id,
+       |  CAST(a.l_partkey AS BIGINT) AS sku_base_id,
+       |  coalesce('P-' || CAST(p.p_partkey AS VARCHAR), 'UNKNOWN') AS product_key,
+       |  a.l_quantity AS status_quantity,
+       |  a.l_extendedprice AS status_applied_amount,
+       |  a.l_extendedprice / nullif(CASE WHEN a.l_orderkey % 97 = 0 THEN 0.0
+       |    ELSE f.conversion_rate END, 0) AS status_applied_dollar_amount,
+       |  a.l_discount AS status_applied_discount,
+       |  (a.l_extendedprice * a.l_discount) / nullif(CASE WHEN a.l_orderkey % 97 = 0
+       |    THEN 0.0 ELSE f.conversion_rate END, 0) AS status_applied_dollar_discount,
+       |  CAST(NULL AS BIGINT) AS cancel_reason_id,
+       |  '0' AS store_number,
+       |  CASE WHEN a.l_linestatus = 'O' THEN 'Y' ELSE 'N' END AS latest_status,
+       |  a.l_shipdate AS cdc_timestamp_gcp,
+       |  CAST(CASE WHEN rcb.brand_id % 3 = 0 THEN 1
+       |            WHEN rcb.brand_id % 3 = 1 THEN 2 ELSE 3 END AS BIGINT) AS channel_key
+       |FROM a
+       |JOIN rcb ON rcb.dataset = a.dataset
+       |JOIN latest f ON f.from_currency = rcb.country_from_curr
+       |JOIN t ON t.o_orderkey = a.l_orderkey
+       |      AND (t.region_id IS NULL OR t.region_id = rcb.country_id)
+       |      AND (t.brand_id IS NULL OR t.brand_id = rcb.brand_id)
+       |      AND upper(t.record_active) <> 'NA'
+       |LEFT JOIN part p ON a.l_partkey = p.p_partkey AND p.p_size >= 10""".stripMargin
+
+  /** Branch 2 — AGG_CHINA (ref sql:114-269). */
+  private val b2Sql =
+    s"""WITH forex AS ($forexSql),
+       |asof_d AS (SELECT max(CAST(o_orderdate AS DATE)) AS d FROM orders),
+       |cf AS (SELECT CAST(conversion_rate AS DOUBLE) AS conversion_rate
+       |       FROM (SELECT from_currency, max(cal_year) AS cal_year, conversion_rate
+       |             FROM forex, asof_d
+       |             WHERE cal_month = EXTRACT(month FROM d)
+       |               AND cal_year % 100 = CAST(strftime(d, '%y') AS BIGINT)
+       |             GROUP BY from_currency, conversion_rate)
+       |       WHERE from_currency = '1-URGENT'),
+       |dedup AS (SELECT DISTINCT user_id, event_type,
+       |            strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') || ' 00:00:00' AS status_date_str,
+       |            value
+       |          FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$chinaOffset'),
+       |pr_sa AS (SELECT *,
+       |            'Supplier#00000000' || CAST(user_id % 10 AS VARCHAR) AS elc_brand_code,
+       |            CASE event_type WHEN 'purchase' THEN 'shipped'
+       |              WHEN 'click' THEN 'pending' WHEN 'view' THEN 'returned'
+       |              WHEN 'signup' THEN 'cancelled' ELSE 'error' END AS internal_code,
+       |            (user_id * 13) % 2000 AS sku
+       |          FROM dedup),
+       |br AS (SELECT lower(s_name) AS brand_code, CAST(s_suppkey AS BIGINT) AS brand_key
+       |       FROM supplier),
+       |rcb AS ($rcbSql),
+       |ch AS (SELECT * FROM (VALUES ('Click', 1), ('Purchase', 3), ('SignUp', 4),
+       |        ('View', 5), ('Phone', 6)) v(channel_name, channel_id)),
+       |ist AS ($istSql)
+       |SELECT DISTINCT
+       |  md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' || status_date_str)
+       |    AS fact_item_status_key,
+       |  CAST(status_date_str AS TIMESTAMP) AS status_date_key,
+       |  CAST(rg.r_regionkey AS BIGINT) AS region_key,
+       |  coalesce('ST-' || CAST(ist.status_id AS VARCHAR), 'ST-NA') AS item_status_key,
+       |  internal_code AS line_item_status,
+       |  upper(event_type) AS fulfiller_item_status,
+       |  CAST(ist.status_id AS BIGINT) AS item_status_id,
+       |  CAST(CASE WHEN internal_code = 'shipped' THEN 1 ELSE 0 END AS BIGINT) AS current_status,
+       |  br.brand_key AS brand_key,
+       |  CAST(0 AS BIGINT) AS dc_code,
+       |  CAST(user_id AS BIGINT) AS trans_order_id,
+       |  CAST(user_id AS BIGINT) AS user_key,
+       |  CAST(99999 AS BIGINT) AS cart_id,
+       |  CAST(sku AS BIGINT) AS sku_base_id,
+       |  coalesce('P-' || CAST(pt.p_partkey AS VARCHAR), 'UNKNOWN') AS product_key,
+       |  CAST(1.0 AS DOUBLE) AS status_quantity,
+       |  value AS status_applied_amount,
+       |  value / nullif(cf.conversion_rate, 0) AS status_applied_dollar_amount,
+       |  CAST(0.0 AS DOUBLE) AS status_applied_discount,
+       |  (value * 0.1) / nullif(cf.conversion_rate, 0) AS status_applied_dollar_discount,
+       |  CAST(NULL AS BIGINT) AS cancel_reason_id,
+       |  '0' AS store_number,
+       |  'Y' AS latest_status,
+       |  CAST(status_date_str AS TIMESTAMP) AS cdc_timestamp_gcp,
+       |  CAST(coalesce(ch.channel_id, 0) AS BIGINT) AS channel_key
+       |FROM pr_sa
+       |LEFT JOIN cf ON true
+       |LEFT JOIN br ON br.brand_code = lower(pr_sa.elc_brand_code)
+       |LEFT JOIN part pt ON pt.p_partkey = pr_sa.sku AND pt.p_type = 'STANDARD'
+       |LEFT JOIN region rg ON rg.r_regionkey = 2
+       |LEFT JOIN rcb ON rcb.brand_id = pr_sa.user_id % 25 AND rcb.country_id = 2
+       |             AND rcb.record_active = 'A'
+       |LEFT JOIN ch ON upper(ch.channel_name) = upper(pr_sa.event_type)
+       |LEFT JOIN ist ON upper(regexp_replace(regexp_replace(ist.item_status_name,
+       |    '[0-9]', '', 'g'), '[\\(\\)\\d]+', '', 'g')) = upper(internal_code)
+       |WHERE internal_code <> 'error' AND value IS NOT NULL""".stripMargin
+
+  /** Branch 3 — TOMFORD_STATUS (ref sql:271-308). */
+  private val b3Sql =
+    s"""WITH forex AS ($forexSql),
+       |latest AS ($latestSql),
+       |rcb AS ($rcbSql),
+       |ist AS ($istSql),
+       |cr AS (SELECT * FROM (VALUES (0, 'CUSTOMER_REQUEST'), (1, 'OUT_OF_STOCK'),
+       |        (2, 'FRAUD'), (3, 'PRICING_ERROR')) v(cancel_code, cancel_reason)),
+       |src AS (SELECT *, CASE WHEN o_orderstatus = 'O' THEN 'pending'
+       |          WHEN o_orderstatus = 'F' THEN 'shipped' ELSE 'cancelled' END AS status_code
+       |        FROM orders WHERE o_orderdate >= TIMESTAMP '$tomfordOffset')
+       |SELECT DISTINCT
+       |  'TF|' || CAST(o_orderkey AS VARCHAR) AS fact_item_status_key,
+       |  o_orderdate AS status_date_key,
+       |  rcb.country_id AS region_key,
+       |  o_orderstatus || '-TF' AS item_status_key,
+       |  status_code AS line_item_status,
+       |  o_orderstatus AS fulfiller_item_status,
+       |  CAST(ist.status_id AS BIGINT) AS item_status_id,
+       |  CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS current_status,
+       |  rcb.brand_id AS brand_key,
+       |  CAST(CASE WHEN rcb.country_id = 2 AND o_orderstatus = 'F' THEN 7
+       |            WHEN rcb.country_id = 2 THEN 3 ELSE 0 END AS BIGINT) AS dc_code,
+       |  CAST(o_orderkey AS BIGINT) AS trans_order_id,
+       |  CAST(o_custkey AS BIGINT) AS user_key,
+       |  CAST(99999 AS BIGINT) AS cart_id,
+       |  CAST(o_orderkey % 2000 AS BIGINT) AS sku_base_id,
+       |  coalesce('P-' || CAST(pt.p_partkey AS VARCHAR), 'UNKNOWN') AS product_key,
+       |  CAST(1.0 AS DOUBLE) AS status_quantity,
+       |  o_totalprice AS status_applied_amount,
+       |  o_totalprice / nullif(f.conversion_rate, 0) AS status_applied_dollar_amount,
+       |  CAST(0.0 AS DOUBLE) AS status_applied_discount,
+       |  (o_totalprice * 0.05) / nullif(f.conversion_rate, 0) AS status_applied_dollar_discount,
+       |  CAST(o_orderkey % 7 AS BIGINT) AS cancel_reason_id,
+       |  '' AS store_number,
+       |  CASE WHEN o_orderstatus = 'O' THEN 'Y' ELSE 'N' END AS latest_status,
+       |  o_orderdate AS cdc_timestamp_gcp,
+       |  CAST(CASE WHEN cr.cancel_reason = 'FRAUD' THEN 9 ELSE 4 END AS BIGINT) AS channel_key
+       |FROM src
+       |JOIN rcb ON rcb.brand_id = o_custkey % 25 AND rcb.country_id = o_custkey % 5
+       |JOIN latest f ON f.from_currency = o_orderpriority
+       |LEFT JOIN ist ON upper(regexp_replace(regexp_replace(ist.item_status_name,
+       |    '[0-9]', '', 'g'), '[\\(\\)\\d]+', '', 'g')) = upper(status_code)
+       |LEFT JOIN part pt ON pt.p_partkey = o_orderkey % 2000
+       |LEFT JOIN cr ON cr.cancel_code = o_orderkey % 7""".stripMargin
+
+  val q08 = Q("q08_item_status_branch",
+    (s, d) => ItemStatus.build(s, d, itemStatusOffset), Some(b1Sql))
+
+  val q09 = Q("q09_agg_china_branch",
+    (s, d) => AggChina.build(s, d, chinaOffset), Some(b2Sql))
+
+  val q10 = Q("q10_tomford_branch",
+    (s, d) => Tomford.build(s, d, tomfordOffset), Some(b3Sql))
+
+  val q11 = Q("q11_fact_union",
+    (s, d) => Fact.build(s, d, itemStatusOffset, chinaOffset, tomfordOffset),
+    Some(s"($b1Sql)\nUNION ALL\n($b2Sql)\nUNION ALL\n($b3Sql)"))
+
+  val all: Seq[Q] = Seq(q08, q09, q10, q11)
+}
