@@ -93,8 +93,12 @@ object AggChina {
       .filter(col("internal_code") =!= "error" && col("value").isNotNull) // P5
 
     joined.select(
+      // value joins the surrogate as exact cents (doubles never enter a
+      // concat: engine-dependent float formatting would break the oracle)
       md5(concat(col("user_id").cast("string"), lit("|"), col("event_type"),
-        lit("|"), col("status_date_str"))).as("fact_item_status_key"),
+        lit("|"), col("status_date_str"), lit("|"),
+        round(col("value") * 100).cast("bigint").cast("string")))
+        .as("fact_item_status_key"),
       to_timestamp(col("status_date_str")).cast("timestamp_ntz")
         .as("status_date_key"), // F16; NTZ to match the parquet fact branches
       col("r_regionkey").cast("bigint").as("region_key"),

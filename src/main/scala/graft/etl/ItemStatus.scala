@@ -72,8 +72,13 @@ object ItemStatus {
       .otherwise(col("conversion_rate"))
 
     joined.select(
+      // (orderkey, linenumber, partkey, suppkey) is the minimal unique key
+      // of the synthetic lineitem — the concat keeps the reference's
+      // row-identity invariant (ref sql:341) checkable.
       concat(col("l_orderkey").cast("string"), lit("|"),
-        col("l_linenumber").cast("string"), lit("|"), a("dataset"))
+        col("l_linenumber").cast("string"), lit("|"),
+        col("l_partkey").cast("string"), lit("|"),
+        col("l_suppkey").cast("string"), lit("|"), a("dataset"))
         .as("fact_item_status_key"),
       when(rcb("country_id").isin(0, 1),
         coalesce(col("status_date"), col("o_orderdate")))

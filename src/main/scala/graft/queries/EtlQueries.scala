@@ -63,7 +63,8 @@ object EtlQueries {
        |      FROM lineitem WHERE l_shipdate >= TIMESTAMP '$itemStatusOffset')
        |SELECT DISTINCT
        |  CAST(a.l_orderkey AS VARCHAR) || '|' || CAST(a.l_linenumber AS VARCHAR)
-       |    || '|' || a.dataset AS fact_item_status_key,
+       |    || '|' || CAST(a.l_partkey AS VARCHAR) || '|'
+       |    || CAST(a.l_suppkey AS VARCHAR) || '|' || a.dataset AS fact_item_status_key,
        |  CASE WHEN rcb.country_id IN (0, 1)
        |       THEN coalesce(a.status_date, t.o_orderdate)
        |       ELSE a.status_date END AS status_date_key,
@@ -131,7 +132,8 @@ object EtlQueries {
        |        ('View', 5), ('Phone', 6)) v(channel_name, channel_id)),
        |ist AS ($istSql)
        |SELECT DISTINCT
-       |  md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' || status_date_str)
+       |  md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' || status_date_str
+       |      || '|' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR))
        |    AS fact_item_status_key,
        |  CAST(status_date_str AS TIMESTAMP) AS status_date_key,
        |  CAST(rg.r_regionkey AS BIGINT) AS region_key,

@@ -1,0 +1,102 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.IncrementalLoad
+import graft.tables.Catalog
+
+/** The incremental-load protocol as verifiable queries (SURVEY.md §2.8,
+  * §2.1 S4-S10). The scenario: an initial FULL_LOAD sees only events
+  * before T1 (simulating "what had arrived"), then a delta run over the
+  * full source replays the lookback window — delete strict `>`, insert
+  * `>=` (comparators preserved verbatim, SURVEY §7.4.5). The DuckDB
+  * oracle recomputes the same two-run final state and audit counts
+  * purely in SQL, so the staged-write/swap/audit mechanics are verified
+  * against declarative semantics.
+  */
+object LoadQueries {
+
+  private val t1Cut = "2024-01-20" // run-1 source horizon
+  private val minDate = "2024-01-01"
+  private val lookbackDays = 3
+  private val start = "2024-02-01 00:00:00" // current_timestamp surrogate
+
+  /** The single-source fact for the protocol: normalized events
+    * projection with `ts` as the CDC column. */
+  private def eventsFact(spark: SparkSession, dir: String,
+      horizon: Option[String])(offset: String): DataFrame = {
+    val src = Catalog.events(spark, dir)
+      .filter(col("ts") >= lit(offset).cast("timestamp"))
+    horizon.fold(src)(h => src.filter(col("ts") < lit(h).cast("timestamp")))
+      .select(col("event_id"), col("ts").as("cdc_ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
+  /** Runs FULL_LOAD-then-DELTA into a scratch dir; returns (target df,
+    * audit df). Scratch is keyed by query name + sf dir so reruns and
+    * concurrent SFs never collide; wiped up-front for idempotence. */
+  private def twoRuns(spark: SparkSession, dir: String, tag: String)
+      : (DataFrame, DataFrame) = {
+    val base = s"/tmp/graft_load/${tag}_${Paths.get(dir).getFileName}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val p = IncrementalLoad.Params(
+      loadType = "FULL_LOAD", minimumDate = minDate,
+      deltaDayCount = lookbackDays, targetPath = s"$base/fact_events",
+      auditPath = s"$base/audit", tableName = "fact_events",
+      startTimestamp = start)
+    IncrementalLoad.run(spark, p,
+      eventsFact(spark, dir, Some(t1Cut)), "cdc_ts")
+    IncrementalLoad.run(spark, p.copy(loadType = "DELTA"),
+      eventsFact(spark, dir, None), "cdc_ts")
+    (spark.read.parquet(s"$base/fact_events"),
+      spark.read.parquet(s"$base/audit"))
+  }
+
+  private val commonSql =
+    s"""src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS cdc_ts, user_id,
+       |              event_type, value
+       |       FROM events),
+       |t1 AS (SELECT * FROM src WHERE cdc_ts >= TIMESTAMP '$minDate'
+       |       AND cdc_ts < TIMESTAMP '$t1Cut'),
+       |off AS (SELECT max(cdc_ts) - INTERVAL $lookbackDays DAY AS o FROM t1),
+       |kept AS (SELECT t1.* FROM t1, off WHERE cdc_ts <= o),
+       |fresh AS (SELECT src.* FROM src, off WHERE cdc_ts >= o)""".stripMargin
+
+  /** q12 — the protocol's final target state (S4-S8, C3, §7.4.5). */
+  val q12 = Q("q12_incremental_load",
+    (s, d) => twoRuns(s, d, "q12")._1,
+    Some(
+      s"""WITH $commonSql
+         |SELECT * FROM kept
+         |UNION ALL
+         |SELECT * FROM fresh""".stripMargin))
+
+  private val keyExpr =
+    "concat(fact_item_status_key, line_item_status, latest_status, " +
+      "trans_order_id, cart_id)"
+
+  /** q13 — the audit table after both runs (S10, A4/C4). */
+  val q13 = Q("q13_audit_log",
+    (s, d) => twoRuns(s, d, "q13")._2,
+    Some(
+      s"""WITH $commonSql
+         |SELECT 'graft_fact_item_status' AS dag_name,
+         |       'fact_events' AS table_name, 'DW_FACT' AS layer,
+         |       'FULL_LOAD' AS load_type, '$start' AS load_start,
+         |       (SELECT count(*) FROM t1) AS inserted_count,
+         |       CAST(0 AS BIGINT) AS deleted_count,
+         |       '$keyExpr' AS key_expr
+         |UNION ALL
+         |SELECT 'graft_fact_item_status', 'fact_events', 'DW_FACT',
+         |       'DELTA', '$start',
+         |       (SELECT count(*) FROM fresh),
+         |       (SELECT count(*) FROM t1, off WHERE cdc_ts > o),
+         |       '$keyExpr'""".stripMargin))
+
+  val all: Seq[Q] = Seq(q12, q13)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Fact, IncrementalLoad}
+import graft.queries.EtlQueries
+import graft.tables.Catalog
+
+class FactBranchesSpec extends SparkSuite {
+  test("branch schemas are identical and the union preserves counts (D4)") {
+    val u = Fact.build(spark, sf, EtlQueries.itemStatusOffset,
+      EtlQueries.chinaOffset, EtlQueries.tomfordOffset)
+    assert(u.columns.toSeq == Fact.columns)
+    val parts = Seq(
+      graft.etl.ItemStatus.build(spark, sf, EtlQueries.itemStatusOffset),
+      graft.etl.AggChina.build(spark, sf, EtlQueries.chinaOffset),
+      graft.etl.Tomford.build(spark, sf, EtlQueries.tomfordOffset))
+    assert(u.count() == parts.map(_.count()).sum)
+  }
+
+  test("reference key expression is unique over the fact (ref sql:341)") {
+    val u = Fact.build(spark, sf, EtlQueries.itemStatusOffset,
+      EtlQueries.chinaOffset, EtlQueries.tomfordOffset)
+    val keyed = u.select(concat_ws("§", col("fact_item_status_key"),
+      col("line_item_status"), col("latest_status"), col("trans_order_id"),
+      col("cart_id")).as("k"))
+    assert(keyed.count() == keyed.distinct().count())
+  }
+
+  test("null-tolerant join keeps rows with null region/brand (J3)") {
+    val b1 = graft.etl.ItemStatus.build(spark, sf, EtlQueries.itemStatusOffset)
+    // rows from orders with injected-null region (o_orderkey % 13 == 0)
+    // must survive the inner join
+    assert(b1.filter(col("trans_order_id") % 13 === 0).count() > 0)
+  }
+
+  test("LEFT joins produce the expected null-path markers") {
+    val b1 = graft.etl.ItemStatus.build(spark, sf, EtlQueries.itemStatusOffset)
+    assert(b1.filter(col("product_key") === "UNKNOWN").count() > 0) // p_size pin
+    val b2 = graft.etl.AggChina.build(spark, sf, EtlQueries.chinaOffset)
+    assert(b2.filter(col("item_status_key") === "ST-NA").count() > 0) // 'CANCELLED 01'
+    assert(b2.filter(col("channel_key") === 0).count() == 0) // error rows filtered
+  }
+}
+
+class IncrementalLoadSpec extends SparkSuite {
+  private val base = "/tmp/graft_test_incr"
+
+  private def wipe(): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  private def fact(horizon: Option[String])(offset: String): DataFrame = {
+    val src = Catalog.events(spark, sf)
+      .filter(col("ts") >= lit(offset).cast("timestamp"))
+    horizon.fold(src)(h => src.filter(col("ts") < lit(h).cast("timestamp")))
+      .select(col("event_id"), col("ts").as("cdc_ts"), col("value"))
+  }
+
+  private def params(lt: String, target: String) = IncrementalLoad.Params(
+    loadType = lt, minimumDate = "2024-01-01", deltaDayCount = 3,
+    targetPath = s"$base/$target", auditPath = s"$base/audit_$target",
+    tableName = target, startTimestamp = "2024-02-01 00:00:00")
+
+  test("C3/§5.3 invariant: FULL_LOAD == (delta ∘ prefix) on the same input") {
+    wipe()
+    // path A: one FULL_LOAD over everything
+    IncrementalLoad.run(spark, params("FULL_LOAD", "a"), fact(None), "cdc_ts")
+    // path B: FULL_LOAD of a prefix, then a delta over everything
+    IncrementalLoad.run(spark, params("FULL_LOAD", "b"),
+      fact(Some("2024-01-15")), "cdc_ts")
+    IncrementalLoad.run(spark, params("DELTA", "b"), fact(None), "cdc_ts")
+    assertSameRows(spark.read.parquet(s"$base/a"),
+      spark.read.parquet(s"$base/b"))
+  }
+
+  test("A4 audit counts equal actual row deltas; comparators are §7.4.5") {
+    wipe()
+    val r1 = IncrementalLoad.run(spark, params("FULL_LOAD", "c"),
+      fact(Some("2024-01-15")), "cdc_ts")
+    assert(r1.deleted == 0)
+    assert(r1.inserted == spark.read.parquet(s"$base/c").count())
+    // materialize before the delta swaps the files out from under the path
+    val beforeTs = spark.read.parquet(s"$base/c")
+      .select(col("cdc_ts").cast("string")).collect().map(_.getString(0))
+    val r2 = IncrementalLoad.run(spark, params("DELTA", "c"), fact(None), "cdc_ts")
+    // strict `>` delete: offset boundary rows stay
+    assert(r2.deleted == beforeTs.count(_ > r2.offset))
+    val audit = spark.read.parquet(s"$base/audit_c")
+    assert(audit.count() == 2)
+    assert(audit.filter(col("load_type") === "DELTA")
+      .first().getAs[Long]("deleted_count") == r2.deleted)
+  }
+
+  test("offset falls back to minimum_date when target is empty") {
+    wipe()
+    val r = IncrementalLoad.run(spark, params("DELTA", "d"),
+      fact(Some("2024-01-05")), "cdc_ts")
+    assert(r.offset == "2024-01-01")
+  }
+}
