@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder brief: language-ID, quality scoring, token counting, document
+  * fingerprinting), all built from codegen'd Spark builtins — no UDFs —
+  * so whole-stage codegen keeps the scan → score pipeline in one stage.
+  *
+  * Every function here is expressible in portable ANSI-ish SQL (the
+  * DuckDB oracles recompute them verbatim): hashing goes through md5 hex
+  * (identical across engines) instead of engine-native hash functions,
+  * and occurrence counting uses length/replace arithmetic instead of
+  * engine-specific matchers.
+  *
+  * Scale: all per-row narrow transforms — no shuffle; at 100 TB these run
+  * map-side at scan speed and column-prune to `text` only.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. Documents are single-space separated; the
+    * regex keeps it robust to runs of whitespace. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenizer count (letter runs | digit runs | single
+    * punctuation), the standard GPT-2-style splitter shape. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeishPattern))
+
+  /** Non-overlapping occurrence count of `marker` via length/replace
+    * arithmetic — byte-identical across engines, codegen-friendly. */
+  def occurrences(text: Column, marker: String): Column =
+    (length(text) - length(replace(text, lit(marker), lit("")))) /
+      marker.length
+
+  /** Per-language marker sets for the n-gram/stopword language-ID
+    * heuristic. Markers are space-padded so they only hit whole words. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " value ", " fast "),
+    "de" -> Seq(" der ", " und ", " wert ", " schnell "),
+    "fr" -> Seq(" le ", " la ", " valeur ", " vite "),
+    "es" -> Seq(" el ", " los ", " valor ", " rapido "),
+    "zh" -> Seq(" 的 ", " 值 ", " 快 ", " 表 "))
+
+  /** Score = marker hits per token (normalized so long docs don't win). */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val hits = markers.map(m => occurrences(padded, m)).reduce(_ + _)
+    Functions.safeDivide(hits.cast("double"), tokenCount(text).cast("double"))
+  }
+
+  /** Argmax over language scores with a deterministic first-wins
+    * tie-break in declaration order ('und' = undetermined when all 0). */
+  def predictedLang(text: Column): Column = {
+    val scored = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring components (heuristics from the C4/Gopher lineage:
+    * length, alpha ratio, stopword ratio, mean word length). */
+  def alphaRatio(text: Column): Column =
+    Functions.safeDivide(
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double"),
+      length(text).cast("double"))
+
+  def stopwordRatio(text: Column): Column =
+    Functions.safeDivide(
+      langMarkers.head._2.map(m =>
+        occurrences(concat(lit(" "), text, lit(" ")), m)).reduce(_ + _)
+        .cast("double"),
+      tokenCount(text).cast("double"))
+
+  def meanWordLen(text: Column): Column =
+    Functions.safeDivide(
+      length(regexp_replace(text, "\\s+", "")).cast("double"),
+      tokenCount(text).cast("double"))
+
+  /** Composite quality score in [0,1]-ish: weights mirror the usual
+    * "not too short, mostly letters, some stopwords" heuristics. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    lenScore * 0.3 + alphaRatio(text) * 0.4 +
+      least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.3
+  }
+
+  /** Canonical text normalization for fingerprint/dedup: lowercase,
+    * strip non-alphanumerics to spaces, squeeze + trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "),
+      "\\s+", " "))
+
+  /** 128-bit content fingerprint (hex) of the normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(normalizeText(text))
+
+  /** 60-bit integer fingerprint: first 15 hex chars of md5, base-16 →
+    * base-10. Portable: DuckDB computes the same via
+    * CAST('0x' || substr(md5(s),1,15) AS BIGINT). 60 bits keeps it
+    * positive in a signed 64-bit long in both engines. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+}

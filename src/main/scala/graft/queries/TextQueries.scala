@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis._
+import graft.tables.Catalog
+
+/** Text-analysis operators over the `documents` table as verifiable
+  * queries. The DuckDB oracle SQL for the language-ID scores is GENERATED
+  * from the same `TextAnalysis.langMarkers` declaration the Spark side
+  * uses, so the two can never drift.
+  */
+object TextQueries {
+
+  // ---- SQL fragments generated from the shared declarations ----
+
+  /** (length(p)-length(replace(p,m,'')))/len(m) — same arithmetic as
+    * TextAnalysis.occurrences. */
+  private def occSql(padded: String, m: String): String =
+    s"(length($padded) - length(replace($padded, '$m', ''))) / ${m.length}"
+
+  private val tokSql = """len(regexp_split_to_array(text, '\s+'))"""
+
+  private def scoreSql(markers: Seq[String]): String = {
+    val hits = markers.map(m => occSql("p.padded", m)).mkString(" + ")
+    s"CAST($hits AS DOUBLE) / nullif(CAST($tokSql AS DOUBLE), 0)"
+  }
+
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+  /** 60-bit md5-derived hash — same as TextAnalysis.hash60. */
+  def hash60Sql(s: String): String =
+    s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+
+  // ---- queries ----
+
+  /** q14 — token counting: whitespace tokens + BPE-ish pre-tokenizer. */
+  val q14 = Q("q14_token_stats",
+    (s, d) => Catalog.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("bigint").as("n_tokens"),
+      bpeishTokenCount(col("text")).cast("bigint").as("n_bpeish"),
+      col("n_chars"),
+      meanWordLen(col("text")).as("mean_word_len")),
+    Some(
+      s"""SELECT doc_id,
+         |  CAST($tokSql AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+         |  n_chars,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / nullif(CAST($tokSql AS DOUBLE), 0) AS mean_word_len
+         |FROM documents""".stripMargin))
+
+  /** q15 — language-ID heuristic: marker-hit scores per language, argmax
+    * with first-wins tie-break. */
+  val q15 = {
+    val scoreCols = langMarkers.map { case (l, ms) =>
+      (l, s"score_$l", scoreSql(ms))
+    }
+    val bestSql = s"greatest(${scoreCols.map(_._2).mkString(", ")})"
+    val caseSql = scoreCols.map { case (l, c, _) =>
+      s"WHEN $c = best AND $c > 0 THEN '$l'"
+    }.mkString(" ")
+    Q("q15_lang_id",
+      (s, d) => {
+        val scored = langMarkers.foldLeft(Catalog.documents(s, d)) {
+          case (df, (l, ms)) =>
+            df.withColumn(s"score_$l", langScore(col("text"), ms))
+        }
+        scored.select(col("doc_id") +: col("lang").as("labeled_lang") +:
+          langMarkers.map { case (l, _) => col(s"score_$l") } :+
+          predictedLang(col("text")).as("predicted_lang"): _*)
+      },
+      Some(
+        s"""WITH p AS (SELECT *, ' ' || text || ' ' AS padded FROM documents),
+           |scored AS (SELECT doc_id, lang AS labeled_lang,
+           |  ${scoreCols.map { case (_, c, e) => s"$e AS $c" }.mkString(",\n  ")}
+           |FROM p),
+           |b AS (SELECT *, $bestSql AS best FROM scored)
+           |SELECT doc_id, labeled_lang, ${scoreCols.map(_._2).mkString(", ")},
+           |  CASE $caseSql ELSE 'und' END AS predicted_lang
+           |FROM b""".stripMargin))
+  }
+
+  /** q16 — quality scoring: char-class ratios + composite + bucket. */
+  val q16 = Q("q16_quality_score",
+    (s, d) => Catalog.documents(s, d).select(
+      col("doc_id"),
+      alphaRatio(col("text")).as("alpha_ratio"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      qualityScore(col("text")).as("quality_score"))
+      .withColumn("quality_bucket",
+        when(col("quality_score") >= 0.7, "high")
+          .when(col("quality_score") >= 0.4, "medium")
+          .otherwise("low")),
+    Some {
+      val stopHits = langMarkers.head._2
+        .map(m => occSql("(' ' || text || ' ')", m)).mkString(" + ")
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / nullif(CAST(length(text) AS DOUBLE), 0) AS alpha_ratio,
+         |    CAST($stopHits AS DOUBLE)
+         |      / nullif(CAST($tokSql AS DOUBLE), 0) AS stopword_ratio,
+         |    least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) AS len_score
+         |  FROM documents)
+         |SELECT doc_id, alpha_ratio, stopword_ratio,
+         |  len_score * 0.3 + alpha_ratio * 0.4
+         |    + least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality_score,
+         |  CASE WHEN len_score * 0.3 + alpha_ratio * 0.4
+         |            + least(stopword_ratio * 5.0, 1.0) * 0.3 >= 0.7 THEN 'high'
+         |       WHEN len_score * 0.3 + alpha_ratio * 0.4
+         |            + least(stopword_ratio * 5.0, 1.0) * 0.3 >= 0.4 THEN 'medium'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM q""".stripMargin
+    })
+
+  /** q17 — document fingerprints: md5 of normalized text + 60-bit int. */
+  val q17 = Q("q17_fingerprint",
+    (s, d) => Catalog.documents(s, d).select(
+      col("doc_id"),
+      fingerprintMd5(col("text")).as("fp_md5"),
+      hash60(normalizeText(col("text"))).as("fp60")),
+    Some(
+      s"""SELECT doc_id, md5($normSql) AS fp_md5,
+         |  ${hash60Sql(normSql)} AS fp60
+         |FROM documents""".stripMargin))
+
+  val all: Seq[Q] = Seq(q14, q15, q16, q17)
+}
