@@ -1,14 +1,15 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{EtlQueries, LoadQueries, Parity, Q, TextQueries}
+import graft.queries.{DedupQueries, EtlQueries, LoadQueries, Parity, Q, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every implemented operator query (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
-    Parity.all ++ EtlQueries.all ++ LoadQueries.all ++ TextQueries.all
+    Parity.all ++ EtlQueries.all ++ LoadQueries.all ++ TextQueries.all ++
+      DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH (shingle → signature → band → bucket
+  * join), SimHash bit-sum fingerprints, and n-gram Jaccard — the
+  * standard near-dup stack (Broder '97 resemblance / Charikar '02
+  * simhash lineage; see PAPERS.md).
+  *
+  * Everything is hash-portable: token/shingle hashes go through the
+  * md5-derived [[TextAnalysis.hash60]] and modular arithmetic over a
+  * 31-bit prime, so the DuckDB oracles reproduce signatures bit-for-bit.
+  *
+  * Scale shape (100 TB): shingling/hashing is map-side; the signature
+  * aggregation is one shuffle on doc_id (partial min per mapper);
+  * the LSH bucket join shuffles only (band, hash) keys — its whole
+  * point is that bucket cardinality ≈ corpus size, never corpus², and
+  * skewed buckets (boilerplate shingles) are handled by AQE skew-join.
+  */
+object Dedup {
+
+  /** 31-bit Mersenne prime for signature arithmetic: products
+    * a·h stay < 2^38, far from 64-bit overflow in either engine. */
+  val P: Long = 2147483647L
+
+  /** (a, c) per minhash function h_k(x) = (a·x + c) mod P. */
+  val minhashParams: Seq[(Long, Long)] =
+    Seq((3L, 1L), (5L, 7L), (7L, 13L), (11L, 19L), (13L, 29L), (17L, 37L),
+      (19L, 43L), (23L, 53L))
+
+  val bandsOf: Int = 4 // 4 bands × 2 rows over the 8-signature
+
+  val simhashBits: Int = 32
+
+  /** Word n-gram shingles as one exploded (doc_id, shingle) relation.
+    * Documents shorter than n tokens produce no shingles (both engines). */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array())
+    docs.select(col("doc_id"),
+      explode(transform(idx, i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        .as("shingle"))
+  }
+
+  /** shingle → position on the hash ring: hash60 mod P. */
+  def ringHash(c: Column): Column = TextAnalysis.hash60(c) % P
+
+  /** 8-column minhash signature per doc: min((a·h + c) mod P) per k.
+    * One shuffle (partial min map-side). */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    val h = ringHash(col("shingle"))
+    sh.groupBy(col("doc_id")).agg(
+      minhashParams.head match { case (a, c) =>
+        min((h * a + c) % P).as("mh0")
+      },
+      minhashParams.tail.zipWithIndex.map { case ((a, c), i) =>
+        min((h * a + c) % P).as(s"mh${i + 1}")
+      }: _*)
+  }
+
+  /** signature → (doc_id, band, band_hash) rows for the LSH bucket join:
+    * band j hashes signature rows 2j, 2j+1. */
+  def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array(
+      (0 until bandsOf).map { j =>
+        struct(lit(j).as("band"),
+          md5(concat(col(s"mh${2 * j}").cast("string"), lit("_"),
+            col(s"mh${2 * j + 1}").cast("string"))).as("bh"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
+  def minhashCandidates(docs: DataFrame, shingleN: Int): DataFrame = {
+    val bands = lshBands(minhashSignature(shingles(docs, shingleN)))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash per doc from token hashes: per bit, sum ±1 over
+    * tokens (with repetition); fingerprint sets bits with positive sum.
+    * One shuffle; the 32 bit-sums are plain aggregates (codegen'd). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .withColumn("h", ringHash(col("token")))
+    val sums = tok.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as("s0"),
+      (1 until simhashBits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"s$b")): _*)
+    sums.select(col("doc_id"),
+      (0 until simhashBits).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash32"))
+  }
+
+  /** Exact-duplicate groups by content fingerprint: keep = min(doc_id),
+    * n_copies per group. The argmin-groupBy form is the scalable exact
+    * dedup (map-side combine collapses copies early). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** n-gram Jaccard over the shingle inverted index: the shingle
+    * equi-join IS the candidate generation (docs sharing no shingle never
+    * pair); intersection counts group by pair; sizes join back. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, n).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+}

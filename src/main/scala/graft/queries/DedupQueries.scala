@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+import graft.tables.Catalog
+
+/** The dedup family as verifiable queries: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup. The testdata has no
+  * duplicates (FIXTURES.md), so each query injects them deterministically
+  * (a shifted-id copy of every 4th/5th row) — the identical injection
+  * appears in the oracle, which defines the contract.
+  *
+  * All signature SQL (minhash columns, simhash bit-sums, LSH bands) is
+  * GENERATED from the same parameter declarations `graft.ops.Dedup`
+  * uses, so Spark and oracle cannot drift.
+  */
+object DedupQueries {
+  import Dedup.{P, bandsOf, minhashParams, simhashBits}
+
+  // ---- corpora with injected duplicates (Spark + SQL in lockstep) ----
+
+  private def docsExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Catalog.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val docsExactSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0""".stripMargin
+
+  private def docsNear(s: SparkSession, d: String): DataFrame = {
+    val docs = Catalog.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graft near dup tail")).as("text")))
+  }
+
+  private val docsNearSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || ' graft near dup tail' AS text
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  // ---- generated SQL fragments mirroring graft.ops.Dedup ----
+
+  /** word 3-gram shingles of `corpus` (mirrors Dedup.shingles(_, 3)). */
+  private def shinglesSql(corpus: String): String =
+    s"""corpus AS ($corpus),
+       |shingles AS (
+       |  SELECT t.doc_id, u.shingle
+       |  FROM (SELECT doc_id,
+       |          list_transform(generate_series(1, len(toks) - 2),
+       |            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+       |        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |              FROM corpus)) t,
+       |       unnest(t.shs) u(shingle))""".stripMargin
+
+  private def ringHashSql(c: String): String =
+    s"CAST(('0x' || substr(md5($c), 1, 15)) AS BIGINT) % $P"
+
+  private val sigColsSql = minhashParams.zipWithIndex.map {
+    case ((a, c), k) => s"min((h * $a + $c) % $P) AS mh$k"
+  }.mkString(",\n    ")
+
+  private val bandsSql = (0 until bandsOf).map { j =>
+    s"""SELECT doc_id, $j AS band,
+       |  md5(CAST(mh${2 * j} AS VARCHAR) || '_' || CAST(mh${2 * j + 1} AS VARCHAR)) AS bh
+       |FROM sigs""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  /** q18 — exact dedup groups by content fingerprint (argmin-groupBy). */
+  val q18 = Q("q18_dedup_exact",
+    (s, d) => Dedup.exactGroups(docsExact(s, d)),
+    Some(
+      s"""WITH corpus AS ($docsExactSql)
+         |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         |         '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp,
+         |       min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM corpus GROUP BY 1""".stripMargin))
+
+  /** q19 — MinHash+LSH candidate pairs (shingle → 8-sig → 4 bands →
+    * bucket join). */
+  val q19 = Q("q19_dedup_minhash_lsh",
+    (s, d) => Dedup.minhashCandidates(docsNear(s, d), 3),
+    Some(
+      s"""WITH ${shinglesSql(docsNearSql)},
+         |hashed AS (SELECT doc_id, ${ringHashSql("shingle")} AS h FROM shingles),
+         |sigs AS (SELECT doc_id,
+         |    $sigColsSql
+         |  FROM hashed GROUP BY doc_id),
+         |bands AS ($bandsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin))
+
+  /** q20 — 32-bit SimHash fingerprints. */
+  val q20 = {
+    val sumCols = (0 until simhashBits).map(b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val fpTerms = (0 until simhashBits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    Q("q20_dedup_simhash",
+      (s, d) => Dedup.simhash(
+        Catalog.documents(s, d).select(col("doc_id"), col("text"))),
+      Some(
+        s"""WITH tok AS (
+           |  SELECT t.doc_id, u.token
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           |        FROM documents) t, unnest(t.toks) u(token)),
+           |hashed AS (SELECT doc_id, ${ringHashSql("token")} AS h FROM tok),
+           |sums AS (SELECT doc_id,
+           |    $sumCols
+           |  FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, $fpTerms AS simhash32 FROM sums""".stripMargin))
+  }
+
+  /** q21 — n-gram Jaccard pairs over the shingle inverted index. */
+  val q21 = Q("q21_dedup_ngram_jaccard",
+    (s, d) => Dedup.jaccardPairs(docsNear(s, d), 3, 0.2),
+    Some(
+      s"""WITH ${shinglesSql(docsNearSql)},
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+         |FROM (SELECT p.*, sa.n_sh AS na, sb.n_sh AS nb
+         |      FROM pairs p
+         |      JOIN sizes sa ON sa.doc_id = p.doc_a
+         |      JOIN sizes sb ON sb.doc_id = p.doc_b)
+         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.2""".stripMargin))
+
+  /** q22 — embedding-cosine near-dup pairs, blocked by label (the
+    * exact-integer cosine makes the threshold engine-portable). */
+  val q22 = Q("q22_dedup_embedding_cosine",
+    (s, d) => {
+      val e = Catalog.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val corpus = e.unionAll(e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+          col("embedding")))
+      val iv = corpus
+        .withColumn("iv", Similarity.intVec(col("embedding")))
+        .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
+        .select(col("vec_id"), col("label"), col("iv"), col("nrm"))
+      val a = iv.as("a"); val b = iv.as("b")
+      a.join(b, col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          Similarity.cosineFrom(col("a.iv"), col("b.iv"),
+            col("a.nrm"), col("b.nrm")).as("cosine"))
+        .filter(col("cosine") >= 0.99)
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, label, embedding FROM embeddings
+         |  WHERE vec_id % 5 = 0),
+         |iv AS (SELECT vec_id, label,
+         |         list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+         |       FROM e),
+         |n AS (SELECT *, CAST(list_aggregate(list_transform(iv, x -> x * x),
+         |        'sum') AS DOUBLE) AS nrm FROM iv)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+         |      i -> a.iv[i] * b.iv[i]), 'sum') AS DOUBLE) / sqrt(a.nrm * b.nrm)
+         |      AS cosine
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.99""".stripMargin))
+
+  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22)
+}
