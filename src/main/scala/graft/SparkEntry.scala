@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{DedupQueries, EtlQueries, LoadQueries, Parity, Q, TextQueries}
+import graft.queries.{DedupQueries, EtlQueries, LoadQueries, Parity, Q,
+  SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -9,7 +10,7 @@ object SparkEntry {
   /** Every implemented operator query (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
     Parity.all ++ EtlQueries.all ++ LoadQueries.all ++ TextQueries.all ++
-      DedupQueries.all
+      DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

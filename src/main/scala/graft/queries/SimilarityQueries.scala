@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.tables.Catalog
+
+/** Similarity search over the `embeddings` table: brute-force cosine
+  * top-k as the exactness baseline, and an IVF-style two-stage search
+  * (coarse cells → probe best cells → exact rerank) as the scale path.
+  *
+  * Scale shape (100 TB): brute force is one broadcast of the query vector
+  * and a map-side scan (top-k via takeOrdered semantics — orderBy+limit
+  * plans as TakeOrderedAndProject, no full sort). IVF shrinks the scan to
+  * the probed cells: at N vectors / C cells with p probes the exact work
+  * drops to ~N·p/C — the centroid pass is O(C) and broadcastable.
+  * `label` stands in for the k-means cell id (the quantizer is pluggable).
+  *
+  * The integer-scaled vectors ([[Similarity.intVec]]) make every
+  * aggregation an exact 64-bit sum — order-free, so the DuckDB oracle and
+  * any Spark partitioning agree bit-for-bit.
+  */
+object SimilarityQueries {
+
+  private val queryVecId = 0L
+  private val probes = 2
+  private val topK = 10
+
+  private def intVecs(s: SparkSession, d: String): DataFrame =
+    Catalog.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        Similarity.intVec(col("embedding")).as("iv"))
+
+  private val intVecsSql =
+    """SELECT vec_id, label,
+      |       list_transform(embedding,
+      |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      |FROM embeddings""".stripMargin
+
+  /** q23 — brute-force cosine top-k against the query vector. */
+  val q23 = Q("q23_similarity_topk_brute",
+    (s, d) => {
+      val e = intVecs(s, d)
+        .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
+      val q = e.filter(col("vec_id") === queryVecId)
+        .select(col("iv").as("qiv"), col("nrm").as("qnrm"))
+      e.filter(col("vec_id") =!= queryVecId)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          Similarity.cosineFrom(col("iv"), col("qiv"), col("nrm"), col("qnrm"))
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(topK)
+    },
+    Some(
+      s"""WITH iv AS ($intVecsSql),
+         |n AS (SELECT *, CAST(list_aggregate(list_transform(iv, x -> x * x),
+         |        'sum') AS DOUBLE) AS nrm FROM iv),
+         |q AS (SELECT iv AS qiv, nrm AS qnrm FROM n WHERE vec_id = $queryVecId)
+         |SELECT vec_id, label,
+         |  CAST(list_aggregate(list_transform(generate_series(1, 64),
+         |    i -> iv[i] * qiv[i]), 'sum') AS DOUBLE) / sqrt(nrm * qnrm) AS cosine
+         |FROM n, q WHERE vec_id <> $queryVecId
+         |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
+
+  /** q24 — IVF search: per-cell integer centroids (round(mean)), probe
+    * the `probes` best cells by centroid cosine, exact top-k inside.
+    * Formulated over exploded (vec, dim) rows: every sum is an exact
+    * integer aggregate, order-free in both engines. */
+  val q24 = Q("q24_similarity_ivf",
+    (s, d) => {
+      val dims = intVecs(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("iv")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+      val norms = dims.groupBy(col("vec_id"))
+        .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
+      val qdims = dims.filter(col("vec_id") === queryVecId)
+        .select(col("p").as("qp"), col("x").as("qx"))
+      val qnrm = norms.filter(col("vec_id") === queryVecId)
+        .select(col("nrm").as("qnrm"))
+
+      // coarse: integer centroid per cell, cosine to query, top cells
+      val cent = dims.groupBy(col("label"), col("p"))
+        .agg(round(sum(col("x")).cast("double") / count(lit(1))).cast("bigint")
+          .as("c"))
+      val cnrm = cent.groupBy(col("label"))
+        .agg(sum(col("c") * col("c")).cast("double").as("cnrm"))
+      val cdot = cent.join(broadcast(qdims), col("p") === col("qp"))
+        .groupBy(col("label")).agg(sum(col("c") * col("qx")).cast("double").as("cdot"))
+      val cells = cdot.join(cnrm, "label").crossJoin(broadcast(qnrm))
+        .select(col("label"),
+          (col("cdot") / sqrt(col("cnrm") * col("qnrm"))).as("cscore"))
+        .orderBy(col("cscore").desc, col("label")).limit(probes)
+        .select(col("label"))
+
+      // fine: exact cosine inside the probed cells only
+      val cand = dims.join(broadcast(cells), "label")
+        .filter(col("vec_id") =!= queryVecId)
+      val dot = cand.join(broadcast(qdims), col("p") === col("qp"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("x") * col("qx")).cast("double").as("dot"))
+      dot.join(norms, "vec_id").crossJoin(broadcast(qnrm))
+        .select(col("vec_id"), col("label"),
+          (col("dot") / sqrt(col("nrm") * col("qnrm"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+    },
+    Some(
+      s"""WITH iv AS ($intVecsSql),
+         |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+         |dims AS (SELECT vec_id, label, p, iv[p] AS x FROM iv, pos),
+         |norms AS (SELECT vec_id, CAST(sum(x * x) AS DOUBLE) AS nrm
+         |          FROM dims GROUP BY 1),
+         |qdims AS (SELECT p AS qp, x AS qx FROM dims WHERE vec_id = $queryVecId),
+         |qnrm AS (SELECT nrm AS qnrm FROM norms WHERE vec_id = $queryVecId),
+         |cent AS (SELECT label, p,
+         |           CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |         FROM dims GROUP BY 1, 2),
+         |cnrm AS (SELECT label, CAST(sum(c * c) AS DOUBLE) AS cnrm
+         |         FROM cent GROUP BY 1),
+         |cdot AS (SELECT label, CAST(sum(c * qx) AS DOUBLE) AS cdot
+         |         FROM cent JOIN qdims ON p = qp GROUP BY 1),
+         |cells AS (SELECT label
+         |          FROM cdot JOIN cnrm USING (label), qnrm
+         |          ORDER BY cdot / sqrt(cnrm * qnrm) DESC, label LIMIT $probes),
+         |cand AS (SELECT d.* FROM dims d JOIN cells USING (label)
+         |         WHERE vec_id <> $queryVecId),
+         |dot AS (SELECT vec_id, label, CAST(sum(x * qx) AS DOUBLE) AS dot
+         |        FROM cand JOIN qdims ON p = qp GROUP BY 1, 2)
+         |SELECT vec_id, label, dot / sqrt(nrm * qnrm) AS cosine
+         |FROM dot JOIN norms USING (vec_id), qnrm
+         |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
+
+  val all: Seq[Q] = Seq(q23, q24)
+}
