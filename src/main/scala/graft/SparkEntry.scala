@@ -1,8 +1,9 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{DedupQueries, EtlQueries, LoadQueries, Parity, Q,
-  SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EtlQueries, LoadQueries,
+  MultimodalQueries, Parity, Q, RelationalQueries, SimilarityQueries,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +11,8 @@ object SparkEntry {
   /** Every implemented operator query (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
     Parity.all ++ EtlQueries.all ++ LoadQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      RelationalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

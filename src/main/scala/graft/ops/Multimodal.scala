@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media payloads
+  * ride as opaque `binary` columns with typed metadata; decode /
+  * feature-extract / frame-sample run as batched per-partition functions
+  * (the Scala-native analog of `mapInPandas` — a typed Dataset
+  * `mapPartitions` with explicit batch shape).
+  *
+  * The DECODE STEP IS A STUB: real image/audio codecs aren't in this
+  * environment, so [[stubDecode]] derives deterministic fake features
+  * (byte length, md5 digest, fake dimensions, token-stride frame sample).
+  * Everything around it — binary schema, partition sizing, batch
+  * iteration, typed output encoding — is the real production shape: swap
+  * `stubDecode` for a JNI/codec call and nothing else changes.
+  *
+  * Scale: media rows are large (MBs); `repartitionForMedia` targets a
+  * bounded per-partition byte budget so executors never hold more than
+  * ~budget × batch rows of payload; decode is map-side, no shuffle.
+  */
+object Multimodal {
+
+  /** Opaque payload + typed metadata (media_id, kind, content, n_bytes). */
+  final case class MediaRow(media_id: Long, kind: String,
+      content: Array[Byte], n_bytes: Long)
+
+  /** Decoded features — the stub's deterministic fakes. */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      digest: String, width: Long, height: Long, frame_sample: String)
+
+  /** Rows per decode batch (a real decoder amortizes codec init per
+    * batch, exactly like a pandas-UDF batch). */
+  val batchSize = 64
+
+  /** documents → media stand-in: the text's UTF-8 bytes as the payload. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      col("text").cast("binary").as("content"),
+      octet_length(col("text")).cast("bigint").as("n_bytes"))
+
+  /** Bound partition payload: ~targetBytes of media per partition. */
+  def repartitionForMedia(media: DataFrame, totalBytes: Long,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    val parts = math.max(1, (totalBytes / targetBytes).toInt)
+    media.repartition(parts)
+  }
+
+  /** THE STUB — deterministic fake decode. A real pipeline replaces this
+    * body with the codec call; the signature (one batch in, features
+    * out) is the contract. */
+  def stubDecode(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map { m =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(m.content).map("%02x".format(_)).mkString
+    val tokens = new String(m.content, "UTF-8").split("\\s+")
+    val sample = Seq(0, 10, 20, 30).filter(_ < tokens.length).map(tokens)
+      .mkString(" ")
+    MediaFeatures(m.media_id, m.kind, m.n_bytes, digest,
+      m.n_bytes % 640, m.n_bytes % 480, sample)
+  }
+
+  /** decode pipeline: typed batched mapPartitions over the media rows. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(
+      _.grouped(batchSize).flatMap(b => stubDecode(b.toSeq)))
+  }
+}

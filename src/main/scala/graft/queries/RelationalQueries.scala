@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.streaming.StreamingLoad
+import graft.tables.Catalog
+
+/** Relational operators the reference doesn't use but Spark gives for
+  * free (SURVEY.md §2.5/§2.7 "not present" notes) — exposed so a user of
+  * the engine has the full surface: semi/anti joins, INTERSECT/EXCEPT,
+  * ROLLUP with grouping ids, distinct aggregates, window analytics
+  * (lag/rank/cumulative frames), and the Structured Streaming ingest.
+  */
+object RelationalQueries {
+
+  /** q26 — streaming ingest end state: the file-source stream with
+    * watermark + key dedup must reproduce the batch relation exactly. */
+  val q26 = Q("q26_streaming_ingest",
+    (s, d) => {
+      val base = s"/tmp/graft_stream/q26_${java.nio.file.Paths.get(d).getFileName}"
+      val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val conf = s.sparkContext.hadoopConfiguration
+      FileUtil.copy(fs, new Path(s"$d/events.parquet"),
+        fs, new Path(s"$base/src/events.parquet"), false, conf)
+      StreamingLoad.ingest(s, s"$base/src", s"$base/target")
+      s.read.parquet(s"$base/target")
+    },
+    Some(
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events""".stripMargin))
+
+  /** q27 — left-semi + left-anti joins (EXISTS / NOT EXISTS). */
+  val q27 = Q("q27_semi_anti_join",
+    (s, d) => {
+      val c = Catalog.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val o = Catalog.orders(s, d)
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .withColumn("has_orders", lit(1L))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .withColumn("has_orders", lit(0L))
+      semi.unionAll(anti)
+    },
+    Some(
+      """SELECT c_custkey, c_name, CAST(1 AS BIGINT) AS has_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(0 AS BIGINT)
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin))
+
+  /** q28 — INTERSECT / EXCEPT (both DISTINCT semantics). */
+  val q28 = Q("q28_set_ops",
+    (s, d) => {
+      val o = Catalog.orders(s, d)
+      def keys(st: String) =
+        o.filter(col("o_orderstatus") === st).select(col("o_custkey"))
+      keys("F").intersect(keys("O")).except(keys("P"))
+    },
+    Some(
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin))
+
+  /** q29 — ROLLUP aggregation with grouping id. */
+  val q29 = Q("q29_rollup",
+    (s, d) => Catalog.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"),
+        grouping_id().cast("bigint").as("gid")),
+    Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin))
+
+  /** q30 — exact distinct aggregates per group. */
+  val q30 = Q("q30_distinct_agg",
+    (s, d) => Catalog.orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n")),
+    Some(
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin))
+
+  /** q31 — approximate distinct (HLL). Engine-specific estimate → no SQL
+    * oracle (driver records the weaker rows-only check); the exact
+    * counterpart is q30. */
+  val q31 = Q("q31_approx_distinct",
+    (s, d) => Catalog.orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust")),
+    None)
+
+  /** q32 — window analytics beyond argmax: lag, rank, cumulative sum. */
+  val q32 = Q("q32_window_analytics",
+    (s, d) => {
+      val fx = graft.etl.Forex.base(s, d) // (currency, year, month, decimal rate)
+      val wTime = Window.partitionBy(col("from_currency"))
+        .orderBy(col("cal_year"), col("cal_month"))
+      val wRank = Window.partitionBy(col("from_currency"))
+        .orderBy(col("conversion_rate").desc, col("cal_year"), col("cal_month"))
+      fx.select(col("from_currency"), col("cal_year").cast("bigint"),
+          col("cal_month").cast("bigint"),
+          col("conversion_rate").cast("double").as("rate"),
+          lag(col("conversion_rate"), 1).over(wTime).cast("double")
+            .as("prev_rate"),
+          rank().over(wRank).cast("bigint").as("rate_rank"),
+          sum(col("conversion_rate")).over(
+            wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("cum_rate"))
+    },
+    Some {
+      val forexSql =
+        """SELECT o_orderpriority AS from_currency,
+          |       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS cal_year,
+          |       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS cal_month,
+          |       max(CAST(o_totalprice AS DECIMAL(18,2))) AS conversion_rate
+          |FROM orders GROUP BY 1, 2, 3""".stripMargin
+      s"""WITH forex AS ($forexSql)
+         |SELECT from_currency, cal_year, cal_month,
+         |  CAST(conversion_rate AS DOUBLE) AS rate,
+         |  CAST(lag(conversion_rate, 1) OVER w AS DOUBLE) AS prev_rate,
+         |  CAST(rank() OVER (PARTITION BY from_currency
+         |    ORDER BY conversion_rate DESC, cal_year, cal_month) AS BIGINT)
+         |    AS rate_rank,
+         |  CAST(sum(conversion_rate) OVER (PARTITION BY from_currency
+         |    ORDER BY cal_year, cal_month
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS cum_rate
+         |FROM forex
+         |WINDOW w AS (PARTITION BY from_currency ORDER BY cal_year, cal_month)""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32)
+}

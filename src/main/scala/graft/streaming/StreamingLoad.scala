@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variant of the incremental ingest (SURVEY.md
+  * §2.9): the reference's batch lookback window is exactly an
+  * allowed-lateness bound, so the streaming formulation is
+  * `withWatermark(lookback)` + key dedup + append sink via foreachBatch.
+  *
+  * Scale notes: `dropDuplicates` after a watermark keeps state bounded
+  * when the dedup keys include the event-time column (or use
+  * `dropDuplicatesWithinWatermark`); here the demo key is the unique
+  * event_id. The foreachBatch sink is where a production pipeline would
+  * run the delete-insert merge of [[graft.etl.IncrementalLoad]] per
+  * micro-batch.
+  */
+object StreamingLoad {
+
+  /** events.parquet physical schema (ts is TIMESTAMP(NANOS), read as
+    * raw nanos — same handling as graft.tables.Catalog). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Stream `srcDir`'s parquet events into `targetPath`, processing all
+    * available input (Trigger.AvailableNow), then return. */
+  def ingest(spark: SparkSession, srcDir: String, targetPath: String,
+      lookback: String = "3 days"): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(eventsRawSchema).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", lookback)
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"${targetPath}__checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(targetPath); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.tables.Catalog
+
+class TextAnalysisSpec extends SparkSuite {
+  import SparkSpec.spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("hello world", "a b  c", "x, y! 42z").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+      .as[(Int, Int)].collect().toSeq
+    assert(df == Seq((2, 2), (3, 3), (3, 6))) // "x , y ! 42 z"
+  }
+
+  test("occurrences counts non-overlapping, left-to-right") {
+    val r = Seq(" the cat the dog the ", " the the ").toDF("t")
+      .select(TextAnalysis.occurrences(col("t"), " the ").as("n"))
+      .as[Double].collect().toSeq
+    // separated hits each have their own spaces (3); adjacent 'the the'
+    // shares the middle space, so the second occurrence is not counted
+    assert(r == Seq(3.0, 1.0))
+  }
+
+  test("hash60 is stable and positive") {
+    val h = Seq("abc").toDF("s")
+      .select(TextAnalysis.hash60(col("s"))).first().getLong(0)
+    assert(h == 648541476951500027L) // 0x900150983cd24fb
+  }
+
+  test("predictedLang ties break in declaration order, 'und' when no hits") {
+    val r = Seq("the der", "zzz qqq").toDF("text")
+      .select(TextAnalysis.predictedLang(col("text")).as("l"))
+      .as[String].collect().toSeq
+    assert(r == Seq("en", "und"))
+  }
+}
+
+class DedupSpec extends SparkSuite {
+  import SparkSpec.spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b c d e"), (2L, "a b c d e x"), (3L, "q w e r t y u"),
+    (4L, "a b c d e")).toDF("doc_id", "text")
+
+  test("shingles: n-grams with short-doc guard") {
+    val sh = Dedup.shingles(Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text"), 3)
+      .as[(Long, String)].collect().toSeq
+    assert(sh == Seq((1L, "a b c"), (1L, "b c d"))) // doc 2: too short
+  }
+
+  test("exact groups collapse identical content") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 3)
+    val dup = g.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash: identical docs share full signature, near docs share bands") {
+    val sigs = Dedup.minhashSignature(Dedup.shingles(docs, 3))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(4L)) // identical text → identical signature
+    val cands = Dedup.minhashCandidates(docs, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 4L)))
+    assert(cands.contains((1L, 2L)) || cands.contains((2L, 4L))) // near dup
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("simhash: identical docs equal; fingerprint fits 32 bits") {
+    val fp = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("jaccard pairs: exact dup = 1.0, disjoint absent") {
+    val p = Dedup.jaccardPairs(docs, 3, 0.2).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(p((1L, 4L)) == 1.0)
+    assert(!p.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  import SparkSpec.spark.implicits._
+
+  test("integer-scaled cosine: parallel = 1, orthogonal = 0") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(2f, 0f)), // parallel
+      (Seq(1f, 0f), Seq(0f, 3f)), // orthogonal
+      (Seq(1f, 1f), Seq(-1f, -1f))) // opposite
+      .toDF("a", "b")
+      .select(Similarity.cosineFrom(
+        Similarity.intVec(col("a")), Similarity.intVec(col("b")),
+        Similarity.norm2(Similarity.intVec(col("a"))).cast("double"),
+        Similarity.norm2(Similarity.intVec(col("b"))).cast("double")).as("c"))
+      .as[Double].collect().toSeq
+    assert(df == Seq(1.0, 0.0, -1.0))
+  }
+}
+
+class MultimodalSpec extends SparkSuite {
+  test("media plumbing: binary payload, stub decode, batch shape") {
+    val media = Multimodal.mediaFromDocuments(Catalog.documents(spark, sf))
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeatures(spark, media)
+    val f = feats.filter(col("media_id") === 0).head()
+    assert(f.digest.length == 32)
+    assert(f.width == f.n_bytes % 640 && f.height == f.n_bytes % 480)
+    assert(feats.count() == media.count())
+  }
+
+  test("repartitionForMedia bounds partition payload") {
+    val media = Multimodal.mediaFromDocuments(Catalog.documents(spark, sf))
+    val re = Multimodal.repartitionForMedia(media, totalBytes = 1L << 30,
+      targetBytes = 128L << 20)
+    assert(re.rdd.getNumPartitions == 8)
+  }
+}
