@@ -14,9 +14,11 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       RelationalQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The 25-column three-branch fact union — the reference's core build
+    * (ref Incremental_load_fact_item_status.sql:40-314). */
   def entry(spark: SparkSession): DataFrame =
-    Parity.q06.run(spark, "/root/testdata/sf0.001")
+    EtlQueries.q11.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -73,9 +73,15 @@ object Dedup {
       }: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
 
-  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * The band relation feeds BOTH sides of the self-join; without
+    * materialization Spark re-runs the whole shingle→md5→signature
+    * pipeline per side (no ReusedExchange across a broadcast/shuffle
+    * split), so persist it — at scale this is the standard
+    * persist-before-LSH-self-join pattern (MEMORY_AND_DISK spills). */
   def minhashCandidates(docs: DataFrame, shingleN: Int): DataFrame = {
     val bands = lshBands(minhashSignature(shingles(docs, shingleN)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -117,7 +123,10 @@ object Dedup {
     * equi-join IS the candidate generation (docs sharing no shingle never
     * pair); intersection counts group by pair; sizes join back. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // persisted: feeds the self-join twice plus the per-doc sizes —
+    // three full recomputes of the shingle pipeline otherwise
     val sh = shingles(docs, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
