@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.{Dedup, Functions, Normalize, TextAnalysis}
+
+/** Property-based invariants (SURVEY.md §5.3) via raw ScalaCheck (the
+  * scalatest bridge artifact isn't in the offline cache). Each property
+  * runs a reduced case count — every case spins Spark jobs.
+  */
+class PropertySpec extends SparkSuite {
+  import SparkSpec.spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(8).withWorkers(1)
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  private val rowsGen: Gen[List[(Int, String)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.oneOf("a", "b", "c", "")))
+
+  test("dedup is idempotent and bounded by input size (D1)") {
+    check("dedup", Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val once = Normalize.dedup(df)
+      val c1 = once.count()
+      c1 == Normalize.dedup(once).count() && c1 <= rows.size &&
+        c1 == rows.distinct.size
+    })
+  }
+
+  test("unionAll count is the sum of branch counts (D4)") {
+    check("union", Prop.forAll(rowsGen, rowsGen) { (a, b) =>
+      a.toDF("k", "v").unionAll(b.toDF("k", "v")).count() == a.size + b.size
+    })
+  }
+
+  test("safeDivide is NULL iff divisor is 0 or NULL, never throws (F4)") {
+    val pairs = Gen.listOfN(20,
+      Gen.zip(Gen.choose(-100.0, 100.0), Gen.oneOf(Gen.const(0.0),
+        Gen.choose(-10.0, 10.0))))
+    check("safeDivide", Prop.forAll(pairs) { ps =>
+      val out = ps.toDF("a", "b")
+        .select(col("b"), Functions.safeDivide(col("a"), col("b")).as("q"))
+        .collect()
+      out.forall(r => r.isNullAt(1) == (r.getDouble(0) == 0.0))
+    })
+  }
+
+  test("lowercase rename is idempotent (P1)") {
+    val nameGen = Gen.listOfN(3, Gen.alphaStr.map(s => "C" + s.take(6)))
+      .map(_.zipWithIndex.map { case (n, i) => s"$n$i" }) // unique names
+    check("lowercase", Prop.forAll(nameGen) { names =>
+      val df = Seq((1, 2, 3)).toDF(names: _*)
+      val once = Normalize.lowercaseColumns(df)
+      Normalize.lowercaseColumns(once).columns.toSeq == once.columns.toSeq
+    })
+  }
+
+  test("latestBy returns exactly one row per key (A2)") {
+    val g = Gen.listOfN(25, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 50)))
+    check("latestBy", Prop.forAll(g) { rows =>
+      Prop.iff[List[(Int, Int)]](rows, { case rs =>
+        val df = rs.toDF("k", "v")
+        val latest = Functions.latestBy(df, Seq("k"),
+          Seq(col("v").desc)).collect()
+        Prop(latest.length == rs.map(_._1).distinct.size &&
+          latest.forall(r => rs.filter(_._1 == r.getInt(0))
+            .map(_._2).maxOption.contains(r.getInt(1))))
+      })
+    })
+  }
+
+  test("hash60 stays in [0, 2^60) (portability invariant)") {
+    check("hash60", Prop.forAll(Gen.listOfN(20, Gen.asciiPrintableStr)) { ss =>
+      val hs = ss.toDF("s").select(TextAnalysis.hash60(col("s")))
+        .collect().map(_.getLong(0))
+      hs.forall(h => h >= 0L && h < (1L << 60))
+    })
+  }
+
+  test("minhash signature is invariant under row duplication") {
+    check("minhash-dup", Prop.forAll(Gen.listOfN(4,
+      Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))) {
+      texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val doubled = docs.unionAll(docs)
+        val s1 = Dedup.minhashSignature(Dedup.shingles(docs, 3))
+          .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+        val s2 = Dedup.minhashSignature(Dedup.shingles(doubled, 3))
+          .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+        s1 == s2
+    })
+  }
+}
