@@ -29,7 +29,9 @@ object Similarity {
   def norm2(a: Column): Column = dotLong(a, a)
 
   /** cosine from precomputed integer vectors + double norms:
-    * dot/sqrt(na·nb) — one divide, one sqrt, deterministic. */
+    * dot/sqrt(na·nb) — one divide, one sqrt, deterministic. NULL when
+    * either norm is zero (try_divide, ANSI-safe), matching
+    * [[graft.functions.CosineScaled]]. */
   def cosineFrom(ivA: Column, ivB: Column, nrmA: Column, nrmB: Column): Column =
-    dotLong(ivA, ivB).cast("double") / sqrt(nrmA * nrmB)
+    try_divide(dotLong(ivA, ivB).cast("double"), sqrt(nrmA * nrmB))
 }

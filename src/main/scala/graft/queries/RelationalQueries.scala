@@ -141,5 +141,41 @@ object RelationalQueries {
          |WINDOW w AS (PARTITION BY from_currency ORDER BY cal_year, cal_month)""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32)
+  /** q34 — JSON extraction over the events `props` column (semi-
+    * structured payload handling: get_json_object + typed cast + agg). */
+  val q34 = Q("q34_json_extract",
+    (s, d) => Catalog.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k")),
+    Some(
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin))
+
+  /** q35 — pivot (long → wide): events per user by type. The oracle uses
+    * the portable CASE-sum formulation (= what pivot compiles to). */
+  val q35 = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Q("q35_pivot",
+      (s, d) => Catalog.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some {
+        val cols = types.map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+          .mkString(",\n  ")
+        s"""SELECT user_id,
+           |  $cols
+           |FROM events GROUP BY 1""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35)
 }

@@ -131,5 +131,28 @@ object SimilarityQueries {
          |FROM dot JOIN norms USING (vec_id), qnrm
          |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
 
-  val all: Seq[Q] = Seq(q23, q24)
+  /** q36 — q23's brute-force top-k through the NATIVE codegen'd
+    * [[graft.functions.CosineScaled]] expression (fused scale+dot+norms,
+    * no per-row intermediate arrays). Same oracle as q23: passing proves
+    * the custom expression bit-equal to both the composable path and
+    * DuckDB. */
+  val q36 = Q("q36_similarity_topk_native",
+    (s, d) => {
+      graft.functions.CosineScaled.register(
+        s.sessionState.functionRegistry)
+      val e = Catalog.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val q = e.filter(col("vec_id") === queryVecId)
+        .select(col("embedding").as("qemb"))
+      e.filter(col("vec_id") =!= queryVecId)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          graft.functions.CosineScaled(col("embedding"), col("qemb"))
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(topK)
+    },
+    q23.oracle)
+
+  val all: Seq[Q] = Seq(q23, q24, q36)
 }

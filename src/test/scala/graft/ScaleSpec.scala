@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.tables.Catalog
+
+/** Scale-behavior assertions: these verify the PLAN SHAPES that make the
+  * engine viable at 100 TB — date-partition pruning of incremental scans
+  * and shuffle-free co-located joins over bucketed tables — not just row
+  * results.
+  */
+class ScaleSpec extends SparkSuite {
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+
+  test("date-partitioned fact: delta filter prunes partitions at the scan") {
+    val path = "/tmp/graft_scale/events_by_day"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Catalog.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+    val pruned = spark.read.parquet(path)
+      .filter(col("event_date") >= lit("2024-01-25"))
+    val scan = fileScans(pruned).head
+    val totalDays = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.startsWith("event_date="))
+    // the scan must see only the lookback window's partitions
+    assert(scan.relation.partitionSchema.fieldNames.contains("event_date"))
+    assert(scan.metadata("PartitionFilters").contains("event_date"))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected < totalDays && selected <= 7,
+      s"expected <=7 of $totalDays day partitions, scanned $selected")
+  }
+
+  test("bucketed tables: co-located join plans with zero shuffles") {
+    val wfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("graft_orders_b", "graft_lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // in-memory catalog forgets tables across JVMs; the warehouse dir
+      // doesn't — clear the orphaned location
+      wfs.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_warehouse/$t"), true)
+    }
+    Catalog.orders(spark, sf).write.bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").mode("overwrite").saveAsTable("graft_orders_b")
+    Catalog.lineitem(spark, sf).write.bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").mode("overwrite").saveAsTable("graft_lineitem_b")
+
+    val j = spark.table("graft_lineitem_b")
+      .join(spark.table("graft_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")))
+    val shuffles = j.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // bucketing co-locates the join; only the final small aggregation
+    // may shuffle
+    val joinShuffles = shuffles.filterNot(
+      _.outputPartitioning.numPartitions <= 8)
+    assert(shuffles.size <= 1,
+      s"expected at most the agg shuffle, got ${shuffles.size}")
+    assert(fileScans(j).forall(_.bucketedScan),
+      "both sides must use the bucketed scan")
+    assert(joinShuffles.isEmpty || shuffles.size <= 1)
+    // and the join result is correct
+    assert(j.count() == 3)
+  }
+}
