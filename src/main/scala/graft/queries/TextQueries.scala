@@ -83,13 +83,22 @@ object TextQueries {
            |FROM b""".stripMargin))
   }
 
-  /** q16 — quality scoring: char-class ratios + composite + bucket. */
+  /** q16 — quality scoring: char-class ratios + composite + bucket.
+    * Components are materialized as columns once, then composed by
+    * reference — inlining the full trees into the composite triples the
+    * generated code and can push the codegen'd method past the JIT size
+    * limit (observed ~10× slowdown). */
   val q16 = Q("q16_quality_score",
     (s, d) => Catalog.documents(s, d).select(
       col("doc_id"),
       alphaRatio(col("text")).as("alpha_ratio"),
       stopwordRatio(col("text")).as("stopword_ratio"),
-      qualityScore(col("text")).as("quality_score"))
+      least(tokenCount(col("text")).cast("double") / 100.0, lit(1.0))
+        .as("len_score"))
+      .select(col("doc_id"), col("alpha_ratio"), col("stopword_ratio"),
+        (col("len_score") * 0.3 + col("alpha_ratio") * 0.4 +
+          least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3)
+          .as("quality_score"))
       .withColumn("quality_bucket",
         when(col("quality_score") >= 0.7, "high")
           .when(col("quality_score") >= 0.4, "medium")
