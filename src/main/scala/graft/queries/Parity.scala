@@ -181,13 +181,15 @@ object Parity {
   /** q33 — the real CSV round trip (S1/S2, ref py:3-4,17-18): dump the
     * messy relation to a CSV file (mixed-case headers, empty-field
     * nulls, duplicate rows), read it back with header+schema inference,
-    * and run the file-1 pipeline on it. The oracle reads the SAME CSV
-    * via read_csv, so the on-disk format is part of the contract.
-    * Fixed path: the driver's correctness pass runs one sf at a time. */
+    * and run the file-1 pipeline on it. The oracle recomputes from the
+    * PARQUET source (same SQL as q01) — so any loss in the CSV hop
+    * (quoting, null encoding, type inference, float round-trip) would
+    * surface as a mismatch. The CSV itself lives under a per-sf scratch
+    * dir so concurrent scale factors never clobber each other. */
   val q33 = Q(
     "q33_csv_roundtrip",
     (s, d) => {
-      val out = "/tmp/graft_csv/customer_csv"
+      val out = s"/tmp/graft_csv/${java.nio.file.Paths.get(d).getFileName}/customer_csv"
       messyCustomer(s, d).coalesce(1).write
         .option("header", "true").mode("overwrite").csv(out)
       val back = s.read.option("header", "true")
@@ -195,11 +197,9 @@ object Parity {
       Normalize.run(back)
     },
     Some(
-      """WITH m AS (SELECT * FROM read_csv('/tmp/graft_csv/customer_csv/*.csv',
-        |                                  header = true))
-        |SELECT DISTINCT id, coalesce(name, '0') AS name,
-        |       coalesce(acctbal, 0) AS acctbal, segment
-        |FROM m""".stripMargin))
+      s"""SELECT DISTINCT id, coalesce(name, '0') AS name,
+         |       coalesce(acctbal, 0) AS acctbal, segment
+         |FROM ($messySql)""".stripMargin))
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q33)
 }

@@ -177,5 +177,27 @@ object RelationalQueries {
       })
   }
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35)
+  /** q37 — gap-based sessionization (lag → new-session flag → running
+    * sum → per-session agg). Measure sums in exact cents (order-free). */
+  val q37 = Q("q37_sessionize",
+    (s, d) => graft.ops.Sessionize.batch(Catalog.events(s, d)),
+    Some(
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |           FROM events),
+         |w AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS prev_ts FROM e),
+         |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |        OR epoch_us(ts) - epoch_us(prev_ts) > ${graft.ops.Sessionize.gapMicros}
+         |        THEN 1 ELSE 0 END AS new_session FROM w),
+         |x AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |        AS session_idx FROM f)
+         |SELECT user_id, session_idx, min(ts) AS session_start,
+         |       max(ts) AS session_end, count(*) AS n_events,
+         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |         AS value_cents
+         |FROM x GROUP BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37)
 }

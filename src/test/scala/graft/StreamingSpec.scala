@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sessionize
+import graft.ops.Sessionize.Ev
+
+class StreamingSessionizeSpec extends SparkSuite {
+  import SparkSpec.spark.implicits._
+
+  private val M = 60L * 1000000 // one minute in micros
+
+  // user 1: two sessions (gap 40min); user 2: one session
+  private val batch1 = Seq(
+    Ev(1, 1, 0 * M, 1.0), Ev(1, 2, 10 * M, 2.5), Ev(2, 3, 5 * M, 4.0))
+  private val batch2 = Seq(
+    Ev(1, 4, 50 * M, 3.0), Ev(1, 5, 55 * M, 1.25), Ev(2, 6, 20 * M, 0.5))
+  private val sentinelTs = 10000 * M
+  private val sentinels = Seq(Ev(1, 99, sentinelTs, -1), Ev(2, 98, sentinelTs, -1))
+
+  test("flatMapGroupsWithState sessionizer matches the batch formulation") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Sessionize.streamingSessions(spark, input.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      input.addData(sentinels) // force-close every open session
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_out")
+      .filter(col("session_start") < sentinelTs) // drop sentinel sessions
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_cents"))
+      .collect().map(_.toString).sorted.toSeq
+
+    val batchDf = (batch1 ++ batch2).toDF()
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val batched = Sessionize.batch(batchDf)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"), col("value_cents"))
+      .collect().map(_.toString).sorted.toSeq
+
+    assert(streamed == batched)
+    assert(streamed.size == 3) // 2 sessions for user 1, 1 for user 2
+  }
+
+  test("batch sessionizer splits on the 30-minute gap exactly") {
+    val df = Seq(
+      Ev(7, 1, 0, 1.0), Ev(7, 2, Sessionize.gapMicros, 1.0), // gap == 30min: same session
+      Ev(7, 3, 2 * Sessionize.gapMicros + 1, 1.0)) // gap > 30min: new session
+      .toDF().withColumn("ts", timestamp_micros(col("ts")))
+    val sessions = Sessionize.batch(df).collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+}
