@@ -148,16 +148,15 @@ object DedupQueries {
       val corpus = e.unionAll(e.filter(col("vec_id") % 5 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
           col("embedding")))
-      val iv = corpus
-        .withColumn("iv", Similarity.intVec(col("embedding")))
-        .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
-        .select(col("vec_id"), col("label"), col("iv"), col("nrm"))
-      val a = iv.as("a"); val b = iv.as("b")
+      // the native fused expression (graft.functions.CosineScaled) does
+      // scale+dot+norms in one primitive loop per pair — the O(pairs·dim)
+      // hot path this expression exists for; q36 proves it oracle-equal
+      val a = corpus.as("a"); val b = corpus.as("b")
       a.join(b, col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          Similarity.cosineFrom(col("a.iv"), col("b.iv"),
-            col("a.nrm"), col("b.nrm")).as("cosine"))
+          graft.functions.CosineScaled(col("a.embedding"), col("b.embedding"))
+            .as("cosine"))
         .filter(col("cosine") >= 0.99)
     },
     Some(

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+import graft.tables.Catalog
+
+/** The end-to-end training-data prep pipeline as one verifiable query —
+  * the composite this engine exists for: quality gate → exact dedup
+  * (keep min doc_id per content fingerprint) → near-dup removal (drop
+  * the higher doc_id of every MinHash-LSH candidate pair) → per-language
+  * token accounting of the surviving corpus.
+  *
+  * Scale shape: the quality gate and fingerprints are map-side; exact
+  * dedup is one shuffle; LSH candidates bound the near-dup work; the
+  * final accounting is a small aggregation. Nothing in the pipeline is
+  * ever O(corpus²).
+  */
+object PipelineQueries {
+
+  private val minQuality = 0.5
+
+  val q41 = Q("q41_training_prep",
+    (s, d) => {
+      val docs = Catalog.documents(s, d)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= minQuality)
+        .select(col("doc_id"), col("lang"), col("text"))
+
+      // exact dedup: keep the min doc_id per content fingerprint
+      val keep = docs
+        .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+        .withColumn("keep_id", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keep_id"))
+        .drop("fp", "keep_id")
+
+      // near-dup removal: drop the higher id of each LSH candidate pair
+      val drops = Dedup.minhashCandidates(keep, 3)
+        .select(col("doc_b").as("drop_id")).distinct()
+      val clean = keep.join(drops, keep("doc_id") === drops("drop_id"),
+        "left_anti")
+
+      clean.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("n_tokens"))
+    },
+    Some {
+      // mirrors TextQueries' generated fragments
+      val tokSql = """len(regexp_split_to_array(text, '\s+'))"""
+      val stopHits = TextAnalysis.langMarkers.head._2
+        .map(m => s"(length((' ' || text || ' ')) - length(replace((' ' || text || ' '), '$m', ''))) / ${m.length}")
+        .mkString(" + ")
+      val qualitySql =
+        s"""least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) * 0.3
+           | + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           |    / nullif(CAST(length(text) AS DOUBLE), 0)) * 0.4
+           | + least((CAST($stopHits AS DOUBLE)
+           |    / nullif(CAST($tokSql AS DOUBLE), 0)) * 5.0, 1.0) * 0.3""".stripMargin
+      val normSql =
+        """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))"""
+      val sigCols = Dedup.minhashParams.zipWithIndex.map {
+        case ((a, c), k) => s"min((h * $a + $c) % ${Dedup.P}) AS mh$k"
+      }.mkString(", ")
+      val bands = (0 until Dedup.bandsOf).map { j =>
+        s"SELECT doc_id, $j AS band, md5(CAST(mh${2 * j} AS VARCHAR) || '_' || CAST(mh${2 * j + 1} AS VARCHAR)) AS bh FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT doc_id, lang, text FROM documents
+         |           WHERE $qualitySql >= $minQuality),
+         |keep AS (SELECT doc_id, lang, text FROM (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY md5($normSql)) AS keep_id
+         |  FROM q) WHERE doc_id = keep_id),
+         |shingles AS (
+         |  SELECT t.doc_id, u.shingle
+         |  FROM (SELECT doc_id,
+         |          list_transform(generate_series(1, len(toks) - 2),
+         |            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+         |        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+         |              FROM keep)) t, unnest(t.shs) u(shingle)),
+         |hashed AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % ${Dedup.P} AS h
+         |  FROM shingles),
+         |sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
+         |bands AS ($bands),
+         |drops AS (SELECT DISTINCT b.doc_id AS drop_id
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |clean AS (SELECT k.* FROM keep k
+         |          WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drop_id = k.doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum($tokSql) AS BIGINT) AS n_tokens
+         |FROM clean GROUP BY 1""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q41)
+}

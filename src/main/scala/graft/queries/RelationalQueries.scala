@@ -33,14 +33,17 @@ object RelationalQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events""".stripMargin))
 
-  /** q27 — left-semi + left-anti joins (EXISTS / NOT EXISTS). */
+  /** q27 — left-semi + left-anti joins (EXISTS / NOT EXISTS). The build
+    * side is pre-shrunk to distinct keys: a semi join only needs the key
+    * set, so broadcasting 1.5k keys beats hashing 150k full rows twice. */
   val q27 = Q("q27_semi_anti_join",
     (s, d) => {
       val c = Catalog.customer(s, d).select(col("c_custkey"), col("c_name"))
-      val o = Catalog.orders(s, d)
-      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      val keys = broadcast(
+        Catalog.orders(s, d).select(col("o_custkey")).distinct())
+      val semi = c.join(keys, c("c_custkey") === keys("o_custkey"), "left_semi")
         .withColumn("has_orders", lit(1L))
-      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      val anti = c.join(keys, c("c_custkey") === keys("o_custkey"), "left_anti")
         .withColumn("has_orders", lit(0L))
       semi.unionAll(anti)
     },
@@ -199,5 +202,63 @@ object RelationalQueries {
          |         AS value_cents
          |FROM x GROUP BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37)
+  /** q38 — JSON-lines round trip (source/sink surface beyond CSV and
+    * parquet): write, re-infer, normalize; oracle from the parquet
+    * source so the JSON hop's fidelity is under test. */
+  val q38 = Q("q38_json_roundtrip",
+    (s, d) => {
+      val out = s"/tmp/graft_json/${java.nio.file.Paths.get(d).getFileName}/orders_json"
+      Catalog.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").json(out)
+      s.read.json(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders""".stripMargin))
+
+  /** q39 — ORC round trip (columnar sink beyond parquet). */
+  val q39 = Q("q39_orc_roundtrip",
+    (s, d) => {
+      val out = s"/tmp/graft_orc/${java.nio.file.Paths.get(d).getFileName}/lineitem_orc"
+      Catalog.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    },
+    Some(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_quantity >= 25""".stripMargin))
+
+  /** q40 — top-k terms per language (the wordcount+rank composite). */
+  val q40 = Q("q40_top_terms",
+    (s, d) => {
+      val counts = Catalog.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      graft.ops.Functions.latestBy(counts, Seq("lang"),
+        Seq(col("n").desc, col("token"))) // top-1 per lang via the argmax op
+        .unionAll(counts.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("n").desc, col("token"))))
+          .filter(col("rn").between(2, 5)).drop("rn"))
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT lang, u.token, count(*) AS n
+        |  FROM (SELECT lang, regexp_split_to_array(text, '\s+') AS toks
+        |        FROM documents) t, unnest(t.toks) u(token)
+        |  GROUP BY 1, 2)
+        |SELECT lang, token, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, token) AS rn FROM c)
+        |WHERE rn <= 5""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40)
 }
