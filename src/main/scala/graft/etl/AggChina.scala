@@ -60,9 +60,12 @@ object AggChina {
 
     // china forex variant (ref :116-162): current-month + 2-digit-year
     // pin, as-of derived from the data for determinism (SURVEY §7.4.2).
-    val asOf = Catalog.orders(spark, dir)
-      .agg(max(to_date(col("o_orderdate")))).first().getDate(0).toString
-    val cf = Forex.chinaCurrentMonth(spark, dir, asOf)
+    // The as-of scalar stays IN the plan (broadcast 1-row cross join)
+    // instead of a driver .first() round trip.
+    val asOfDf = Catalog.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("asof_d"))
+    val cf = Forex.chinaCurrentMonthOn(
+        Forex.base(spark, dir).crossJoin(broadcast(asOfDf)), col("asof_d"))
       .filter(col("from_currency") === "1-URGENT") // J8 constant pred (ref :235 'CNY')
       .select(col("conversion_rate").cast("double").as("conversion_rate"))
 

@@ -77,14 +77,19 @@ object Forex {
     * exactly the reference's latent behavior — so the stand-in compares
     * against cal_year MOD 100 on the dim side to keep the operator
     * observable. */
-  def chinaCurrentMonth(spark: SparkSession, sfDir: String, asOf: String): DataFrame = {
-    val asOfDate = to_date(lit(asOf))
-    base(spark, sfDir)
+  def chinaCurrentMonth(spark: SparkSession, sfDir: String, asOf: String): DataFrame =
+    chinaCurrentMonthOn(base(spark, sfDir), to_date(lit(asOf)))
+
+  /** Same variant with the as-of date supplied as a COLUMN — callers can
+    * cross-join a broadcast 1-row scalar subquery instead of pulling the
+    * date to the driver (saves a driver round trip per build; the
+    * all-in-plan form Catalyst can schedule as one job). */
+  def chinaCurrentMonthOn(forex: DataFrame, asOfDate: org.apache.spark.sql.Column): DataFrame =
+    forex
       .filter(
         col("cal_month") === month(asOfDate) &&
           (col("cal_year") % 100) === Functions.twoDigitYear(asOfDate).cast("int"))
       .groupBy(col("from_currency"), col("conversion_rate"))
       .agg(max(col("cal_year")).as("cal_year"))
       .select(col("from_currency"), col("cal_year"), col("conversion_rate"))
-  }
 }

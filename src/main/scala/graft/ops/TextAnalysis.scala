@@ -103,7 +103,14 @@ object TextAnalysis {
   /** 60-bit integer fingerprint: first 15 hex chars of md5, base-16 →
     * base-10. Portable: DuckDB computes the same via
     * CAST('0x' || substr(md5(s),1,15) AS BIGINT). 60 bits keeps it
-    * positive in a signed 64-bit long in both engines. */
-  def hash60(s: Column): Column =
+    * positive in a signed 64-bit long in both engines.
+    *
+    * Computed by the native [[graft.functions.Hash60]] expression
+    * (digest → shift, no hex round trip — the dedup family runs this
+    * once per shingle/token); [[hash60Composable]] is the builtin
+    * composition it is bit-identical to (property-tested). */
+  def hash60(s: Column): Column = graft.functions.Hash60(s)
+
+  def hash60Composable(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
 }

@@ -75,11 +75,15 @@ class PropertySpec extends SparkSuite {
     })
   }
 
-  test("hash60 stays in [0, 2^60) (portability invariant)") {
+  test("hash60 stays in [0, 2^60) and native == builtin composition") {
     check("hash60", Prop.forAll(Gen.listOfN(20, Gen.asciiPrintableStr)) { ss =>
-      val hs = ss.toDF("s").select(TextAnalysis.hash60(col("s")))
-        .collect().map(_.getLong(0))
-      hs.forall(h => h >= 0L && h < (1L << 60))
+      val rows = ss.toDF("s").select(
+        TextAnalysis.hash60(col("s")).as("nat"),
+        TextAnalysis.hash60Composable(col("s")).as("com")).collect()
+      rows.forall { r =>
+        val h = r.getLong(0)
+        h >= 0L && h < (1L << 60) && h == r.getLong(1)
+      }
     })
   }
 
