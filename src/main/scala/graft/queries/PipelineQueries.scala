@@ -92,5 +92,31 @@ object PipelineQueries {
          |FROM clean GROUP BY 1""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(q41)
+  /** q42 — as-of (point-in-time) join: every event picks up the latest
+    * daily purchase stat at or before its timestamp. Verified against
+    * DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
+    * the semantics, not a mirrored formulation. */
+  val q42 = Q("q42_asof_join",
+    (s, d) => {
+      val e = Catalog.events(s, d)
+      val left = e.select(col("user_id"), col("event_id"), col("ts"))
+      val right = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).as("rts"))
+        .agg(max(round(col("value") * 100).cast("bigint")).as("cents"))
+      graft.ops.AsOfJoin(left, right, key = "user_id",
+        leftTs = "ts", rightTs = "rts", valueCols = Seq("cents"),
+        leftOrder = Seq("event_id"))
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value
+        |           FROM events),
+        |r AS (SELECT user_id, date_trunc('day', ts) AS rts,
+        |             max(CAST(round(value * 100) AS BIGINT)) AS cents
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.user_id, e.event_id, e.ts, r.cents
+        |FROM e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.rts""".stripMargin))
+
+  val all: Seq[Q] = Seq(q41, q42)
 }

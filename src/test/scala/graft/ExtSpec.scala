@@ -86,6 +86,25 @@ class DedupSpec extends SparkSuite {
   }
 }
 
+class AsOfJoinSpec extends SparkSuite {
+  import SparkSpec.spark.implicits._
+
+  test("as-of join: inclusive bound, carry-forward, no-match null") {
+    val left = Seq((1L, 10L, 100L), (1L, 11L, 200L), (1L, 12L, 250L),
+      (2L, 20L, 50L)).toDF("k", "id", "ts")
+    val right = Seq((1L, 100L, 7L), (1L, 210L, 9L)).toDF("k", "rts", "v")
+    val out = graft.ops.AsOfJoin(left, right, "k", "ts", "rts",
+      Seq("v"), Seq("id"))
+      .select("k", "id", "v").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 10L, Some(7L)), // rts == ts: inclusive bound
+      (1L, 11L, Some(7L)), // carried forward (no newer right yet)
+      (1L, 12L, Some(9L)), // newer right row at 210 <= 250 wins
+      (2L, 20L, None)))    // no right rows for key 2
+  }
+}
+
 class SimilaritySpec extends SparkSuite {
   import SparkSpec.spark.implicits._
 
