@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Catalog
+
+/** Analytics operators rounding out the engine surface: exact
+  * percentiles, fuzzy (edit-distance) matching, and time-series
+  * resampling with last-observation-carried-forward.
+  */
+object AnalyticsQueries {
+
+  /** q43 — exact percentiles (linear interpolation) per group. */
+  val q43 = Q("q43_percentiles",
+    (s, d) => Catalog.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        count(lit(1)).as("n")),
+    Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin))
+
+  /** q44 — fuzzy matching: near-identical customer names by edit
+    * distance, blocked by nation (the blocking keeps the pair space
+    * per-block, never corpus²). */
+  val q44 = Q("q44_fuzzy_match",
+    (s, d) => {
+      val c = Catalog.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val a = c.as("a"); val b = c.as("b")
+      a.join(b, col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("cust_a"),
+          col("b.c_custkey").as("cust_b"),
+          levenshtein(col("a.c_name"), col("b.c_name")).cast("bigint")
+            .as("edit_dist"))
+        .filter(col("edit_dist") <= 2)
+    },
+    Some(
+      """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin))
+
+  /** q45 — resample to a daily spine + LOCF: per-user daily activity
+    * with gaps filled and the last purchase level carried forward. */
+  val q45 = Q("q45_resample_locf",
+    (s, d) => {
+      val e = Catalog.events(s, d)
+      val days = s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("day"))
+      val users = e.select(col("user_id")).distinct()
+      val spine = users.crossJoin(broadcast(days))
+      val daily = e.groupBy(col("user_id"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          max(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("bigint"))).as("purchase_cents"))
+      val joined = spine.join(daily, Seq("user_id", "day"), "left")
+      joined.select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("purchase_cents"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("locf_purchase_cents"))
+    },
+    Some(
+      """WITH days AS (SELECT CAST(d AS DATE) AS day
+        |              FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |                                   INTERVAL 1 DAY) t(d)),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |daily AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                 count(*) AS n,
+        |                 max(CASE WHEN event_type = 'purchase'
+        |                     THEN CAST(round(value * 100) AS BIGINT) END)
+        |                   AS purchase_cents
+        |          FROM events GROUP BY 1, 2),
+        |spine AS (SELECT user_id, day FROM users, days)
+        |SELECT s.user_id, s.day, coalesce(d.n, 0) AS n_events,
+        |       last_value(d.purchase_cents IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS locf_purchase_cents
+        |FROM spine s LEFT JOIN daily d
+        |  ON d.user_id = s.user_id AND d.day = s.day""".stripMargin))
+
+  val all: Seq[Q] = Seq(q43, q44, q45)
+}
