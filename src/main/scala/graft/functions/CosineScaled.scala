@@ -122,6 +122,8 @@ object CosineScaled {
 /** SparkSessionExtensions entry point:
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineScaled.registryEntry)
+    ext.injectOptimizerRule(_ => BandedLevenshteinRule)
+  }
 }
