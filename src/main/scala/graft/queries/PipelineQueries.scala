@@ -36,8 +36,10 @@ object PipelineQueries {
         .drop("fp", "keep_id")
 
       // near-dup removal: drop the higher id of each LSH candidate pair
-      val drops = Dedup.minhashCandidates(keep, 3)
-        .select(col("doc_b").as("drop_id")).distinct()
+      // candidate drops ≈ near-dup count ≪ corpus — broadcast the anti
+      // side (stats can't see through the LSH pipeline and pick SMJ)
+      val drops = broadcast(Dedup.minhashCandidates(keep, 3)
+        .select(col("doc_b").as("drop_id")).distinct())
       val clean = keep.join(drops, keep("doc_id") === drops("drop_id"),
         "left_anti")
 
