@@ -120,5 +120,62 @@ object PipelineQueries {
         |SELECT e.user_id, e.event_id, e.ts, r.cents
         |FROM e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.rts""".stripMargin))
 
-  val all: Seq[Q] = Seq(q41, q42)
+  /** q46 — deterministic train/val/test split: bucket by the 60-bit
+    * content-independent key hash (salted with a split tag so other
+    * hash uses don't correlate), 80/10/10. Reproducible across runs,
+    * engines, and partitionings — the eval-split primitive. */
+  val q46 = Q("q46_train_val_test_split",
+    (s, d) => {
+      val bucket = TextAnalysis.hash60(
+        concat(lit("split|"), col("doc_id").cast("string"))) % 100
+      Catalog.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("bigint"))
+            .as("n_tokens"))
+    },
+    Some {
+      val h = "CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+      s"""SELECT CASE WHEN $h < 80 THEN 'train'
+         |            WHEN $h < 90 THEN 'val' ELSE 'test' END AS split,
+         |       lang, count(*) AS n_docs,
+         |       CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         |         AS n_tokens
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    })
+
+  /** q47 — source-mixture sampling: per-source keep quotas applied via
+    * the same deterministic hash — proportional downsampling without a
+    * shuffle or rand(). */
+  val q47 = Q("q47_source_mixture",
+    (s, d) => {
+      val quota = (element_at(
+        array(lit(20L), lit(50L), lit(80L)),
+        (col("source_num") % 3 + 1).cast("int")))
+      val keepHash = TextAnalysis.hash60(
+        concat(lit("mix|"), col("doc_id").cast("string"))) % 100
+      Catalog.documents(s, d)
+        .withColumn("source_num",
+          regexp_replace(col("source"), "[^0-9]", "").cast("bigint"))
+        .withColumn("quota", quota)
+        .filter(keepHash < col("quota"))
+        .groupBy(col("source"), col("quota"))
+        .agg(count(lit(1)).as("n_kept"))
+    },
+    Some {
+      val h = "CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+      s"""SELECT source,
+         |       CAST([20, 50, 80][CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g')
+         |         AS BIGINT) % 3 + 1 AS INT)] AS BIGINT) AS quota,
+         |       count(*) AS n_kept
+         |FROM documents
+         |WHERE $h < [20, 50, 80][CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g')
+         |         AS BIGINT) % 3 + 1 AS INT)]
+         |GROUP BY 1, 2""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q41, q42, q46, q47)
 }
