@@ -230,5 +230,46 @@ object EtlQueries {
     (s, d) => Fact.build(s, d, itemStatusOffset, chinaOffset, tomfordOffset),
     Some(s"($b1Sql)\nUNION ALL\n($b2Sql)\nUNION ALL\n($b3Sql)"))
 
-  val all: Seq[Q] = Seq(q08, q09, q10, q11)
+  /** q48 — SCD Type-2 dimension maintenance: two batch snapshots over
+    * the supplier dim (batch 2 changes every 3rd supplier's balance and
+    * introduces new keys); the final versioned table must carry closed
+    * history rows, surviving current rows, new versions, and inserts. */
+  val q48 = {
+    val t1 = "2024-01-01 00:00:00"
+    val t2 = "2024-02-01 00:00:00"
+    Q("q48_scd2_dimension",
+      (s, d) => {
+        val sup = graft.tables.Catalog.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        val b2 = sup.select(col("s_suppkey"), col("s_name"),
+          when(col("s_suppkey") % 3 === 0, col("s_acctbal") + 100.0)
+            .otherwise(col("s_acctbal")).as("s_acctbal"))
+          .unionAll(sup.filter(col("s_suppkey") % 5 === 0)
+            .select((col("s_suppkey") + 1000).as("s_suppkey"), col("s_name"),
+              (col("s_acctbal") * 2).as("s_acctbal")))
+        val v1 = graft.etl.Scd2.applyBatch(None, sup,
+          Seq("s_suppkey"), Seq("s_name", "s_acctbal"), t1)
+        val v2 = graft.etl.Scd2.applyBatch(Some(v1), b2,
+          Seq("s_suppkey"), Seq("s_name", "s_acctbal"), t2)
+        v2.withColumn("valid_from", col("valid_from").cast("timestamp_ntz"))
+          .withColumn("valid_to", col("valid_to").cast("timestamp_ntz"))
+      },
+      Some(
+        s"""WITH s AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier)
+           |SELECT s_suppkey, s_name, s_acctbal,
+           |       TIMESTAMP '$t1' AS valid_from,
+           |       CASE WHEN s_suppkey % 3 = 0 THEN TIMESTAMP '$t2' END AS valid_to,
+           |       s_suppkey % 3 <> 0 AS is_current
+           |FROM s
+           |UNION ALL
+           |SELECT s_suppkey, s_name, s_acctbal + 100.0, TIMESTAMP '$t2',
+           |       NULL, true
+           |FROM s WHERE s_suppkey % 3 = 0
+           |UNION ALL
+           |SELECT s_suppkey + 1000, s_name, s_acctbal * 2, TIMESTAMP '$t2',
+           |       NULL, true
+           |FROM s WHERE s_suppkey % 5 = 0""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48)
 }
