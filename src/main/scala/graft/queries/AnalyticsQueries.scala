@@ -100,5 +100,40 @@ object AnalyticsQueries {
         |FROM spine s LEFT JOIN daily d
         |  ON d.user_id = s.user_id AND d.day = s.day""".stripMargin))
 
-  val all: Seq[Q] = Seq(q43, q44, q45)
+  /** q49 — calendar-dimension generation: a date spine spanning the
+    * orders range with the standard warehouse attributes. Day-of-week is
+    * normalized to Sunday=0 (Spark's dayofweek-1 == DuckDB's dayofweek). */
+  val q49 = Q("q49_date_dim",
+    (s, d) => {
+      val bounds = Catalog.orders(s, d).agg(
+        min(to_date(col("o_orderdate"))).as("mn"),
+        max(to_date(col("o_orderdate"))).as("mx"))
+      bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+        .select(col("day"),
+          year(col("day")).cast("bigint").as("cal_year"),
+          quarter(col("day")).cast("bigint").as("cal_quarter"),
+          month(col("day")).cast("bigint").as("cal_month"),
+          weekofyear(col("day")).cast("bigint").as("iso_week"),
+          (dayofweek(col("day")) - 1).cast("bigint").as("dow_sun0"),
+          dayofyear(col("day")).cast("bigint").as("day_of_year"),
+          (dayofweek(col("day")).isin(1, 7)).as("is_weekend"),
+          date_format(col("day"), "yyyy-MM").as("year_month"))
+    },
+    Some(
+      """WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS mn,
+        |                  max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        |spine AS (SELECT CAST(d AS DATE) AS day FROM
+        |  (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d FROM b))
+        |SELECT day,
+        |  CAST(EXTRACT(year FROM day) AS BIGINT) AS cal_year,
+        |  CAST(quarter(day) AS BIGINT) AS cal_quarter,
+        |  CAST(EXTRACT(month FROM day) AS BIGINT) AS cal_month,
+        |  CAST(week(day) AS BIGINT) AS iso_week,
+        |  CAST(dayofweek(day) AS BIGINT) AS dow_sun0,
+        |  CAST(dayofyear(day) AS BIGINT) AS day_of_year,
+        |  dayofweek(day) IN (0, 6) AS is_weekend,
+        |  strftime(day, '%Y-%m') AS year_month
+        |FROM spine""".stripMargin))
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q49)
 }
