@@ -135,5 +135,63 @@ object AnalyticsQueries {
         |  strftime(day, '%Y-%m') AS year_month
         |FROM spine""".stripMargin))
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q49)
+  /** q50 — full-outer join with coalesced keys and exact decimal
+    * averages (avg = decimal-sum / count, so no FP-order dependence). */
+  val q50 = Q("q50_full_outer_avg",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val byCust = Catalog.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          // divide in DOUBLE: engines round decimal division differently
+          // at the last ulp; double division is IEEE-identical
+          (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") /
+            count(lit(1))).as("avg_price"))
+      val c = Catalog.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+      c.join(byCust, c("c_custkey") === byCust("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("avg_price"))
+    },
+    Some(
+      """WITH byc AS (SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |      AS avg_price
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal,
+        |       coalesce(n_orders, 0) AS n_orders, avg_price
+        |FROM customer FULL OUTER JOIN byc ON c_custkey = o_custkey""".stripMargin))
+
+  /** q51 — scalar string-function breadth in one projection (each maps
+    * to the same-named DuckDB builtin; initcap excluded — absent there). */
+  val q51 = Q("q51_string_functions",
+    (s, d) => Catalog.customer(s, d).select(
+      col("c_custkey"),
+      lpad(col("c_name"), 25, "*").as("pad_l"),
+      rpad(col("c_mktsegment"), 12, ".").as("pad_r"),
+      reverse(col("c_name")).as("rev"),
+      repeat(col("c_mktsegment"), 2).as("rep"),
+      substring(col("c_name"), 10, 4).as("sub"),
+      translate(col("c_name"), "0C", "#c").as("trans"),
+      ascii(col("c_mktsegment")).cast("bigint").as("first_char"),
+      instr(col("c_name"), "#").cast("bigint").as("hash_pos"),
+      length(trim(col("c_name"))).cast("bigint").as("trimmed_len"),
+      concat_ws("/", col("c_name"), col("c_mktsegment")).as("joined")),
+    Some(
+      """SELECT c_custkey,
+        |  lpad(c_name, 25, '*') AS pad_l,
+        |  rpad(c_mktsegment, 12, '.') AS pad_r,
+        |  reverse(c_name) AS rev,
+        |  repeat(c_mktsegment, 2) AS rep,
+        |  substr(c_name, 10, 4) AS sub,
+        |  translate(c_name, '0C', '#c') AS trans,
+        |  CAST(ascii(c_mktsegment) AS BIGINT) AS first_char,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |  CAST(length(trim(c_name)) AS BIGINT) AS trimmed_len,
+        |  concat_ws('/', c_name, c_mktsegment) AS joined
+        |FROM customer""".stripMargin))
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51)
 }
