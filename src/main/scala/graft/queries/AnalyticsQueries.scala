@@ -193,5 +193,19 @@ object AnalyticsQueries {
         |  concat_ws('/', c_name, c_mktsegment) AS joined
         |FROM customer""".stripMargin))
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51)
+  /** q52 — array-valued aggregation output: sorted distinct collections
+    * per group (array cells round-trip the whole compare pipeline). */
+  val q52 = Q("q52_grouped_arrays",
+    (s, d) => Catalog.documents(s, d)
+      .select(col("lang"), col("source")).distinct()
+      .groupBy(col("lang"))
+      .agg(array_sort(collect_list(col("source"))).as("sources"),
+        count(lit(1)).as("n_sources")),
+    Some(
+      """SELECT lang, list(source ORDER BY source) AS sources,
+        |       count(*) AS n_sources
+        |FROM (SELECT DISTINCT lang, source FROM documents)
+        |GROUP BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51, q52)
 }
