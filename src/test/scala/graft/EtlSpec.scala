@@ -95,6 +95,39 @@ class IncrementalLoadSpec extends SparkSuite {
       .first().getAs[Long]("deleted_count") == r2.deleted)
   }
 
+  test("full protocol over the real 25-col fact pins §7.4.5 comparators") {
+    wipe()
+    // the reference's fresh branches filter on cdc >= offset (P4); apply
+    // the same to the union for the single-offset protocol
+    val fresh = (offset: String) => Fact.build(spark, sf,
+      EtlQueries.itemStatusOffset, EtlQueries.chinaOffset,
+      EtlQueries.tomfordOffset)
+      .filter(col("cdc_timestamp_gcp") >= lit(offset).cast("timestamp"))
+    val p = params("FULL_LOAD", "fact").copy(deltaDayCount = 2,
+      minimumDate = "1990-01-01")
+    IncrementalLoad.run(spark, p, fresh, "cdc_timestamp_gcp")
+    val full = spark.read.parquet(s"$base/fact")
+    val afterFull = full.collect().map(_.toString).sorted.toSeq
+    assert(afterFull.nonEmpty)
+    // delta replay of the same source: delete is STRICT >, insert is >=
+    // (§7.4.5 verbatim) — so rows at exactly the offset are kept AND
+    // reinserted. With day-floored CDC values the offset lands on a data
+    // timestamp, making this observable: expected = full ∪ boundary.
+    val offsetStr = full.agg(date_format(
+      max(col("cdc_timestamp_gcp")) - expr("INTERVAL 2 DAYS"),
+      "yyyy-MM-dd HH:mm:ss.SSSSSS")).first().getString(0)
+    val boundary = full.filter(
+      col("cdc_timestamp_gcp") === lit(offsetStr).cast("timestamp"))
+      .collect().map(_.toString).toSeq
+    assert(boundary.nonEmpty) // day-floored cdc → boundary hit by design
+    val r = IncrementalLoad.run(spark, p.copy(loadType = "DELTA"),
+      fresh, "cdc_timestamp_gcp")
+    assert(r.deleted > 0 && r.inserted >= r.deleted)
+    val afterDelta = spark.read.parquet(s"$base/fact").collect()
+      .map(_.toString).sorted.toSeq
+    assert(afterDelta == (afterFull ++ boundary).sorted)
+  }
+
   test("offset falls back to minimum_date when target is empty") {
     wipe()
     val r = IncrementalLoad.run(spark, params("DELTA", "d"),

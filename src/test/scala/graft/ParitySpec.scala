@@ -102,8 +102,8 @@ class ForexSpec extends SparkSuite {
 }
 
 class ParityQueriesSpec extends SparkSuite {
-  test("every parity query runs and returns rows at sf0.001") {
-    Parity.all.foreach { q =>
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.registry.foreach { q =>
       val n = q.run(spark, sf).count()
       assert(n > 0, s"${q.name} returned 0 rows")
     }
