@@ -29,7 +29,8 @@ object AsOfJoin {
     * @param key        equi key column name (both sides)
     * @param leftTs     event-time column on `left`
     * @param rightTs    event-time column on `right`
-    * @param valueCols  right columns carried to the output (as-of values)
+    * @param valueCols  right columns carried to the output (as-of values);
+    *                    must not collide with left column names
     * @param leftOrder  extra left columns completing a total order (ties) */
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String],

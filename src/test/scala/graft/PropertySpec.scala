@@ -87,6 +87,32 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("AsOfJoin equals the brute-force point-in-time lookup") {
+    val leftGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 100L)))
+      .map(_.zipWithIndex.map { case ((k, ts), i) => (k, i.toLong, ts) })
+    val rightGen = Gen.listOfN(8,
+      Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 100L), Gen.choose(0L, 9L)))
+    check("asof", Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      val left = ls.toDF("k", "id", "ts")
+      // at most one right row per (k, ts): later duplicates dropped, as
+      // a real reference relation would be keyed
+      val rsu = rs.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val right = rsu.toDF("k", "rts", "v")
+      val got = graft.ops.AsOfJoin(left, right, "k", "ts", "rts",
+        Seq("v"), Seq("id"))
+        .select("k", "id", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      val want = ls.map { case (k, id, ts) =>
+        val best = rsu.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(_._2).lastOption.map(_._3)
+        (k, id, best)
+      }.toSet
+      got == want
+    })
+  }
+
   test("minhash signature is invariant under row duplication") {
     check("minhash-dup", Prop.forAll(Gen.listOfN(4,
       Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))) {
