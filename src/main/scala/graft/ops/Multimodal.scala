@@ -68,4 +68,29 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(
       _.grouped(batchSize).flatMap(b => stubDecode(b.toSeq)))
   }
+
+  /** RESIZE STUB — deterministic fake of a bilinear downscale: the
+    * "resized" payload samples every k-th byte so output size tracks the
+    * target dims; a real implementation swaps the body for the codec
+    * call. Metadata (n_bytes) is recomputed — the typed row stays
+    * consistent through the stage. */
+  def stubResize(batch: Seq[MediaRow], maxBytes: Int): Seq[MediaRow] =
+    batch.map { m =>
+      if (m.content.length <= maxBytes) m
+      else {
+        val stride = math.max(1, m.content.length / maxBytes)
+        val resized = m.content.indices.collect {
+          case i if i % stride == 0 => m.content(i)
+        }.toArray
+        m.copy(content = resized, n_bytes = resized.length.toLong)
+      }
+    }
+
+  /** resize pipeline stage: same batched mapPartitions contract as the
+    * decode — stages compose (media → resize → decode). */
+  def resize(spark: SparkSession, media: DataFrame, maxBytes: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(
+      _.grouped(batchSize).flatMap(b => stubResize(b.toSeq, maxBytes)))
+  }
 }

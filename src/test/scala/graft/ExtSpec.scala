@@ -134,6 +134,21 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.count() == media.count())
   }
 
+  test("resize stage: bounds payload, preserves small rows, composes with decode") {
+    val media = Multimodal.mediaFromDocuments(Catalog.documents(spark, sf))
+    val resized = Multimodal.resize(spark, media, maxBytes = 100)
+    val rows = resized.collect()
+    assert(rows.forall(r => r.n_bytes == r.content.length))
+    assert(rows.forall(_.n_bytes <= 201)) // stride sampling ≤ ~2× target
+    // small payloads pass through untouched
+    val small = media.filter(org.apache.spark.sql.functions.col("n_bytes") <= 100)
+      .count()
+    assert(rows.count(_.n_bytes <= 100) >= small)
+    // stages compose: decode runs on the resized payloads
+    val feats = Multimodal.decodeFeatures(spark, resized.toDF())
+    assert(feats.count() == media.count())
+  }
+
   test("repartitionForMedia bounds partition payload") {
     val media = Multimodal.mediaFromDocuments(Catalog.documents(spark, sf))
     val re = Multimodal.repartitionForMedia(media, totalBytes = 1L << 30,
