@@ -207,5 +207,31 @@ object AnalyticsQueries {
         |FROM (SELECT DISTINCT lang, source FROM documents)
         |GROUP BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51, q52)
+  /** q53 — the SQL front door: the query text itself goes through
+    * `spark.sql` over registered views (the API surface a SQL-pipeline
+    * user writes against); only the decimal-output casts differ from
+    * the DuckDB text. TPC-H-Q3-shaped. */
+  val q53 = {
+    def text(sumCast: String => String) =
+      s"""SELECT o_orderkey, o_orderdate,
+         |  ${sumCast("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))")} AS revenue,
+         |  count(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+         |GROUP BY o_orderkey, o_orderdate
+         |HAVING count(*) >= 3""".stripMargin
+    Q("q53_sql_frontdoor",
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql(text(e => s"CAST($e AS DOUBLE)"))
+      },
+      Some(text(e => s"CAST($e AS DOUBLE)")))
+  }
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51, q52, q53)
 }

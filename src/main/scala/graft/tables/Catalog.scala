@@ -38,6 +38,13 @@ object Catalog {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
+  /** SQL front door: register every table as a temp view so
+    * `spark.sql(...)` works over the testdata — the surface reference
+    * users (a SQL pipeline) actually write against. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach(n =>
+      apply(spark, sfDir, n).createOrReplaceTempView(n))
+
   def region(spark: SparkSession, d: String): DataFrame     = apply(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame     = apply(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame   = apply(spark, d, "customer")
