@@ -259,6 +259,31 @@ object RelationalQueries {
         |    ORDER BY n DESC, token) AS rn FROM c)
         |WHERE rn <= 5""".stripMargin))
 
+  /** q54 — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) plus
+    * UNION DISTINCT, completing the set-operation family (q28 covers
+    * the DISTINCT variants). Multiplicity matters: customers place
+    * multiple orders per status. */
+  val q54 = Q("q54_set_ops_all",
+    (s, d) => {
+      val o = Catalog.orders(s, d)
+      def keys(st: String) =
+        o.filter(col("o_orderstatus") === st).select(col("o_custkey"))
+      keys("F").intersectAll(keys("O"))
+        .exceptAll(keys("P"))
+        .union(Catalog.customer(s, d)
+          .filter(col("c_acctbal") < 0).select(col("c_custkey")))
+        .distinct()
+    },
+    Some(
+      """SELECT DISTINCT * FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   INTERSECT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40)
+    Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40, q54)
 }
