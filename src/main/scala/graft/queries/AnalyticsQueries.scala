@@ -233,5 +233,34 @@ object AnalyticsQueries {
       Some(text(e => s"CAST($e AS DOUBLE)")))
   }
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51, q52, q53)
+  /** q55 — scalar breadth II: regex capture groups, nullif, exact
+    * numeric scalars (abs/floor/ceil/sign/mod), greatest/least. */
+  val q55 = Q("q55_scalar_breadth",
+    (s, d) => Catalog.customer(s, d).select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "Customer#0*([0-9]+)$", 1)
+        .cast("bigint").as("parsed_id"),
+      nullif(col("c_nationkey").cast("bigint"), lit(0L)).as("nation_or_null"),
+      abs(col("c_acctbal")).as("abs_bal"),
+      floor(col("c_acctbal")).cast("bigint").as("floor_bal"),
+      ceil(col("c_acctbal")).cast("bigint").as("ceil_bal"),
+      signum(col("c_acctbal")).cast("bigint").as("sign_bal"),
+      (col("c_custkey") % 7).cast("bigint").as("mod7"),
+      greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+      least(col("c_custkey").cast("bigint"), lit(1000L)).as("key_cap")),
+    Some(
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, 'Customer#0*([0-9]+)$', 1) AS BIGINT)
+        |    AS parsed_id,
+        |  nullif(CAST(c_nationkey AS BIGINT), 0) AS nation_or_null,
+        |  abs(c_acctbal) AS abs_bal,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(sign(c_acctbal) AS BIGINT) AS sign_bal,
+        |  CAST(c_custkey % 7 AS BIGINT) AS mod7,
+        |  greatest(c_acctbal, 0.0) AS bal_floor0,
+        |  least(CAST(c_custkey AS BIGINT), 1000) AS key_cap
+        |FROM customer""".stripMargin))
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55)
 }

@@ -154,5 +154,83 @@ object SimilarityQueries {
     },
     q23.oracle)
 
-  val all: Seq[Q] = Seq(q23, q24, q36)
+  /** q56 — LSH-bucketed ANN (the brief's "IVF or LSH-bucketed variant";
+    * q24 is the IVF path): 4 deterministic pseudo-random hyperplanes
+    * (integer weights from the md5-derived hash of 'hp|plane|dim'),
+    * sign-bit bucket per vector, search = exact rerank within the
+    * query's bucket. All sums are exact integers; 2^plane goes through
+    * pow(2,·) cast bigint — exact in both engines for small exponents.
+    *
+    * Scale: signatures are one dims×hyperplanes join + two grouped
+    * integer sums (map-side partial); the bucket equality then bounds
+    * the exact work to ~N/2^planes vectors. */
+  val q56 = Q("q56_similarity_ann_lsh",
+    (s, d) => {
+      val dims = intVecs(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("iv")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).as("p"), col("col").as("x")) // 1-based: p salts the hash
+      val planes = s.range(0, 4).select(col("id").as("pl"))
+      val hyper = planes.crossJoin(
+          s.range(1, 65).select(col("id").as("p")))
+        .select(col("pl"), col("p"),
+          (graft.ops.TextAnalysis.hash60(concat(lit("hp|"),
+            col("pl").cast("string"), lit("|"), col("p").cast("string")))
+            % 2001 - 1000).as("w"))
+      val proj = dims.join(broadcast(hyper), "p")
+        .groupBy(col("vec_id"), col("pl")).agg(sum(col("x") * col("w")).as("s"))
+      val sig = proj.groupBy(col("vec_id"))
+        .agg(sum(when(col("s") > 0,
+          pow(lit(2.0), col("pl")).cast("bigint")).otherwise(0L)).as("bucket"))
+      val qb = sig.filter(col("vec_id") === queryVecId)
+        .select(col("bucket").as("qbucket"))
+      val cand = sig.crossJoin(broadcast(qb))
+        .filter(col("bucket") === col("qbucket") && col("vec_id") =!= queryVecId)
+        .select(col("vec_id"))
+
+      val norms = dims.groupBy(col("vec_id"))
+        .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
+      val qdims = dims.filter(col("vec_id") === queryVecId)
+        .select(col("p").as("qp"), col("x").as("qx"))
+      val qnrm = norms.filter(col("vec_id") === queryVecId)
+        .select(col("nrm").as("qnrm"))
+      val dot = dims.join(broadcast(cand), "vec_id")
+        .join(broadcast(qdims), col("p") === col("qp"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("x") * col("qx")).cast("double").as("dot"))
+      dot.join(norms, "vec_id").crossJoin(broadcast(qnrm))
+        .select(col("vec_id"), col("label"),
+          (col("dot") / sqrt(col("nrm") * col("qnrm"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+    },
+    Some(
+      s"""WITH iv AS ($intVecsSql),
+         |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+         |dims AS (SELECT vec_id, label, p, iv[p] AS x FROM iv, pos),
+         |planes AS (SELECT unnest(generate_series(0, 3)) AS pl),
+         |hyper AS (SELECT pl, p,
+         |    CAST(('0x' || substr(md5('hp|' || CAST(pl AS VARCHAR) || '|'
+         |      || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+         |  FROM planes, pos),
+         |proj AS (SELECT d.vec_id, h.pl, sum(d.x * h.w) AS s
+         |         FROM dims d JOIN hyper h ON d.p = h.p GROUP BY 1, 2),
+         |sig AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, pl) AS BIGINT)
+         |             ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY 1),
+         |qb AS (SELECT bucket AS qbucket FROM sig WHERE vec_id = $queryVecId),
+         |cand AS (SELECT s.vec_id FROM sig s, qb
+         |         WHERE s.bucket = qb.qbucket AND s.vec_id <> $queryVecId),
+         |norms AS (SELECT vec_id, CAST(sum(x * x) AS DOUBLE) AS nrm
+         |          FROM dims GROUP BY 1),
+         |qdims AS (SELECT p AS qp, x AS qx FROM dims WHERE vec_id = $queryVecId),
+         |qnrm AS (SELECT nrm AS qnrm FROM norms WHERE vec_id = $queryVecId),
+         |dot AS (SELECT d.vec_id, d.label, CAST(sum(d.x * q.qx) AS DOUBLE) AS dot
+         |        FROM dims d JOIN cand c ON d.vec_id = c.vec_id
+         |        JOIN qdims q ON d.p = q.qp GROUP BY 1, 2)
+         |SELECT vec_id, label, dot / sqrt(nrm * qnrm) AS cosine
+         |FROM dot JOIN norms USING (vec_id), qnrm
+         |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
+
+  val all: Seq[Q] = Seq(q23, q24, q36, q56)
 }
