@@ -51,6 +51,36 @@ class StreamingSessionizeSpec extends SparkSuite {
     assert(streamed.size == 3) // 2 sessions for user 1, 1 for user 2
   }
 
+  test("windowed aggregation with watermark emits exactly the closed windows") {
+    import org.apache.spark.sql.functions._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (ts_micros, value_cents)
+    val agg = input.toDS().toDF("ts", "cents")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(col("w.start").as("wstart"), col("n"), col("cents"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      val H = 3600L * 1000000; val M = 60L * 1000000
+      // hour 0 gets three events; hour 1 one event
+      input.addData((5 * M, 10L), (20 * M, 20L), (50 * M, 30L))
+      q.processAllAvailable()
+      input.addData((H + 5 * M, 40L))
+      q.processAllAvailable() // watermark → 0:55; hour-0 window still open
+      assert(spark.table("win_out").count() == 0)
+      // an event far ahead closes both earlier windows
+      input.addData((3 * H, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(unix_micros(col("wstart")), col("n"), col("cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((0L, 3L, 60L), (H, 1L, 40L)))
+    } finally q.stop()
+  }
+
   test("batch sessionizer splits on the 30-minute gap exactly") {
     val df = Seq(
       Ev(7, 1, 0, 1.0), Ev(7, 2, Sessionize.gapMicros, 1.0), // gap == 30min: same session
