@@ -262,5 +262,29 @@ object AnalyticsQueries {
         |  least(CAST(c_custkey AS BIGINT), 1000) AS key_cap
         |FROM customer""".stripMargin))
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55)
+  /** q57 — quantile bucketing via ntile: quartiles of account balance
+    * within each nation (total order incl. key tiebreak), plus
+    * per-bucket stats. */
+  val q57 = Q("q57_ntile_buckets",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Catalog.customer(s, d)
+        .select(col("c_nationkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("bigint").as("quartile"))
+        .groupBy(col("c_nationkey").cast("bigint").as("nation"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+    },
+    Some(
+      """WITH q AS (SELECT c_nationkey, c_acctbal,
+        |    CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |  FROM customer)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation, quartile, count(*) AS n,
+        |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM q GROUP BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57)
 }
