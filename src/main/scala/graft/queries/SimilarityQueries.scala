@@ -232,5 +232,29 @@ object SimilarityQueries {
          |FROM dot JOIN norms USING (vec_id), qnrm
          |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
 
-  val all: Seq[Q] = Seq(q23, q24, q36, q56)
+  /** q58 — L2 normalization: unit vectors from the integer-scaled
+    * representation (elementwise divide by one deterministic double), the
+    * standard preprocessing before cosine/IP search. Array-of-double
+    * output cells round-trip the compare pipeline. */
+  val q58 = Q("q58_embedding_normalize",
+    (s, d) => {
+      val iv = Similarity.intVec(col("embedding"))
+      val l2 = sqrt(Similarity.norm2(iv).cast("double"))
+      Catalog.embeddings(s, d).select(
+        col("vec_id"),
+        transform(iv, x => x.cast("double") / l2).as("unit"),
+        (l2 / 1e6).as("l2_norm"))
+    },
+    Some(
+      s"""WITH iv AS ($intVecsSql),
+         |n AS (SELECT vec_id, iv,
+         |        sqrt(CAST(list_aggregate(list_transform(iv, x -> x * x),
+         |          'sum') AS DOUBLE)) AS l2
+         |      FROM iv)
+         |SELECT vec_id,
+         |       list_transform(iv, x -> CAST(x AS DOUBLE) / l2) AS unit,
+         |       l2 / 1000000.0 AS l2_norm
+         |FROM n""".stripMargin))
+
+  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58)
 }
