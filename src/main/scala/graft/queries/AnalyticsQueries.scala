@@ -286,5 +286,26 @@ object AnalyticsQueries {
         |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
         |FROM q GROUP BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57)
+  /** q59 — safe casting over dirty inputs: try_cast yields NULL instead
+    * of failing (ANSI-safe) — the defensive-parsing primitive for
+    * ingest; exercised on strings that do and don't parse. */
+  val q59 = Q("q59_try_cast",
+    (s, d) => Catalog.customer(s, d).select(
+      col("c_custkey"),
+      expr("try_cast(c_name AS BIGINT)").as("bad_parse"), // never numeric
+      expr("try_cast(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)")
+        .as("good_parse"),
+      expr("try_cast(c_mktsegment AS DOUBLE)").as("bad_double"),
+      expr("try_cast(CAST(c_acctbal AS STRING) AS DOUBLE)").as("roundtrip")),
+    Some(
+      """SELECT c_custkey,
+        |  TRY_CAST(c_name AS BIGINT) AS bad_parse,
+        |  TRY_CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+        |    AS good_parse,
+        |  TRY_CAST(c_mktsegment AS DOUBLE) AS bad_double,
+        |  TRY_CAST(CAST(c_acctbal AS VARCHAR) AS DOUBLE) AS roundtrip
+        |FROM customer""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59)
 }
