@@ -96,13 +96,23 @@ object RelationalQueries {
         |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin))
 
-  /** q31 — approximate distinct (HLL). Engine-specific estimate → no SQL
-    * oracle (driver records the weaker rows-only check); the exact
-    * counterpart is q30. */
+  /** q31 — approximate distinct (HLL). The sketch estimate is
+    * engine-specific, so the oracle verifies its CONTRACT instead of its
+    * value: output the exact distinct count plus a boolean asserting the
+    * HLL estimate landed within 3σ (rsd=0.05 → 15%) of exact; DuckDB
+    * emits literal TRUE. HLL is deterministic for fixed input, so the
+    * hash compare is stable — and fails if the sketch ever degrades. */
   val q31 = Q("q31_approx_distinct",
     (s, d) => Catalog.orders(s, d).groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust")),
-    None)
+      .agg(countDistinct(col("o_custkey")).as("exact_cust"),
+        approx_count_distinct(col("o_custkey")).as("approx"))
+      .select(col("o_orderpriority"), col("exact_cust"),
+        (abs(col("approx") - col("exact_cust"))
+          <= col("exact_cust") * lit(0.15)).as("within_3sigma")),
+    Some(
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
+        |  TRUE AS within_3sigma
+        |FROM orders GROUP BY 1""".stripMargin))
 
   /** q32 — window analytics beyond argmax: lag, rank, cumulative sum. */
   val q32 = Q("q32_window_analytics",

@@ -234,16 +234,20 @@ object SimilarityQueries {
 
   /** q58 — L2 normalization: unit vectors from the integer-scaled
     * representation (elementwise divide by one deterministic double), the
-    * standard preprocessing before cosine/IP search. Array-of-double
-    * output cells round-trip the compare pipeline. */
+    * standard preprocessing before cosine/IP search. The unit vector is
+    * built as a real ArrayType transform, then exploded to
+    * (vec_id, p, unit_val) rows for the gate — the driver's comparator
+    * cannot hash array cells (VERDICT r2), and per-component doubles are
+    * IEEE-identical across engines. */
   val q58 = Q("q58_embedding_normalize",
     (s, d) => {
       val iv = Similarity.intVec(col("embedding"))
       val l2 = sqrt(Similarity.norm2(iv).cast("double"))
-      Catalog.embeddings(s, d).select(
-        col("vec_id"),
-        transform(iv, x => x.cast("double") / l2).as("unit"),
-        (l2 / 1e6).as("l2_norm"))
+      Catalog.embeddings(s, d)
+        .select(col("vec_id"), (l2 / 1e6).as("l2_norm"),
+          posexplode(transform(iv, x => x.cast("double") / l2)))
+        .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("p"),
+          col("col").as("unit_val"), col("l2_norm"))
     },
     Some(
       s"""WITH iv AS ($intVecsSql),
@@ -251,10 +255,10 @@ object SimilarityQueries {
          |        sqrt(CAST(list_aggregate(list_transform(iv, x -> x * x),
          |          'sum') AS DOUBLE)) AS l2
          |      FROM iv)
-         |SELECT vec_id,
-         |       list_transform(iv, x -> CAST(x AS DOUBLE) / l2) AS unit,
+         |SELECT vec_id, p,
+         |       CAST(iv[p] AS DOUBLE) / l2 AS unit_val,
          |       l2 / 1000000.0 AS l2_norm
-         |FROM n""".stripMargin))
+         |FROM n, (SELECT unnest(generate_series(1, 64)) AS p) pos""".stripMargin))
 
   val all: Seq[Q] = Seq(q23, q24, q36, q56, q58)
 }
