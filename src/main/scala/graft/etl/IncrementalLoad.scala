@@ -12,9 +12,14 @@ import org.apache.spark.sql.types._
   * Statement-by-statement mapping:
   *  - delta offset scalar with IFNULL fallback (P6/A1)      ref :10-20
   *  - staging "clone" of the target (S5)                    ref :23-26
-  *    — raw parquet has no metadata-only clone; we stage the next
-  *    snapshot in a sibling directory and atomically rename (SURVEY
-  *    §7.4.3; atomicity is directory-rename-level, not transactional)
+  *    — the reference's zero-copy CLONE + delete/insert + swap exists so
+  *    a delta run never rewrites history ("This COPY process is fast",
+  *    ref :22,319). The file-level analog is a DATE-PARTITIONED target
+  *    (`cdc_day=YYYY-MM-DD/`) plus dynamic partition overwrite: a delta
+  *    run rewrites ONLY the lookback-window partitions; all older
+  *    partitions are untouched bytes on disk — O(lookback + fresh),
+  *    never O(history). FULL_LOAD still stages a complete snapshot in a
+  *    sibling directory and atomically renames (SURVEY §7.4.3).
   *  - TRUNCATE on FULL_LOAD / lookback DELETE on delta (S6/S7, C3)
   *    — delete = filter-and-keep with the reference's STRICT `>` while
   *    the insert filter uses `>=` (comparators preserved verbatim,
@@ -27,13 +32,21 @@ import org.apache.spark.sql.types._
   * `current_timestamp()` (ref :6) is a constructor param for determinism
   * (SURVEY §7.4.2).
   *
-  * Scale: the protocol touches the target twice (max-scan for the offset,
-  * filter-scan for kept rows) — both prune to the CDC column / lookback
-  * window when the target is date-partitioned, so a delta run's cost is
-  * O(lookback + fresh), never O(history). The staged write keeps the swap
-  * atomic and the old snapshot readable until publish.
+  * Scale ledger (delta run, date-partitioned target):
+  *  - offset max-scan prunes to the single lexicographically-latest
+  *    `cdc_day=` partition (directory listing picks the day; only that
+  *    partition's footers are read);
+  *  - the deleted @@row_count is ONE conditional aggregate over the
+  *    lookback partitions only (no full-target count, no second scan);
+  *  - the publish rewrites only partitions with `cdc_day >= date(offset)`
+  *    via `partitionOverwriteMode=dynamic`.
   */
 object IncrementalLoad {
+
+  /** Physical partition column of the managed fact (derived, dropped on
+    * logical reads). Day granularity matches the reference's day-unit
+    * lookback (`delta_day_count`, ref :17). */
+  val partCol = "cdc_day"
 
   /** The ten Jinja params of the reference (C6, ref sql:8-20) reduced to
     * what the engine needs; path params replace project/dataset ids. */
@@ -64,6 +77,26 @@ object IncrementalLoad {
     if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
   }
 
+  /** Logical view of the managed target: physical layout (the partition
+    * column) stripped. All readers outside the protocol go through here. */
+  def readTarget(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(partCol)
+
+  /** Latest `cdc_day=` partition value by directory listing — the pruned
+    * entry point for the offset max-scan. Day strings are yyyy-MM-dd, so
+    * lexicographic max == date max. None when no dated partition exists. */
+  private def latestDay(spark: SparkSession, path: String): Option[String] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(partCol + "="))
+      .map(_.stripPrefix(partCol + "="))
+      .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+      .reduceOption((a, b) => if (a >= b) a else b)
+  }
+
   /** One load run. `fresh` builds the branch-union for a given offset
     * string (the INSERT…SELECT, ref :40-314); `cdcCol` is the CDC
     * timestamp column of the fact. */
@@ -72,41 +105,90 @@ object IncrementalLoad {
     val target = readIfExists(spark, params.targetPath)
 
     // offset scalar (ref :10-20): FULL_LOAD → minimum_date; delta →
-    // IFNULL(date_sub(MAX(cdc), lookback), minimum_date).
+    // IFNULL(date_sub(MAX(cdc), lookback), minimum_date). MAX(cdc) lives
+    // in the latest day partition by construction — scan only it.
     val offset: String =
       if (params.loadType == "FULL_LOAD" || target.isEmpty) params.minimumDate
       else {
+        val pruned = latestDay(spark, params.targetPath) match {
+          case Some(d) => target.get.filter(col(partCol) === lit(d))
+          case None => target.get
+        }
         // date_format renders in the UTC session zone with full micros, so
         // the string round-trips losslessly through the later cast.
-        val row = target.get.agg(date_format(
+        val row = pruned.agg(date_format(
           max(col(cdcCol)) - expr(s"INTERVAL ${params.deltaDayCount} DAYS"),
           "yyyy-MM-dd HH:mm:ss.SSSSSS")).first()
         if (row.isNullAt(0)) params.minimumDate else row.getString(0)
       }
+    val offsetTs = lit(offset).cast("timestamp")
+    val offsetDay = to_date(offsetTs)
 
     // TRUNCATE vs lookback DELETE (ref :29-34): strict `>` per §7.4.5.
+    // Both the deleted @@row_count (ref :37) and the kept survivors come
+    // from the lookback partitions alone (cdc_day >= date(offset) — every
+    // row with cdc > offset lives there); one pruned conditional aggregate
+    // replaces the former full-target count + kept count pair.
+    val fullLoad = params.loadType == "FULL_LOAD"
+    val lookback: Option[DataFrame] =
+      if (fullLoad) None
+      else target.map(_.filter(col(partCol) >= offsetDay))
+    val deleted: Long =
+      if (fullLoad) target.map(_.count()).getOrElse(0L)
+      else lookback.map(_.agg(
+          count(when(col(cdcCol) > offsetTs, 1)).as("d"))
+        .first().getLong(0)).getOrElse(0L)
     val kept: Option[DataFrame] =
-      if (params.loadType == "FULL_LOAD") None
-      else target.map(_.filter(col(cdcCol) <= lit(offset).cast("timestamp")))
-    val targetCount = target.map(_.count()).getOrElse(0L)
-    val keptCount = kept.map(_.count()).getOrElse(0L)
-    val deleted = targetCount - keptCount // @@row_count (ref :37)
+      lookback.map(_.filter(col(cdcCol) <= offsetTs).drop(partCol))
 
     // INSERT … SELECT (ref :40-314): branch union at `>=` offset.
     val freshDf = fresh(offset)
     val inserted = freshDf.count() // @@row_count (ref :317)
 
-    // staged write + atomic publish (ref :23-26, :321-328): write the next
-    // snapshot beside the target, then rename over it. The staging read of
-    // `kept` happens before the old snapshot is dropped.
-    val staging = params.targetPath + "__staging"
     val next = kept.map(_.unionByName(freshDf)).getOrElse(freshDf)
-    next.write.mode("overwrite").parquet(staging)
+      .withColumn(partCol, to_date(col(cdcCol)))
 
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val targetP = new Path(params.targetPath)
-    if (fs.exists(targetP)) fs.delete(targetP, true)
-    fs.rename(new Path(staging), targetP) // publish; staging gone (S8)
+    val staging = new Path(params.targetPath + "__staging")
+    if (fullLoad || target.isEmpty) {
+      // staged write + atomic publish (ref :23-26, :321-328): full
+      // snapshot beside the target, then rename over it.
+      next.write.partitionBy(partCol).mode("overwrite")
+        .parquet(staging.toString)
+      if (fs.exists(targetP)) fs.delete(targetP, true)
+      fs.rename(staging, targetP) // publish; staging gone (S8)
+    } else {
+      // Delta publish — partition-level staged swap: stage kept∪fresh
+      // (all rows have cdc_day >= date(offset)), drop the target's
+      // lookback partition directories (the DELETE scope — every row
+      // with cdc > offset lives there, ref :29-34), then move the staged
+      // partitions in. History partitions (< date(offset)) are never
+      // opened, matching the reference's cheap-clone intent (ref
+      // :22,319). Unlike dynamic partition overwrite, this also removes
+      // a lookback partition whose rows were all deleted with no fresh
+      // replacement.
+      next.write.partitionBy(partCol).mode("overwrite")
+        .parquet(staging.toString)
+      val offsetDayStr = offset.take(10) // yyyy-MM-dd sorts like dates
+      if (fs.exists(targetP)) fs.listStatus(targetP).foreach { st =>
+        val name = st.getPath.getName
+        // Only dated partitions are in the DELETE scope — the null
+        // partition (__HIVE_DEFAULT_PARTITION__) is kept, as NULL cdc
+        // never satisfies the reference's `cdc > offset` delete predicate.
+        if (name.matches(partCol + "=\\d{4}-\\d{2}-\\d{2}") &&
+            name.stripPrefix(partCol + "=") >= offsetDayStr)
+          fs.delete(st.getPath, true)
+      }
+      fs.listStatus(staging).foreach { st =>
+        if (st.getPath.getName.startsWith(partCol + "=")) {
+          val dest = new Path(targetP, st.getPath.getName)
+          if (fs.exists(dest)) fs.delete(dest, true)
+          fs.rename(st.getPath, dest)
+        }
+      }
+      fs.delete(staging, true) // DROP staging (S8)
+    }
 
     // audit append (ref :331-341).
     val auditRow = org.apache.spark.sql.Row(params.dagName, params.tableName,

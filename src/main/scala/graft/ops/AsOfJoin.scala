@@ -36,24 +36,35 @@ object AsOfJoin {
       leftTs: String, rightTs: String, valueCols: Seq[String],
       leftOrder: Seq[String] = Nil): DataFrame = {
     val lCols = left.columns.toSeq
+    // All as-of values travel in ONE struct so the carry-forward picks a
+    // single right row atomically — per-column last(ignoreNulls) would
+    // blend columns from different right rows whenever a later right row
+    // holds a NULL in one of the value columns.
+    val rowStruct = struct(valueCols.map(col): _*)
+    val nullStruct = {
+      val fields = org.apache.spark.sql.types.StructType(valueCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, right.schema(c).dataType,
+          nullable = true)))
+      lit(null).cast(fields)
+    }
     val l = left
       .withColumn("__ts", col(leftTs)).withColumn("__tag", lit(1))
       .select(Seq(col(key), col("__ts"), col("__tag")) ++
-        lCols.filterNot(_ == key).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lCols.filterNot(_ == key).map(col) :+ nullStruct.as("__vals"): _*)
     val r = right
       .withColumn("__ts", col(rightTs)).withColumn("__tag", lit(0))
       .select(Seq(col(key), col("__ts"), col("__tag")) ++
         lCols.filterNot(_ == key)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rowStruct.as("__vals"): _*)
     val order: Seq[Column] =
       Seq(col("__ts").asc, col("__tag").asc) ++ leftOrder.map(col(_).asc)
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__ts", "__tag")
+    val carried = l.unionByName(r)
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+    carried.filter(col("__tag") === 1)
+      .select((lCols.map(col) ++
+        valueCols.map(c => col("__vals").getField(c).as(c))): _*)
   }
 }

@@ -35,60 +35,104 @@ object Dedup {
   val simhashBits: Int = 32
 
   /** Word n-gram shingles as one exploded (doc_id, shingle) relation.
-    * Documents shorter than n tokens produce no shingles (both engines). */
+    * Documents shorter than n tokens produce no shingles (both engines).
+    * The token split is STAGED into its own projection so the shingle
+    * lambda reads a bound array column — inlined, the regexp split would
+    * re-run once per shingle (O(tokens²) per doc) in the interpreted
+    * higher-order-function path. */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array())
-    docs.select(col("doc_id"),
+    val tokenized = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val idx = when(size(col("toks")) >= n,
+      sequence(lit(1), size(col("toks")) - (n - 1))).otherwise(array())
+    tokenized.select(col("doc_id"),
       explode(transform(idx, i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*)))
         .as("shingle"))
   }
 
   /** shingle → position on the hash ring: hash60 mod P. */
   def ringHash(c: Column): Column = TextAnalysis.hash60(c) % P
 
-  /** 8-column minhash signature per doc: min((a·h + c) mod P) per k.
-    * One shuffle (partial min map-side). */
-  def minhashSignature(sh: DataFrame): DataFrame = {
-    val h = ringHash(col("shingle"))
-    sh.groupBy(col("doc_id")).agg(
+  /** (doc_id, h) hashed-shingle relation: every downstream dedup
+    * operator works over the 2×bigint form, never the shingle string —
+    * the inverted-index self-join and the signature aggregation then
+    * shuffle 16-byte rows instead of multi-word strings, and the md5 is
+    * computed exactly once per shingle occurrence. */
+  def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    shingles(docs, n).select(col("doc_id"), ringHash(col("shingle")).as("h"))
+
+  /** Drop hashed shingles whose document frequency exceeds `maxDf` — the
+    * standard hot-shingle (boilerplate) skew mitigation before any
+    * shingle-keyed self-join: a shingle in d docs fans a candidate join
+    * out to d² pairs, so one boilerplate phrase across the corpus turns
+    * the join quadratic. The hot list is tiny by construction (only
+    * shingles above the cap), so the filter is a broadcast anti-join —
+    * the big relation never shuffles. Callers persist the input relation
+    * so the DF pre-pass and the capped reuse share one materialization.
+    * No-op at `maxDf = Long.MaxValue`. */
+  def capHashed(hs: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) hs
+    else {
+      val hot = hs.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > maxDf).select(col("h"))
+      hs.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+
+  /** 8-column minhash signature per doc over the hashed-shingle
+    * relation: min((a·h + c) mod P) per k. One shuffle (partial min
+    * map-side). Signatures are invariant to duplicate (doc, shingle)
+    * occurrences, so distinct and raw inputs give identical results. */
+  def minhashSignature(hs: DataFrame): DataFrame =
+    hs.groupBy(col("doc_id")).agg(
       minhashParams.head match { case (a, c) =>
-        min((h * a + c) % P).as("mh0")
+        min((col("h") * a + c) % P).as("mh0")
       },
       minhashParams.tail.zipWithIndex.map { case ((a, c), i) =>
-        min((h * a + c) % P).as(s"mh${i + 1}")
+        min((col("h") * a + c) % P).as(s"mh${i + 1}")
       }: _*)
-  }
 
-  /** signature → (doc_id, band, band_hash) rows for the LSH bucket join:
-    * band j hashes signature rows 2j, 2j+1. */
+  /** signature → (doc_id, band_hash) rows for the LSH bucket join: band
+    * j hashes signature rows 2j, 2j+1 WITH the band id folded into the
+    * hash, so the bucket join needs a single bigint key instead of an
+    * (int, 32-char md5 string) composite — less shuffle volume, simpler
+    * hashing. */
   def lshBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), explode(array(
       (0 until bandsOf).map { j =>
-        struct(lit(j).as("band"),
-          md5(concat(col(s"mh${2 * j}").cast("string"), lit("_"),
-            col(s"mh${2 * j + 1}").cast("string"))).as("bh"))
-      }: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
+        (TextAnalysis.hash60(concat(
+          lit(j.toString), lit("_"),
+          col(s"mh${2 * j}").cast("string"), lit("_"),
+          col(s"mh${2 * j + 1}").cast("string"))))
+      }: _*)).as("bh"))
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
-    * The band relation feeds BOTH sides of the self-join; without
+    * The signature relation feeds BOTH sides of the self-join; without
     * materialization Spark re-runs the whole shingle→md5→signature
     * pipeline per side (no ReusedExchange across a broadcast/shuffle
     * split), so persist it — at scale this is the standard
-    * persist-before-LSH-self-join pattern (MEMORY_AND_DISK spills). */
-  def minhashCandidates(docs: DataFrame, shingleN: Int): DataFrame = {
-    val bands = lshBands(minhashSignature(shingles(docs, shingleN)))
+    * persist-before-LSH-self-join pattern (MEMORY_AND_DISK spills).
+    * Persisting the one-row-per-doc signatures (8 longs) rather than the
+    * 4×-exploded band rows keeps the cached footprint minimal; the band
+    * explode is recomputed per side map-side, which is cheap. The final
+    * pair dedup is a groupBy (same shuffle as distinct, clearer intent). */
+  def minhashCandidates(docs: DataFrame, shingleN: Int,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val hs0 = hashedShingles(docs, shingleN)
+    val hs =
+      if (maxDf == Long.MaxValue) hs0
+      else capHashed(
+        hs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        maxDf) // DF pre-pass and signature agg share one materialization
+    val sigs = minhashSignature(hs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val a = lshBands(sigs).as("a")
+    val b = lshBands(sigs).as("b")
     a.join(b,
-      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(lit(1)).select(col("doc_a"), col("doc_b"))
   }
 
   /** 32-bit SimHash per doc from token hashes: per bit, sum ±1 over
@@ -119,18 +163,25 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** n-gram Jaccard over the shingle inverted index: the shingle
-    * equi-join IS the candidate generation (docs sharing no shingle never
-    * pair); intersection counts group by pair; sizes join back. */
-  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    // persisted: feeds the self-join twice plus the per-doc sizes —
-    // three full recomputes of the shingle pipeline otherwise
-    val sh = shingles(docs, n).distinct()
+  /** n-gram Jaccard over the hashed-shingle inverted index: the
+    * equi-join on the shingle hash IS the candidate generation (docs
+    * sharing no shingle never pair); intersection counts group by pair;
+    * sizes join back. `maxDf` caps hot-shingle fan-out (see
+    * [[capHashed]]) — sizes are computed AFTER the cap, so the Jaccard
+    * is over the capped shingle sets (capped-DF semantics, mirrored
+    * exactly by the oracle). */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    // persisted ONCE, pre-cap: feeds the DF pre-pass, both self-join
+    // sides, and the per-doc sizes — the string→hash shingle pipeline
+    // runs exactly once; everything after is 2×bigint rows
+    val hs = hashedShingles(docs, n).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = capHashed(hs, maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))

@@ -21,11 +21,14 @@ object Functions {
 
   /** The reference's null-tolerant join predicate idiom
     * `CASE WHEN x IS NULL THEN 1 WHEN x = y THEN 1 ELSE 0 END = 1`
-    * (ref sql:106-109) — exactly `coalesce(x === y, true)`. Catalyst's
-    * BooleanSimplification keeps the surrounding equi-conjuncts as hash
-    * join keys and plans this as a residual filter (SURVEY §4). */
+    * (ref sql:106-109) — i.e. x IS NULL OR x = y. Note this is NOT
+    * `coalesce(x === y, true)`: when x is non-null and y is NULL the
+    * reference yields FALSE (falls through to ELSE 0), whereas the
+    * coalesce form would yield TRUE. Catalyst's BooleanSimplification
+    * keeps the surrounding equi-conjuncts as hash join keys and plans
+    * this as a residual filter (SURVEY §4). */
   def nullTolerantEq(x: Column, y: Column): Column =
-    coalesce(x === y, lit(true))
+    x.isNull || (x === y)
 
   /** BigQuery double REGEXP_REPLACE normalization used by the
     * dim_item_status join key (ref sql:260-262): strip digits, then

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * (the Scala-native analog of `mapInPandas` — a typed Dataset
   * `mapPartitions` with explicit batch shape).
   *
-  * The DECODE STEP IS A STUB: real image/audio codecs aren't in this
-  * environment, so [[stubDecode]] derives deterministic fake features
-  * (byte length, md5 digest, fake dimensions, token-stride frame sample).
-  * Everything around it — binary schema, partition sizing, batch
-  * iteration, typed output encoding — is the real production shape: swap
-  * `stubDecode` for a JNI/codec call and nothing else changes.
+  * The image path DECODES FOR REAL: [[decodeImage]] is pure-JVM
+  * `javax.imageio` (PNG/BMP/GIF readers ship in every JRE), so an
+  * `image`-kind row whose payload is an actual image gets its TRUE
+  * width/height. Audio/video codecs aren't in this environment, so those
+  * kinds — and image payloads ImageIO can't parse — fall back to
+  * [[stubDecode]]'s deterministic fakes (byte length, md5 digest, fake
+  * dimensions, token-stride frame sample). Everything around the codec —
+  * binary schema, partition sizing, batch iteration, typed output
+  * encoding — is the real production shape: swap the remaining stub kinds
+  * for a JNI/codec call and nothing else changes.
   *
   * Scale: media rows are large (MBs); `repartitionForMedia` targets a
   * bounded per-partition byte budget so executors never hold more than
@@ -62,11 +66,38 @@ object Multimodal {
       m.n_bytes % 640, m.n_bytes % 480, sample)
   }
 
+  /** REAL image decode — pure-JVM `javax.imageio` (PNG/BMP/GIF/JPEG
+    * readers are part of the JRE; no native libs). None when the payload
+    * isn't a parseable image, so callers can fall back to the stub.
+    * ImageIO instantiation is per-call-site cheap (reader registry is
+    * JVM-static), matching the batched-decode contract. */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int)] = {
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+        .map(img => (img.getWidth, img.getHeight))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** One decode batch: image kinds through the real codec (true
+    * width/height; frame_sample carries the true dims), everything
+    * else — and unparseable image payloads — through the stub. */
+  def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val fallback = stubDecode(Seq(m)).head
+      if (m.kind != "image") fallback
+      else decodeImage(m.content) match {
+        case Some((w, h)) =>
+          fallback.copy(width = w, height = h, frame_sample = s"${w}x$h")
+        case None => fallback
+      }
+    }
+
   /** decode pipeline: typed batched mapPartitions over the media rows. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(
-      _.grouped(batchSize).flatMap(b => stubDecode(b.toSeq)))
+      _.grouped(batchSize).flatMap(b => decode(b.toSeq)))
   }
 
   /** RESIZE STUB — deterministic fake of a bilinear downscale: the

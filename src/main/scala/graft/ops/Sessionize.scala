@@ -51,33 +51,55 @@ object Sessionize {
       value_cents: Long)
 
   /** Streaming sessionizer: emits a session when the gap passes or the
-    * group times out. Events within a micro-batch are sorted by
-    * (ts, event_id) — same total order as the batch window. */
-  def streamingSessions(spark: SparkSession, events: Dataset[Ev])
+    * group times out (processing-time timeout, default = one session gap,
+    * so a user's final session is flushed once no events arrive for 30
+    * min of wall clock — without it, continuous streams would never emit
+    * the last session per user). Events within a micro-batch are sorted
+    * by (ts, event_id) — same total order as the batch window.
+    *
+    * `timeoutMs = None` disables the timeout (open sessions then only
+    * recoverable via [[openSessions]]). Required for test drivers built
+    * on `processAllAvailable`: a registered processing-time timeout makes
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` always true, so
+    * the engine's no-data batch loop never quiesces and
+    * `processAllAvailable` never returns. */
+  def streamingSessions(spark: SparkSession, events: Dataset[Ev],
+      timeoutMs: Option[Long] = Some(gapMicros / 1000))
       : Dataset[Session] = {
     import spark.implicits._
+    val conf = if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, conf) {
         (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          var sessions = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer[Session]()
-          evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-            val cents = math.round(e.value * 100)
-            sessions match {
-              case cur :: rest if e.ts - cur.last <= gapMicros =>
-                sessions = cur.copy(last = e.ts, n = cur.n + 1,
-                  cents = cur.cents + cents) :: rest
-              case cur :: rest =>
-                out += Session(user, cur.idx, cur.start, cur.last, cur.n,
-                  cur.cents) // gap passed — close it
-                sessions = SessionState(e.ts, e.ts, 1, cents, cur.idx + 1) :: rest
-              case Nil =>
-                sessions = SessionState(e.ts, e.ts, 1, cents, 1) :: Nil
+          if (state.hasTimedOut) {
+            // No events for a full timeout of wall clock: close everything.
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            open.reverseIterator.map(s =>
+              Session(user, s.idx, s.start, s.last, s.n, s.cents))
+          } else {
+            var sessions = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer[Session]()
+            evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+              val cents = math.round(e.value * 100)
+              sessions match {
+                case cur :: rest if e.ts - cur.last <= gapMicros =>
+                  sessions = cur.copy(last = e.ts, n = cur.n + 1,
+                    cents = cur.cents + cents) :: rest
+                case cur :: rest =>
+                  out += Session(user, cur.idx, cur.start, cur.last, cur.n,
+                    cur.cents) // gap passed — close it
+                  sessions = SessionState(e.ts, e.ts, 1, cents, cur.idx + 1) :: rest
+                case Nil =>
+                  sessions = SessionState(e.ts, e.ts, 1, cents, 1) :: Nil
+              }
             }
+            state.update(sessions)
+            timeoutMs.foreach(state.setTimeoutDuration) // default 30 min
+            out.iterator
           }
-          state.update(sessions)
-          out.iterator
       }
   }
 

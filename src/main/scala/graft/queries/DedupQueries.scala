@@ -66,10 +66,27 @@ object DedupQueries {
     case ((a, c), k) => s"min((h * $a + $c) % $P) AS mh$k"
   }.mkString(",\n    ")
 
+  /** Hot-shingle document-frequency cap shared by q19/q21 (mirrors
+    * `Dedup.capHashed`): no shingle may index more than this many
+    * docs before the candidate self-join. High enough to be a no-op on
+    * the synthetic corpora; the skew guard is proven by DedupSpec. */
+  val shingleMaxDf = 100L
+
+  /** DF-cap CTE: `from` = a (doc_id, h) hashed-shingle relation name;
+    * emits `capped` with hot shingle hashes removed. */
+  private def capSql(from: String): String =
+    s"""hotsh AS (SELECT h FROM (
+       |  SELECT h, count(DISTINCT doc_id) AS df FROM $from GROUP BY 1)
+       |  WHERE df > $shingleMaxDf),
+       |capped AS (SELECT s.doc_id, s.h FROM $from s
+       |           WHERE s.h NOT IN (SELECT h FROM hotsh))""".stripMargin
+
+  // single-line SELECTs: this fragment passes through the enclosing
+  // query's stripMargin too, which would eat a leading `||` continuation
   private val bandsSql = (0 until bandsOf).map { j =>
-    s"""SELECT doc_id, $j AS band,
-       |  md5(CAST(mh${2 * j} AS VARCHAR) || '_' || CAST(mh${2 * j + 1} AS VARCHAR)) AS bh
-       |FROM sigs""".stripMargin
+    s"SELECT doc_id, CAST(('0x' || substr(md5('${j}_' || " +
+      s"CAST(mh${2 * j} AS VARCHAR) || '_' || " +
+      s"CAST(mh${2 * j + 1} AS VARCHAR)), 1, 15)) AS BIGINT) AS bh FROM sigs"
   }.mkString("\nUNION ALL\n")
 
   /** q18 — exact dedup groups by content fingerprint (argmin-groupBy). */
@@ -85,17 +102,18 @@ object DedupQueries {
   /** q19 — MinHash+LSH candidate pairs (shingle → 8-sig → 4 bands →
     * bucket join). */
   val q19 = Q("q19_dedup_minhash_lsh",
-    (s, d) => Dedup.minhashCandidates(docsNear(s, d), 3),
+    (s, d) => Dedup.minhashCandidates(docsNear(s, d), 3, shingleMaxDf),
     Some(
       s"""WITH ${shinglesSql(docsNearSql)},
-         |hashed AS (SELECT doc_id, ${ringHashSql("shingle")} AS h FROM shingles),
+         |hashed0 AS (SELECT doc_id, ${ringHashSql("shingle")} AS h FROM shingles),
+         |${capSql("hashed0")},
          |sigs AS (SELECT doc_id,
          |    $sigColsSql
-         |  FROM hashed GROUP BY doc_id),
+         |  FROM capped GROUP BY doc_id),
          |bands AS ($bandsSql)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin))
+         |  ON a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin))
 
   /** q20 — 32-bit SimHash fingerprints. */
   val q20 = {
@@ -122,13 +140,16 @@ object DedupQueries {
 
   /** q21 — n-gram Jaccard pairs over the shingle inverted index. */
   val q21 = Q("q21_dedup_ngram_jaccard",
-    (s, d) => Dedup.jaccardPairs(docsNear(s, d), 3, 0.2),
+    (s, d) => Dedup.jaccardPairs(docsNear(s, d), 3, 0.2, shingleMaxDf),
     Some(
       s"""WITH ${shinglesSql(docsNearSql)},
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |sh_raw AS (SELECT DISTINCT doc_id, ${ringHashSql("shingle")} AS h
+         |           FROM shingles),
+         |${capSql("sh_raw")},
+         |sh AS (SELECT doc_id, h FROM capped),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |          FROM sh a JOIN sh b ON a.h = b.h
          |            AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT doc_a, doc_b, inter,

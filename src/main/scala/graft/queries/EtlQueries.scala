@@ -241,11 +241,15 @@ object EtlQueries {
       (s, d) => {
         val sup = graft.tables.Catalog.supplier(s, d)
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        // New-key shift derived from the data (max key × 10) so synthetic
+        // inserts never collide with real keys at any scale factor — a
+        // fixed +1000 collides once the table exceeds 1000 rows.
+        val shift = sup.agg(max(col("s_suppkey"))).first().getLong(0) * 10
         val b2 = sup.select(col("s_suppkey"), col("s_name"),
           when(col("s_suppkey") % 3 === 0, col("s_acctbal") + 100.0)
             .otherwise(col("s_acctbal")).as("s_acctbal"))
           .unionAll(sup.filter(col("s_suppkey") % 5 === 0)
-            .select((col("s_suppkey") + 1000).as("s_suppkey"), col("s_name"),
+            .select((col("s_suppkey") + shift).as("s_suppkey"), col("s_name"),
               (col("s_acctbal") * 2).as("s_acctbal")))
         val v1 = graft.etl.Scd2.applyBatch(None, sup,
           Seq("s_suppkey"), Seq("s_name", "s_acctbal"), t1)
@@ -266,7 +270,8 @@ object EtlQueries {
            |       NULL, true
            |FROM s WHERE s_suppkey % 3 = 0
            |UNION ALL
-           |SELECT s_suppkey + 1000, s_name, s_acctbal * 2, TIMESTAMP '$t2',
+           |SELECT s_suppkey + (SELECT max(s_suppkey) * 10 FROM s),
+           |       s_name, s_acctbal * 2, TIMESTAMP '$t2',
            |       NULL, true
            |FROM s WHERE s_suppkey % 5 = 0""".stripMargin))
   }

@@ -53,7 +53,7 @@ object LoadQueries {
       eventsFact(spark, dir, Some(t1Cut)), "cdc_ts")
     IncrementalLoad.run(spark, p.copy(loadType = "DELTA"),
       eventsFact(spark, dir, None), "cdc_ts")
-    (spark.read.parquet(s"$base/fact_events"),
+    (IncrementalLoad.readTarget(spark, s"$base/fact_events"),
       spark.read.parquet(s"$base/audit"))
   }
 

@@ -241,11 +241,18 @@ object SimilarityQueries {
     * IEEE-identical across engines. */
   val q58 = Q("q58_embedding_normalize",
     (s, d) => {
-      val iv = Similarity.intVec(col("embedding"))
-      val l2 = sqrt(Similarity.norm2(iv).cast("double"))
-      Catalog.embeddings(s, d)
-        .select(col("vec_id"), (l2 / 1e6).as("l2_norm"),
-          posexplode(transform(iv, x => x.cast("double") / l2)))
+      // staged projections: `iv` then `l2` become bound attributes, so
+      // the explode lambda divides by a column value — inlining them
+      // would re-evaluate the whole norm aggregate (and the scaling
+      // transform under it) once PER ELEMENT in the interpreted
+      // higher-order-function path: O(dim²) per row, ~40× slower here
+      val staged = Catalog.embeddings(s, d)
+        .select(col("vec_id"), Similarity.intVec(col("embedding")).as("iv"))
+        .select(col("vec_id"), col("iv"),
+          sqrt(Similarity.norm2(col("iv")).cast("double")).as("l2"))
+      staged
+        .select(col("vec_id"), (col("l2") / 1e6).as("l2_norm"),
+          posexplode(transform(col("iv"), x => x.cast("double") / col("l2"))))
         .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("p"),
           col("col").as("unit_val"), col("l2_norm"))
     },
@@ -260,5 +267,48 @@ object SimilarityQueries {
          |       l2 / 1000000.0 AS l2_norm
          |FROM n, (SELECT unnest(generate_series(1, 64)) AS p) pos""".stripMargin))
 
-  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58)
+  /** q60 — trainable IVF coarse quantizer: 2 deterministic Lloyd k-means
+    * passes (seeds = first k vec_ids, exact integer distances, round-mean
+    * centroid update — [[graft.ops.KMeans]]) replacing q24's `label`
+    * stand-in cells. Output is the full final assignment (vec_id, cid,
+    * d2): hash-green means both passes — distances, argmin tie-breaks and
+    * the centroid update — are bit-identical to the oracle running the
+    * same iterations. */
+  val q60 = {
+    val k = 8
+    Q("q60_ivf_kmeans",
+      (s, d) => {
+        val dims = intVecs(s, d)
+          .select(col("vec_id"), posexplode(col("iv")))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+        graft.ops.KMeans.assign(dims, k, iters = 2)
+      },
+      Some(
+        s"""WITH iv AS ($intVecsSql),
+           |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+           |dims AS (SELECT vec_id, p, iv[p] AS x FROM iv, pos),
+           |seeds AS (SELECT vec_id AS cid, p, x AS c FROM dims
+           |          WHERE vec_id < $k),
+           |dist1 AS (SELECT d.vec_id, s.cid,
+           |            sum((d.x - s.c) * (d.x - s.c)) AS d2
+           |          FROM dims d JOIN seeds s USING (p) GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY d2, cid) AS rn
+           |         FROM dist1) WHERE rn = 1),
+           |c1 AS (SELECT a.cid, d.p,
+           |         CAST(round(CAST(sum(d.x) AS DOUBLE) / count(*)) AS BIGINT)
+           |           AS c
+           |       FROM dims d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+           |dist2 AS (SELECT d.vec_id, c.cid,
+           |            sum((d.x - c.c) * (d.x - c.c)) AS d2
+           |          FROM dims d JOIN c1 c USING (p) GROUP BY 1, 2)
+           |SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM (
+           |  SELECT vec_id, cid, d2,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |  FROM dist2) WHERE rn = 1""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60)
 }

@@ -73,8 +73,8 @@ class IncrementalLoadSpec extends SparkSuite {
     IncrementalLoad.run(spark, params("FULL_LOAD", "b"),
       fact(Some("2024-01-15")), "cdc_ts")
     IncrementalLoad.run(spark, params("DELTA", "b"), fact(None), "cdc_ts")
-    assertSameRows(spark.read.parquet(s"$base/a"),
-      spark.read.parquet(s"$base/b"))
+    assertSameRows(IncrementalLoad.readTarget(spark, s"$base/a"),
+      IncrementalLoad.readTarget(spark, s"$base/b"))
   }
 
   test("A4 audit counts equal actual row deltas; comparators are §7.4.5") {
@@ -82,9 +82,9 @@ class IncrementalLoadSpec extends SparkSuite {
     val r1 = IncrementalLoad.run(spark, params("FULL_LOAD", "c"),
       fact(Some("2024-01-15")), "cdc_ts")
     assert(r1.deleted == 0)
-    assert(r1.inserted == spark.read.parquet(s"$base/c").count())
+    assert(r1.inserted == IncrementalLoad.readTarget(spark, s"$base/c").count())
     // materialize before the delta swaps the files out from under the path
-    val beforeTs = spark.read.parquet(s"$base/c")
+    val beforeTs = IncrementalLoad.readTarget(spark, s"$base/c")
       .select(col("cdc_ts").cast("string")).collect().map(_.getString(0))
     val r2 = IncrementalLoad.run(spark, params("DELTA", "c"), fact(None), "cdc_ts")
     // strict `>` delete: offset boundary rows stay
@@ -106,7 +106,7 @@ class IncrementalLoadSpec extends SparkSuite {
     val p = params("FULL_LOAD", "fact").copy(deltaDayCount = 2,
       minimumDate = "1990-01-01")
     IncrementalLoad.run(spark, p, fresh, "cdc_timestamp_gcp")
-    val full = spark.read.parquet(s"$base/fact")
+    val full = IncrementalLoad.readTarget(spark, s"$base/fact")
     val afterFull = full.collect().map(_.toString).sorted.toSeq
     assert(afterFull.nonEmpty)
     // delta replay of the same source: delete is STRICT >, insert is >=
@@ -123,7 +123,7 @@ class IncrementalLoadSpec extends SparkSuite {
     val r = IncrementalLoad.run(spark, p.copy(loadType = "DELTA"),
       fresh, "cdc_timestamp_gcp")
     assert(r.deleted > 0 && r.inserted >= r.deleted)
-    val afterDelta = spark.read.parquet(s"$base/fact").collect()
+    val afterDelta = IncrementalLoad.readTarget(spark, s"$base/fact").collect()
       .map(_.toString).sorted.toSeq
     assert(afterDelta == (afterFull ++ boundary).sorted)
   }
@@ -133,5 +133,37 @@ class IncrementalLoadSpec extends SparkSuite {
     val r = IncrementalLoad.run(spark, params("DELTA", "d"),
       fact(Some("2024-01-05")), "cdc_ts")
     assert(r.offset == "2024-01-01")
+  }
+
+  test("S5 at scale: a delta run rewrites ONLY lookback partitions") {
+    wipe()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tgt = new org.apache.hadoop.fs.Path(s"$base/e")
+    IncrementalLoad.run(spark, params("FULL_LOAD", "e"), fact(None), "cdc_ts")
+    // (partition dir name, file name, mtime) fingerprint of the target
+    def files(): Map[String, Seq[(String, Long)]] =
+      fs.listStatus(tgt).filter(_.getPath.getName.startsWith("cdc_day="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sorted
+        }.toMap
+    val before = files()
+    assert(before.size > 1, "target must be date-partitioned")
+    val r = IncrementalLoad.run(spark, params("DELTA", "e"), fact(None), "cdc_ts")
+    val after = files()
+    val offsetDay = r.offset.take(10)
+    val (hist, look) = before.keys.partition(
+      _.stripPrefix("cdc_day=") < offsetDay)
+    assert(hist.nonEmpty && look.nonEmpty) // both regimes exercised
+    // history partitions: identical files, never rewritten
+    hist.foreach(d => assert(after(d) == before(d),
+      s"history partition $d was rewritten by a delta run"))
+    // lookback partitions: fully rewritten (no stale file survives)
+    look.foreach(d => assert(
+      after(d).map(_._1).intersect(before(d).map(_._1)).isEmpty ||
+        after(d) != before(d),
+      s"lookback partition $d was not rewritten"))
   }
 }

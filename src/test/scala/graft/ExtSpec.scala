@@ -60,7 +60,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("minhash: identical docs share full signature, near docs share bands") {
-    val sigs = Dedup.minhashSignature(Dedup.shingles(docs, 3))
+    val sigs = Dedup.minhashSignature(Dedup.hashedShingles(docs, 3))
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(sigs(1L) == sigs(4L)) // identical text → identical signature
     val cands = Dedup.minhashCandidates(docs, 3)
@@ -84,6 +84,26 @@ class DedupSpec extends SparkSuite {
     assert(p((1L, 4L)) == 1.0)
     assert(!p.keySet.exists(k => k._1 == 3L || k._2 == 3L))
   }
+
+  test("hot-shingle DF cap stops boilerplate fan-out (skew guard)") {
+    // 20 otherwise-disjoint docs sharing one boilerplate sentence: the
+    // uncapped inverted index fans the boilerplate shingles into all
+    // C(20,2)=190 pairs; with maxDf < 20 the boilerplate is dropped and
+    // no pair survives.
+    val boiler = "all rights reserved by the graft corpus"
+    val bdocs = (1L to 20L).map(i =>
+      (i, s"$boiler unique$i distinct$i tokens$i only$i here$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(bdocs, 3, 0.1).count()
+    assert(uncapped == 190L, "boilerplate must fan out uncapped")
+    assert(Dedup.jaccardPairs(bdocs, 3, 0.1, maxDf = 10).count() == 0L)
+    // same guard on the minhash path: capped signatures come only from
+    // each doc's unique tail, so no two docs share a band bucket
+    assert(Dedup.minhashCandidates(bdocs, 3, maxDf = 10).count() == 0L)
+    // and the cap is a no-op when nothing is hot
+    assert(Dedup.jaccardPairs(docs, 3, 0.2, maxDf = 10).count() ==
+      Dedup.jaccardPairs(docs, 3, 0.2).count())
+  }
 }
 
 class AsOfJoinSpec extends SparkSuite {
@@ -102,6 +122,20 @@ class AsOfJoinSpec extends SparkSuite {
       (1L, 11L, Some(7L)), // carried forward (no newer right yet)
       (1L, 12L, Some(9L)), // newer right row at 210 <= 250 wins
       (2L, 20L, None)))    // no right rows for key 2
+  }
+
+  test("as-of picks ONE right row: a NULL value column is not blended") {
+    // latest right row (ts 200) has v2 = NULL; true ASOF semantics carry
+    // that NULL, never an older row's v2 — per-column carry-forward
+    // would wrongly blend v1 from ts 200 with v2 from ts 100.
+    val left = Seq((1L, 1L, 300L)).toDF("k", "id", "ts")
+    val right = Seq((1L, 100L, Some(10L), Some(20L)),
+      (1L, 200L, Some(11L), None))
+      .toDF("k", "rts", "v1", "v2")
+    val out = graft.ops.AsOfJoin(left, right, "k", "ts", "rts",
+      Seq("v1", "v2"), Seq("id"))
+      .select("v1", "v2").as[(Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq((Some(11L), None)))
   }
 }
 
@@ -147,6 +181,32 @@ class MultimodalSpec extends SparkSuite {
     // stages compose: decode runs on the resized payloads
     val feats = Multimodal.decodeFeatures(spark, resized.toDF())
     assert(feats.count() == media.count())
+  }
+
+  test("image kind decodes REAL payloads: true width/height via ImageIO") {
+    import SparkSpec.spark.implicits._
+    // genuine in-memory PNG and BMP payloads with known dimensions
+    def img(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        bi.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, fmt, bos)
+      bos.toByteArray
+    }
+    val png = img(37, 23, "png"); val bmp = img(5, 9, "bmp")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, png.length.toLong),
+      Multimodal.MediaRow(2L, "image", bmp, bmp.length.toLong),
+      // audio kind with an image payload still goes through the stub
+      Multimodal.MediaRow(3L, "audio", png, png.length.toLong)).toDS()
+    val f = Multimodal.decodeFeatures(spark, media.toDF())
+      .collect().map(r => r.media_id -> r).toMap
+    assert(f(1L).width == 37 && f(1L).height == 23)
+    assert(f(1L).frame_sample == "37x23")
+    assert(f(2L).width == 5 && f(2L).height == 9)
+    assert(f(3L).width == png.length % 640) // stub path for non-image
   }
 
   test("repartitionForMedia bounds partition payload") {

@@ -120,9 +120,9 @@ class PropertySpec extends SparkSuite {
         val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
           .toDF("doc_id", "text")
         val doubled = docs.unionAll(docs)
-        val s1 = Dedup.minhashSignature(Dedup.shingles(docs, 3))
+        val s1 = Dedup.minhashSignature(Dedup.hashedShingles(docs, 3))
           .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
-        val s2 = Dedup.minhashSignature(Dedup.shingles(doubled, 3))
+        val s2 = Dedup.minhashSignature(Dedup.hashedShingles(doubled, 3))
           .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
         s1 == s2
     })

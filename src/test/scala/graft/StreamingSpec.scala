@@ -22,7 +22,10 @@ class StreamingSessionizeSpec extends SparkSuite {
   test("flatMapGroupsWithState sessionizer matches the batch formulation") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Ev]
-    val q = Sessionize.streamingSessions(spark, input.toDS())
+    // timeoutMs = None: processAllAvailable-driven test (a pending
+    // processing-time timeout would keep the no-data batch loop running
+    // forever — see streamingSessions doc); sentinels flush instead.
+    val q = Sessionize.streamingSessions(spark, input.toDS(), timeoutMs = None)
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("append").start()
     try {
@@ -49,6 +52,32 @@ class StreamingSessionizeSpec extends SparkSuite {
 
     assert(streamed == batched)
     assert(streamed.size == 3) // 2 sessions for user 1, 1 for user 2
+  }
+
+  test("processing-time timeout flushes a user's final session") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // Short real timeout: after ~300ms with no input, hasTimedOut fires
+    // and the open sessions are emitted without any sentinel event. The
+    // registered timeout keeps the engine running no-data batches, which
+    // is exactly what advances processing time past the deadline.
+    val q = Sessionize.streamingSessions(spark, input.toDS(),
+        timeoutMs = Some(300L))
+      .writeStream.format("memory").queryName("sess_timeout_out")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1)
+      val deadline = System.currentTimeMillis() + 30000
+      def flushed(): Long = spark.table("sess_timeout_out").count()
+      while (flushed() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val rows = spark.table("sess_timeout_out")
+        .select(col("user_id"), col("n_events"), col("value_cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // user 1's open session (2 events, 350c) and user 2's (1 event,
+      // 400c) both close by timeout, not by gap
+      assert(rows == Set((1L, 2L, 350L), (2L, 1L, 400L)))
+    } finally q.stop()
   }
 
   test("windowed aggregation with watermark emits exactly the closed windows") {
