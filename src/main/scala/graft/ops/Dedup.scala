@@ -194,4 +194,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
+
+  /** Connected components over near-dup candidate pairs — the cluster
+    * resolution step that turns pairwise candidates into keep/drop
+    * groups (component representative = min doc_id, the canonical
+    * survivor). Pregel-style min-label propagation: each round every
+    * vertex takes the min of its own label and its neighbors' labels;
+    * fixpoint = per-component minimum. Deterministic — no RNG, no
+    * order dependence (min is commutative).
+    *
+    * Scale shape (100 TB): rounds needed = max cluster DIAMETER (small
+    * for near-dup graphs — dup clusters are dense), not cluster count.
+    * Each round is one equi-join of the symmetric edge list against the
+    * label relation plus a grouped min — shuffle on vertex id both
+    * times, so a co-partitioned edge list reuses its exchange across
+    * rounds (`sym` is persisted once). Labels are persisted per round
+    * (previous round unpersisted) and convergence is detected by the
+    * monotone label sum — labels only ever decrease, so an unchanged
+    * sum means an unchanged relation: one tiny aggregate per round, no
+    * change-join. Driver holds one Long per round, never row data. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("doc_a").as("v"), col("doc_b").as("n"))
+      .unionAll(edges.select(col("doc_b").as("v"), col("doc_a").as("n")))
+      .persist(MEMORY_AND_DISK)
+    var labels = vertices.select(col("doc_id").as("v"),
+      col("doc_id").as("rep")).persist(MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum(col("rep"))).first().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nmin = sym.join(labels.select(col("v").as("n"),
+          col("rep").as("nrep")), "n")
+        .groupBy(col("v")).agg(min(col("nrep")).as("nrep"))
+      val next = labels.join(nmin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist(MEMORY_AND_DISK)
+      val s = next.agg(sum(col("rep"))).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("v").as("doc_id"), col("rep"))
+  }
 }

@@ -113,4 +113,23 @@ object TextAnalysis {
 
   def hash60Composable(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+
+  /** PII-redaction patterns — deliberately alternation-free and
+    * anchor-free so Java regex (Spark) and RE2 (DuckDB) match
+    * identically: plain character classes + greedy quantifiers only.
+    * Order matters: URLs first (their paths may embed digit runs),
+    * then emails, then standalone long digit runs (phone-ish). */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumRe = "[0-9]{7,}"
+
+  /** Scrub URLs / emails / long digit runs to typed placeholders — the
+    * standard pre-training text-cleaning pass. Pure codegen'd
+    * regexp_replace chain, map-side, no UDFs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      longNumRe, "<NUM>")
 }

@@ -200,5 +200,99 @@ object DedupQueries {
          |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.99""".stripMargin))
 
-  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22)
+  /** q61 — near-dup CLUSTER RESOLUTION: connected components over the
+    * q19 LSH candidate pairs (min-label propagation,
+    * [[Dedup.connectedComponents]]), emitting every doc with its
+    * component representative (= min doc_id — the canonical survivor;
+    * singletons are their own rep). The oracle computes true
+    * reachability with a recursive CTE, so hash-green proves the
+    * iterative propagation converged to the exact transitive closure. */
+  val q61 = Q("q61_dedup_components",
+    (s, d) => {
+      val docs = docsNear(s, d)
+      val pairs = Dedup.minhashCandidates(docs, 3, shingleMaxDf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+    },
+    Some(
+      s"""WITH RECURSIVE ${shinglesSql(docsNearSql)},
+         |hashed0 AS (SELECT doc_id, ${ringHashSql("shingle")} AS h FROM shingles),
+         |${capSql("hashed0")},
+         |sigs AS (SELECT doc_id,
+         |    $sigColsSql
+         |  FROM capped GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b)
+         |SELECT v AS doc_id, min(r) AS rep FROM reach GROUP BY 1""".stripMargin))
+
+  /** q63 — cross-doc PARAGRAPH dedup (the CCNet/common-crawl line-dedup
+    * pass): explode docs into ¶-separated segments, drop every segment
+    * whose distinct-document frequency exceeds 1 (boilerplate), and
+    * reassemble the survivors in original order. The corpus injects two
+    * boilerplate footers into every doc (same injection in the oracle)
+    * so the drop path is exercised deterministically.
+    *
+    * Scale shape: segment DF is one groupBy on the segment (hash it to
+    * bigint at 100 TB — here the string key keeps the oracle simple);
+    * reassembly is one groupBy(doc_id) with an order-restoring
+    * sort_array over (pos, seg) structs — no windows, no collects. */
+  val q63 = Q("q63_dedup_paragraphs",
+    (s, d) => {
+      val corpus = Catalog.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit("¶graft footer alpha¶graft footer beta"))
+          .as("text"))
+      val segs = corpus
+        .select(col("doc_id"), posexplode(split(col("text"), "¶")))
+        .select(col("doc_id"), col("pos"), col("col").as("seg"))
+      val dfreq = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val kept = segs.join(dfreq, "seg").filter(col("df") <= 1)
+      val totals = segs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"))
+      val clean = kept.groupBy(col("doc_id")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), "¶").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      totals.join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+    },
+    Some(
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    text || '¶graft footer alpha¶graft footer beta' AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(text, '¶') AS parts
+        |      FROM corpus),
+        |segs AS (SELECT doc_id, p AS pos, parts[p] AS seg
+        |         FROM (SELECT doc_id, parts,
+        |                 unnest(generate_series(1, len(parts))) AS p
+        |               FROM t)),
+        |dfreq AS (SELECT seg, count(DISTINCT doc_id) AS df
+        |          FROM segs GROUP BY 1),
+        |kept AS (SELECT s.* FROM segs s JOIN dfreq USING (seg)
+        |         WHERE df <= 1),
+        |totals AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY 1),
+        |clean AS (SELECT doc_id,
+        |            string_agg(seg, '¶' ORDER BY pos) AS clean_text,
+        |            count(*) AS n_kept
+        |          FROM kept GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(c.clean_text, '') AS clean_text,
+        |  coalesce(c.n_kept, 0) AS n_kept,
+        |  t.n_segs - coalesce(c.n_kept, 0) AS n_dropped
+        |FROM totals t LEFT JOIN clean c USING (doc_id)""".stripMargin))
+
+  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63)
 }

@@ -294,6 +294,54 @@ object RelationalQueries {
         |  UNION
         |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin))
 
+  /** q64 — CUBE aggregation with grouping id (q29's rollup companion:
+    * all 4 grouping-set combinations, one shuffle — Catalyst expands the
+    * cube map-side, partial-aggregates each set before the exchange). */
+  val q64 = Q("q64_cube",
+    (s, d) => Catalog.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cents"),
+        grouping_id().cast("bigint").as("gid")),
+    Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
+
+  /** q65 — RANGE-frame sliding window: per customer, rolling 30-day
+    * order value (exact cents) and order count — the value-based frame
+    * (peers by ORDER BY value distance, not row offsets) that rowsBetween
+    * cannot express. One shuffle on o_custkey; the frame scan is a
+    * per-partition sorted sweep. */
+  val q65 = Q("q65_range_window",
+    (s, d) => {
+      val base = Catalog.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("bigint").as("dnum"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("dnum"))
+        .rangeBetween(-30, Window.currentRow)
+      base.select(col("o_orderkey"), col("o_custkey"), col("dnum"),
+        sum(col("cents")).over(w).as("cents_30d"),
+        count(lit(1)).over(w).cast("bigint").as("n_30d"))
+    },
+    Some(
+      """SELECT o_orderkey, o_custkey, dnum,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_30d,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_30d
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        CAST(date_diff('day', DATE '1992-01-01',
+        |          CAST(o_orderdate AS DATE)) AS BIGINT) AS dnum,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY dnum
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40, q54)
+    Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
+      q54, q64, q65)
 }

@@ -136,5 +136,58 @@ object TextQueries {
          |  ${hash60Sql(normSql)} AS fp60
          |FROM documents""".stripMargin))
 
-  val all: Seq[Q] = Seq(q14, q15, q16, q17)
+  /** q62 — PII redaction: scrub URLs, emails, and long digit runs to
+    * typed placeholders (the standard pre-training cleaning pass). The
+    * corpus deterministically injects one of each per doc (the testdata
+    * has no PII — same injection in the oracle, which defines the
+    * contract); per-type match counts are taken PRE-redaction. The regex
+    * set is alternation-free so Java regex and RE2 agree (see
+    * [[graft.ops.TextAnalysis.redactPii]]); the same pattern strings
+    * generate both sides, so they cannot drift. */
+  val q62 = {
+    import graft.ops.TextAnalysis.{urlRe, emailRe, longNumRe, redactPii}
+    // the Scala pattern strings interpolate into SQL single-quoted
+    // literals verbatim — DuckDB string literals keep backslashes as-is
+    Q("q62_pii_redaction",
+      (s, d) => Catalog.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via "),
+            lit("https://ex.org/d/"), col("doc_id").cast("string"),
+            lit(" or call 55512"),
+            ((col("doc_id") % 100000L) + 10000L).cast("string"))
+            .as("text"))
+        .select(col("doc_id"),
+          redactPii(col("text")).as("clean"),
+          size(regexp_extract_all(col("text"), lit(urlRe), lit(0)))
+            .cast("bigint").as("n_url"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            .cast("bigint").as("n_email"),
+          size(regexp_extract_all(col("text"), lit(longNumRe), lit(0)))
+            .cast("bigint").as("n_num")),
+      Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |      || '@example.com via https://ex.org/d/'
+           |      || CAST(doc_id AS VARCHAR)
+           |      || ' or call 55512' || CAST(doc_id % 100000 + 10000 AS VARCHAR)
+           |      AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$urlRe', '<URL>', 'g'),
+           |    '$emailRe', '<EMAIL>', 'g'),
+           |    '$longNumRe', '<NUM>', 'g') AS clean,
+           |  CAST(len(regexp_extract_all(text, '$urlRe')) AS BIGINT)
+           |    AS n_url,
+           |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT)
+           |    AS n_email,
+           |  CAST(len(regexp_extract_all(text, '$longNumRe')) AS BIGINT)
+           |    AS n_num
+           |FROM corpus""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q14, q15, q16, q17, q62)
 }

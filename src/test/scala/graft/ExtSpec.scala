@@ -85,6 +85,24 @@ class DedupSpec extends SparkSuite {
     assert(!p.keySet.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
+  test("connected components: chains, separate clusters, singletons") {
+    import SparkSpec.spark.implicits._
+    // component {1,2,3,4} as a CHAIN (diameter 3 — needs >1 round),
+    // component {10,11}, singleton 20
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // reversed edge direction must not matter (symmetrized internally)
+    val cc2 = Dedup.connectedComponents(verts,
+      Seq((4L, 3L), (3L, 2L), (2L, 1L), (11L, 10L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2 == cc)
+  }
+
   test("hot-shingle DF cap stops boilerplate fan-out (skew guard)") {
     // 20 otherwise-disjoint docs sharing one boilerplate sentence: the
     // uncapped inverted index fans the boilerplate shingles into all

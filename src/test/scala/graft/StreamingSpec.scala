@@ -110,6 +110,30 @@ class StreamingSessionizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: cross-batch dups dropped, state bounded") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (event_id, ts_micros)
+    // the state-bounded streaming dedup (StreamingLoad doc's scale note):
+    // unlike dropDuplicates(event_id), state for a key is evicted one
+    // watermark delay after its FIRST sighting, so state size tracks the
+    // dup-arrival window, not the whole stream history
+    val dedup = input.toDS().toDF("event_id", "ts")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 0L), (2L, 5 * M))
+      q.processAllAvailable()
+      input.addData((1L, 6 * M), (3L, 8 * M)) // dup of 1 inside the window
+      q.processAllAvailable()
+      val ids = spark.table("ddw_out").select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("batch sessionizer splits on the 30-minute gap exactly") {
     val df = Seq(
       Ev(7, 1, 0, 1.0), Ev(7, 2, Sessionize.gapMicros, 1.0), // gap == 30min: same session
