@@ -198,29 +198,44 @@ object Dedup {
   /** Connected components over near-dup candidate pairs — the cluster
     * resolution step that turns pairwise candidates into keep/drop
     * groups (component representative = min doc_id, the canonical
-    * survivor). Pregel-style min-label propagation: each round every
-    * vertex takes the min of its own label and its neighbors' labels;
-    * fixpoint = per-component minimum. Deterministic — no RNG, no
-    * order dependence (min is commutative).
+    * survivor). Min-label propagation WITH POINTER DOUBLING: each round
+    * (1) every vertex takes the min of its own and its neighbors'
+    * labels, then (2) twice replaces its label with its label's label
+    * (path halving). Propagation alone needs rounds = component
+    * DIAMETER — LSH chance-collisions can chain into long paths, which
+    * made the plain variant hit its round cap; the doubling step
+    * collapses a path of length 2^k in ~k rounds, so `maxIter = 25`
+    * covers any graph that fits in storage. Deterministic — no RNG, min
+    * is commutative.
     *
-    * Scale shape (100 TB): rounds needed = max cluster DIAMETER (small
-    * for near-dup graphs — dup clusters are dense), not cluster count.
-    * Each round is one equi-join of the symmetric edge list against the
-    * label relation plus a grouped min — shuffle on vertex id both
-    * times, so a co-partitioned edge list reuses its exchange across
-    * rounds (`sym` is persisted once). Labels are persisted per round
-    * (previous round unpersisted) and convergence is detected by the
-    * monotone label sum — labels only ever decrease, so an unchanged
-    * sum means an unchanged relation: one tiny aggregate per round, no
+    * Scale shape (100 TB): only EDGE-TOUCHED vertices iterate
+    * (singletons re-attach at the end via one left join — on a dedup
+    * graph that excludes the vast unique majority from every round).
+    * Each round is two joins + a grouped min, all keyed on vertex id;
+    * the symmetric edge list is persisted once, labels checkpointed per
+    * round (lineage truncation — see below). Convergence is detected by the
+    * monotone label sum — labels only decrease, so an unchanged sum
+    * means an unchanged relation: one tiny aggregate per round, no
     * change-join. Driver holds one Long per round, never row data. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("doc_a").as("v"), col("doc_b").as("n"))
       .unionAll(edges.select(col("doc_b").as("v"), col("doc_a").as("n")))
       .persist(MEMORY_AND_DISK)
-    var labels = vertices.select(col("doc_id").as("v"),
-      col("doc_id").as("rep")).persist(MEMORY_AND_DISK)
+    def jump(df: DataFrame): DataFrame =
+      df.join(df.select(col("v").as("rv"), col("rep").as("rrep")),
+          col("rep") === col("rv"), "left")
+        .select(col("v"),
+          least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"))
+    // Lineage MUST be truncated every round (eager localCheckpoint →
+    // a materialized leaf): the jump self-joins reference the previous
+    // round's plan ~4×, so without truncation the logical tree grows
+    // ~4^rounds and ANALYSIS itself OOMs — the classic iterative-plan
+    // blowup. (A fault-tolerant cluster deployment would use
+    // checkpoint() with a checkpoint dir instead; same structure.)
+    var labels = sym.select(col("v")).distinct()
+      .select(col("v"), col("v").as("rep")).localCheckpoint(true)
     var prevSum = labels.agg(sum(col("rep"))).first().getLong(0)
     var converged = false
     var i = 0
@@ -228,18 +243,26 @@ object Dedup {
       val nmin = sym.join(labels.select(col("v").as("n"),
           col("rep").as("nrep")), "n")
         .groupBy(col("v")).agg(min(col("nrep")).as("nrep"))
-      val next = labels.join(nmin, Seq("v"), "left")
+      val prop = labels.join(nmin, Seq("v"), "left")
         .select(col("v"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .persist(MEMORY_AND_DISK)
+      val next = jump(jump(prop)).localCheckpoint(true)
       val s = next.agg(sum(col("rep"))).first().getLong(0)
-      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    // Operational signal: a cap hit means the propagation may not have
+    // reached fixpoint — surface it rather than silently returning.
+    System.err.println(
+      s"[graft.cc] ${if (converged) "fixpoint" else "ROUND CAP HIT"} " +
+        s"after $i rounds")
+    // labels is a materialized checkpoint leaf — safe to drop the edge
+    // cache; the returned (lazy) plan reads only the final labels.
     sym.unpersist()
-    labels.select(col("v").as("doc_id"), col("rep"))
+    vertices.join(labels.select(col("v"), col("rep")),
+        col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 }

@@ -70,9 +70,12 @@ object SimilarityQueries {
     * integer aggregate, order-free in both engines. */
   val q24 = Q("q24_similarity_ivf",
     (s, d) => {
+      // persisted: feeds norms/query/centroid/candidate/rerank stages —
+      // without it the plan re-scans the parquet 16× (once per leaf)
       val dims = intVecs(s, d)
         .select(col("vec_id"), col("label"), posexplode(col("iv")))
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val norms = dims.groupBy(col("vec_id"))
         .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
       val qdims = dims.filter(col("vec_id") === queryVecId)
@@ -170,6 +173,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"), posexplode(col("iv")))
         .select(col("vec_id"), col("label"),
           (col("pos") + 1).as("p"), col("col").as("x")) // 1-based: p salts the hash
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val planes = s.range(0, 4).select(col("id").as("pl"))
       val hyper = planes.crossJoin(
           s.range(1, 65).select(col("id").as("p")))
@@ -278,9 +282,12 @@ object SimilarityQueries {
     val k = 8
     Q("q60_ivf_kmeans",
       (s, d) => {
+        // persisted: every Lloyd pass (assignment join + centroid
+        // update) re-reads dims; one materialization serves them all
         val dims = intVecs(s, d)
           .select(col("vec_id"), posexplode(col("iv")))
           .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.ops.KMeans.assign(dims, k, iters = 2)
       },
       Some(
