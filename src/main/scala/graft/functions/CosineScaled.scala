@@ -125,5 +125,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineScaled.registryEntry)
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the operational sibling of the incremental
+  * publish. Long-lived ingest targets accumulate files (one per
+  * micro-batch / per task of every partition overwrite); readers then
+  * pay per-file open + footer parse costs that dwarf the data at 100 TB
+  * directory scales. Compaction rewrites a parquet directory into
+  * ~`targetBytes` files through a staged write + atomic rename — the
+  * same publish discipline as [[graft.etl.IncrementalLoad]], so no
+  * reader ever observes a half-compacted directory.
+  *
+  * `repartition(n)` (round-robin shuffle) rather than `coalesce(n)`:
+  * coalesce would skip the shuffle but glues input splits together
+  * as-is, inheriting any skew in the small files — balanced output
+  * files are the point of compacting.
+  */
+object Compact {
+
+  /** Bytes of parquet under `path` (recursive). */
+  def parquetBytes(spark: SparkSession, path: String): Long = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(path), true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    total
+  }
+
+  /** Rewrite the parquet dir at `path` into ⌈bytes/targetBytes⌉
+    * balanced files; returns the file count written. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val parts = math.max(1L,
+      (parquetBytes(spark, path) + targetBytes - 1) / targetBytes).toInt
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val staged = new Path(path + "__compact")
+    fs.delete(staged, true)
+    spark.read.parquet(path).repartition(parts)
+      .write.parquet(staged.toString)
+    val target = new Path(path)
+    fs.delete(target, true)
+    fs.rename(staged, target)
+    parts
+  }
+}

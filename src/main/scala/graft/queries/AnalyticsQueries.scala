@@ -310,6 +310,30 @@ object AnalyticsQueries {
         |  TRY_CAST(CAST(c_acctbal AS VARCHAR) AS DOUBLE) AS roundtrip
         |FROM customer""".stripMargin))
 
+  /** q70 — top-k per group through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.TopKPerGroup]]: logical node → planner strategy →
+    * partial/final bounded-heap execs). The oracle is the window
+    * row_number formulation — hash-green proves the custom operator's
+    * two-phase heap semantics equal the declarative form; TopKSpec
+    * additionally asserts the plan shape (no sort, no window, partial
+    * trim below the exchange). */
+  val q70 = Q("q70_topk_per_group",
+    (s, d) => {
+      val o = Catalog.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      graft.plans.TopKPerGroup(o, 3, Seq(col("o_custkey")),
+        Seq(col("cents").desc, col("o_orderkey").asc))
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey, cents FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |               o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59)
+    Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70)
 }

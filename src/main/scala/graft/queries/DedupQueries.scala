@@ -62,6 +62,10 @@ object DedupQueries {
   private def ringHashSql(c: String): String =
     s"CAST(('0x' || substr(md5($c), 1, 15)) AS BIGINT) % $P"
 
+  /** normalized-text fragment mirroring TextAnalysis.normalizeText. */
+  private val normDocSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))"""
+
   private val sigColsSql = minhashParams.zipWithIndex.map {
     case ((a, c), k) => s"min((h * $a + $c) % $P) AS mh$k"
   }.mkString(",\n    ")
@@ -294,5 +298,35 @@ object DedupQueries {
         |  t.n_segs - coalesce(c.n_kept, 0) AS n_dropped
         |FROM totals t LEFT JOIN clean c USING (doc_id)""".stripMargin))
 
-  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63)
+  /** q67 — benchmark DECONTAMINATION: remove every training doc whose
+    * normalized content fingerprint matches a held-out eval set (every
+    * 50th doc stands in for the benchmark; the corpus also injects
+    * shifted-id verbatim copies of those docs, which must be caught
+    * too — fingerprint matching is id-blind by construction). The
+    * anti-join is the operator: eval sets are tiny, so it plans as a
+    * broadcast anti-join — map-side, no shuffle of the corpus. */
+  val q67 = Q("q67_decontaminate",
+    (s, d) => {
+      val docs = Catalog.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(graft.ops.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      corpus.join(broadcast(bench), Seq("fp"), "left_anti")
+        .select(col("doc_id"))
+    },
+    Some(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, md5($normDocSql) AS fp FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, md5($normDocSql) FROM documents
+         |  WHERE doc_id % 50 = 0),
+         |bench AS (SELECT md5($normDocSql) AS fp FROM documents
+         |          WHERE doc_id % 50 = 0)
+         |SELECT doc_id FROM corpus
+         |WHERE fp NOT IN (SELECT fp FROM bench)""".stripMargin))
+
+  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67)
 }

@@ -341,7 +341,38 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY dnum
         |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin))
 
+  /** q69 — SCHEMA EVOLUTION: two parquet batches with drifted schemas
+    * (batch 2 drops one column, adds another) read back through
+    * `mergeSchema` — the unified schema fills the gaps with NULLs. This
+    * is the day-2 reality of any long-lived ingest path; the oracle
+    * reconstructs the same union declaratively. */
+  val q69 = Q("q69_schema_evolution",
+    (s, d) => {
+      val out = s"/tmp/graft_evolve/${java.nio.file.Paths.get(d).getFileName}/cust"
+      val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(out), true)
+      val c = Catalog.customer(s, d)
+      // v1 writer: (key, name, acctbal)
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .write.parquet(s"$out/batch=1")
+      // v2 writer: acctbal dropped, mktsegment added
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .write.parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), col("batch").cast("bigint").as("batch"))
+    },
+    Some(
+      """SELECT c_custkey, c_name, c_acctbal, NULL AS c_mktsegment,
+        |       CAST(1 AS BIGINT) AS batch
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, NULL, c_mktsegment, 2
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
-      q54, q64, q65)
+      q54, q64, q65, q69)
 }

@@ -317,5 +317,112 @@ object SimilarityQueries {
            |  FROM dist2) WHERE rn = 1""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60)
+  /** q68 — IVF search END-TO-END with the TRAINED quantizer: k-means
+    * cells from [[graft.ops.KMeans]] (q60's two Lloyd passes) replace
+    * q24's `label` stand-in, then the same coarse-probe → exact-rerank
+    * search runs over the learned cells. Hash-green means training,
+    * cell-centroid derivation, probing and reranking all agree with the
+    * oracle end to end. Same scale shape as q24 (probe-bounded exact
+    * work) plus the quantizer's two passes. */
+  val q68 = {
+    val k = 8
+    Q("q68_ivf_kmeans_search",
+      (s, d) => {
+        val dims = intVecs(s, d)
+          .select(col("vec_id"), posexplode(col("iv")))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val asg = graft.ops.KMeans.assign(dims, k, iters = 2)
+          .select(col("vec_id"), col("cid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val celled = dims.join(asg, "vec_id")
+
+        val norms = dims.groupBy(col("vec_id"))
+          .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
+        val qdims = dims.filter(col("vec_id") === queryVecId)
+          .select(col("p").as("qp"), col("x").as("qx"))
+        val qnrm = norms.filter(col("vec_id") === queryVecId)
+          .select(col("nrm").as("qnrm"))
+
+        // coarse: integer centroid per LEARNED cell, cosine to query
+        val cent = celled.groupBy(col("cid"), col("p"))
+          .agg(round(sum(col("x")).cast("double") / count(lit(1)))
+            .cast("bigint").as("c"))
+        val cnrm = cent.groupBy(col("cid"))
+          .agg(sum(col("c") * col("c")).cast("double").as("cnrm"))
+        val cdot = cent.join(broadcast(qdims), col("p") === col("qp"))
+          .groupBy(col("cid"))
+          .agg(sum(col("c") * col("qx")).cast("double").as("cdot"))
+        val cells = cdot.join(cnrm, "cid").crossJoin(broadcast(qnrm))
+          .select(col("cid"),
+            (col("cdot") / sqrt(col("cnrm") * col("qnrm"))).as("cscore"))
+          .orderBy(col("cscore").desc, col("cid")).limit(probes)
+          .select(col("cid"))
+
+        // fine: exact cosine inside the probed cells only
+        val cand = celled.join(broadcast(cells), "cid")
+          .filter(col("vec_id") =!= queryVecId)
+        val dot = cand.join(broadcast(qdims), col("p") === col("qp"))
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum(col("x") * col("qx")).cast("double").as("dot"))
+        dot.join(norms, "vec_id").crossJoin(broadcast(qnrm))
+          .select(col("vec_id"), col("cid"),
+            (col("dot") / sqrt(col("nrm") * col("qnrm"))).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+      },
+      Some(
+        s"""WITH iv AS ($intVecsSql),
+           |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+           |dims AS (SELECT vec_id, p, iv[p] AS x FROM iv, pos),
+           |seeds AS (SELECT vec_id AS cid, p, x AS c FROM dims
+           |          WHERE vec_id < $k),
+           |dist1 AS (SELECT d.vec_id, s.cid,
+           |            sum((d.x - s.c) * (d.x - s.c)) AS d2
+           |          FROM dims d JOIN seeds s USING (p) GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY d2, cid) AS rn
+           |         FROM dist1) WHERE rn = 1),
+           |c1 AS (SELECT a.cid, d.p,
+           |         CAST(round(CAST(sum(d.x) AS DOUBLE) / count(*)) AS BIGINT)
+           |           AS c
+           |       FROM dims d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+           |dist2 AS (SELECT d.vec_id, c.cid,
+           |            sum((d.x - c.c) * (d.x - c.c)) AS d2
+           |          FROM dims d JOIN c1 c USING (p) GROUP BY 1, 2),
+           |a2 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+           |             AS rn
+           |         FROM dist2) WHERE rn = 1),
+           |celled AS (SELECT d.vec_id, a.cid, d.p, d.x
+           |           FROM dims d JOIN a2 a USING (vec_id)),
+           |norms AS (SELECT vec_id, CAST(sum(x * x) AS DOUBLE) AS nrm
+           |          FROM dims GROUP BY 1),
+           |qdims AS (SELECT p AS qp, x AS qx FROM dims
+           |          WHERE vec_id = $queryVecId),
+           |qnrm AS (SELECT nrm AS qnrm FROM norms WHERE vec_id = $queryVecId),
+           |cent AS (SELECT cid, p,
+           |           CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)
+           |             AS c
+           |         FROM celled GROUP BY 1, 2),
+           |cnrm AS (SELECT cid, CAST(sum(c * c) AS DOUBLE) AS cnrm
+           |         FROM cent GROUP BY 1),
+           |cdot AS (SELECT cid, CAST(sum(c * qx) AS DOUBLE) AS cdot
+           |         FROM cent JOIN qdims ON p = qp GROUP BY 1),
+           |cells AS (SELECT cid
+           |          FROM cdot JOIN cnrm USING (cid), qnrm
+           |          ORDER BY cdot / sqrt(cnrm * qnrm) DESC, cid
+           |          LIMIT $probes),
+           |cand AS (SELECT ce.* FROM celled ce JOIN cells USING (cid)
+           |         WHERE vec_id <> $queryVecId),
+           |dot AS (SELECT vec_id, cid, CAST(sum(x * qx) AS DOUBLE) AS dot
+           |        FROM cand JOIN qdims ON p = qp GROUP BY 1, 2)
+           |SELECT vec_id, cid, dot / sqrt(nrm * qnrm) AS cosine
+           |FROM dot JOIN norms USING (vec_id), qnrm
+           |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60, q68)
 }

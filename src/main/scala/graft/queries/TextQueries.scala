@@ -189,5 +189,42 @@ object TextQueries {
            |FROM corpus""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q14, q15, q16, q17, q62)
+  /** q66 — unigram log-probability scoring (the cheap perplexity-filter
+    * analog): corpus unigram frequencies → per-doc mean log2 P(token),
+    * the standard LM-based quality signal before real-perplexity
+    * filtering. The mean is quantized to micro units
+    * (round(x·10⁶)::bigint) because log2 is the one function here
+    * without a cross-engine correctly-rounded guarantee — the ~1-ulp
+    * libm drift is 9 orders below the quantum.
+    *
+    * Scale shape: unigram counts are one groupBy(token) with map-side
+    * combine; the per-doc score is one groupBy(doc_id) after an
+    * inverted-index join of (doc_id, token) against the count relation —
+    * both shuffles keyed, nothing corpus². */
+  val q66 = Q("q66_unigram_logprob",
+    (s, d) => {
+      val toks = Catalog.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("n")) // 1 row
+      toks.join(counts, "token").crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+          round(avg(log2(col("cnt").cast("double") / col("n").cast("double")))
+            * 1e6).cast("bigint").as("mean_log2p_micro"))
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, u.token
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |        FROM documents) d, unnest(d.t) u(token)),
+        |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM counts)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(round(avg(log2(CAST(cnt AS DOUBLE) / n)) * 1000000)
+        |    AS BIGINT) AS mean_log2p_micro
+        |FROM toks JOIN counts USING (token), total
+        |GROUP BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q14, q15, q16, q17, q62, q66)
 }

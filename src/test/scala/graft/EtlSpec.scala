@@ -167,3 +167,33 @@ class IncrementalLoadSpec extends SparkSuite {
       s"lookback partition $d was not rewritten"))
   }
 }
+
+class CompactSpec extends SparkSuite {
+  test("compaction: fewer balanced files, identical rows, staged swap") {
+    val path = "/tmp/graft_compact/events"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // fragment: 64 small files
+    val src = Catalog.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    src.repartition(64).write.parquet(path)
+    def files(): Seq[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (f.endsWith(".parquet")) b += f
+      }
+      b.result()
+    }
+    assert(files().size == 64)
+    val before = src.collect().map(_.toString).sorted.toSeq
+    val total = graft.ops.Compact.parquetBytes(spark, path)
+    val n = graft.ops.Compact.compact(spark, path, targetBytes = total / 4 + 1)
+    assert(n == 4 && files().size == 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__compact")))
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+  }
+}
