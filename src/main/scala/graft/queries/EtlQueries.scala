@@ -276,5 +276,53 @@ object EtlQueries {
            |FROM s WHERE s_suppkey % 5 = 0""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48)
+  /** q71 — INCREMENTAL MATERIALIZED-AGGREGATE maintenance: a running
+    * (user_id, day) → (n_events, cents) aggregate table is maintained
+    * across two ingest batches by merging per-batch PARTIAL aggregates
+    * into the persisted state (full-outer on the keys, summed with
+    * coalesce) — the algebraic-MV pattern every warehouse needs once
+    * recomputing the aggregate means rescanning history. Hash-green
+    * against the direct full aggregate proves merge(partial₁, partial₂)
+    * ≡ agg(batch₁ ∪ batch₂).
+    *
+    * Scale: each batch shuffles only ITS OWN rows (map-side combine);
+    * the merge joins state-sized relations on the group key. Cost per
+    * refresh is O(batch + state), never O(history of raw events). */
+  val q71 = {
+    val cut = "2024-01-20"
+    Q("q71_incremental_agg",
+      (s, d) => {
+        val base = s"/tmp/graft_mv/${java.nio.file.Paths.get(d).getFileName}"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        def partial(batch: org.apache.spark.sql.DataFrame) =
+          batch.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(round(col("value") * 100).cast("bigint")).as("cents"))
+        val e = graft.tables.Catalog.events(s, d)
+        // batch 1 → state v1 (persisted)
+        partial(e.filter(col("ts") < lit(cut).cast("timestamp")))
+          .write.parquet(s"$base/state_v1")
+        // batch 2 merged INTO the persisted state → state v2
+        val v1 = s.read.parquet(s"$base/state_v1")
+        val p2 = partial(e.filter(col("ts") >= lit(cut).cast("timestamp")))
+          .withColumnRenamed("n_events", "n2").withColumnRenamed("cents", "c2")
+        v1.join(p2, Seq("user_id", "day"), "full_outer")
+          .select(col("user_id"), col("day"),
+            (coalesce(col("n_events"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("cents"), lit(0L)) + coalesce(col("c2"), lit(0L)))
+              .as("cents"))
+          .write.parquet(s"$base/state_v2")
+        s.read.parquet(s"$base/state_v2")
+      },
+      Some(
+        """SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |  count(*) AS n_events,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM events GROUP BY 1, 2""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71)
 }

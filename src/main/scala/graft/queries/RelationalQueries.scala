@@ -372,7 +372,48 @@ object RelationalQueries {
         |SELECT c_custkey, c_name, NULL, c_mktsegment, 2
         |FROM customer WHERE c_custkey % 2 = 1""".stripMargin))
 
+  /** q72 — CORRUPT-RECORD tolerance: parse JSON payloads where a slice
+    * of rows is malformed (leading brace stripped — nothing partially
+    * salvageable, so Spark's partial-result parser and DuckDB's
+    * json_valid agree exactly); bad rows yield NULL fields, good rows
+    * parse, and the validity flag derives from the parsed field in both
+    * engines identically. The JSON is built by identical string concat
+    * on both sides — engine-native to_json renderings differ and would
+    * be a false diff. */
+  val q72 = Q("q72_corrupt_json",
+    (s, d) => Catalog.orders(s, d)
+      .withColumn("j0", concat(lit("{\"k\":"),
+        col("o_orderkey").cast("string"), lit(",\"s\":\""),
+        col("o_orderstatus"), lit("\"}")))
+      .withColumn("j", when(col("o_orderkey") % 7 === 0,
+        expr("substring(j0, 2)")).otherwise(col("j0")))
+      .withColumn("p", from_json(col("j"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING")))
+      .select(col("o_orderkey"),
+        col("p.k").as("k_parsed"), col("p.s").as("s_parsed"),
+        col("p.k").isNotNull.as("is_valid")),
+    Some(
+      """WITH built AS (
+        |  SELECT o_orderkey,
+        |    '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"s":"'
+        |      || o_orderstatus || '"}' AS j0
+        |  FROM orders),
+        |corrupted AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN substr(j0, 2) ELSE j0 END AS j
+        |  FROM built)
+        |SELECT o_orderkey,
+        |  CASE WHEN json_valid(j)
+        |       THEN CAST(json_extract_string(j, '$.k') AS BIGINT) END
+        |    AS k_parsed,
+        |  CASE WHEN json_valid(j)
+        |       THEN json_extract_string(j, '$.s') END AS s_parsed,
+        |  (CASE WHEN json_valid(j)
+        |        THEN CAST(json_extract_string(j, '$.k') AS BIGINT) END)
+        |    IS NOT NULL AS is_valid
+        |FROM corrupted""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
-      q54, q64, q65, q69)
+      q54, q64, q65, q69, q72)
 }

@@ -134,6 +134,42 @@ class StreamingSessionizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: click→purchase attribution window") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)] // (user_id, ts_micros)
+    val buys = MemoryStream[(Long, Long)]
+    val c = clicks.toDS().toDF("user_id", "cts")
+      .withColumn("cts", timestamp_micros(col("cts")))
+      .withWatermark("cts", "10 minutes")
+    val b = buys.toDS().toDF("buser", "bts")
+      .withColumn("bts", timestamp_micros(col("bts")))
+      .withWatermark("bts", "10 minutes")
+    // purchase attributed to a click of the same user within 30 min —
+    // the time-range condition is what bounds both join states
+    val joined = c.join(b, col("user_id") === col("buser") &&
+      col("bts") >= col("cts") &&
+      col("bts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), unix_micros(col("cts")).as("cts"),
+        unix_micros(col("bts")).as("bts"))
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      // base offset: an event time EQUAL to the current watermark (the
+      // initial 1970-epoch zero) is dropped by the strict late-row
+      // filter — keep all test times strictly above it
+      val H = 60 * M
+      clicks.addData((1L, H), (2L, H + 5 * M))
+      buys.addData((1L, H + 10 * M), (1L, H + 40 * M), (3L, H + 10 * M))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // user 1: buy@+10min matches click@+0; buy@+40min is outside the
+      // 30-min window; user 2 clicked but never bought; user 3 bought
+      // with no click
+      assert(rows == Set((1L, H, H + 10 * M)))
+    } finally q.stop()
+  }
+
   test("batch sessionizer splits on the 30-minute gap exactly") {
     val df = Seq(
       Ev(7, 1, 0, 1.0), Ev(7, 2, Sessionize.gapMicros, 1.0), // gap == 30min: same session
