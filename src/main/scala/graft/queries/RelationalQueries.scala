@@ -413,7 +413,83 @@ object RelationalQueries {
         |    IS NOT NULL AS is_valid
         |FROM corrupted""".stripMargin))
 
+  /** q73 — NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM):
+    * NULL keys MATCH each other, unlike plain `=` which drops them —
+    * the semantics dirty dimension keys need. Aggregated to per-key
+    * counts so the NULL×NULL product stays bounded in the output. */
+  val q73 = Q("q73_null_safe_join",
+    (s, d) => {
+      val l = Catalog.orders(s, d).select(
+        when(col("o_orderkey") % 100 === 0, lit(null))
+          .otherwise(col("o_custkey") % 50).as("lk"))
+      val r = Catalog.customer(s, d).select(
+        when(col("c_custkey") % 100 === 0, lit(null))
+          .otherwise(col("c_custkey") % 50).as("rk"))
+      l.join(r, col("lk") <=> col("rk"))
+        .groupBy(col("lk").as("k")).agg(count(lit(1)).as("n"))
+    },
+    Some(
+      """WITH l AS (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |                  ELSE o_custkey % 50 END AS lk FROM orders),
+        |r AS (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+        |             ELSE c_custkey % 50 END AS rk FROM customer)
+        |SELECT lk AS k, count(*) AS n
+        |FROM l JOIN r ON lk IS NOT DISTINCT FROM rk
+        |GROUP BY 1""".stripMargin))
+
+  /** q74 — explicit GROUPING SETS (beyond rollup q29 / cube q64): the
+    * two single-column sets plus the grand total, with grouping ids. */
+  val q74 = Q("q74_grouping_sets",
+    (s, d) => Catalog.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cents"),
+        grouping_id().cast("bigint").as("gid")),
+    Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin))
+
+  /** q76 — Z-ORDER (Morton) interleave of two dimensions — the
+    * multi-dimensional clustering key behind data-skipping layouts:
+    * sorting by z before writing makes file-level min/max zones narrow
+    * on BOTH dimensions at once, so either predicate prunes files. The
+    * 16-bit-per-dim interleave is generated from one parameter list on
+    * both sides (pure integer bit ops, exact everywhere). Verified on
+    * events: dim1 = user bucket, dim2 = minute of day. */
+  val q76 = {
+    val bits = 16
+    def mortonCol(x: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column) =
+      (0 until bits).map { i =>
+        shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+    val mortonSql = (0 until bits).map { i =>
+      s"(((ub >> $i) & 1) << ${2 * i}) + (((md >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    Q("q76_zorder_key",
+      (s, d) => Catalog.events(s, d)
+        .select(col("event_id"), (col("user_id") % 1024).as("ub"),
+          ((hour(col("ts")) * 60) + minute(col("ts"))).cast("bigint").as("md"))
+        .select(col("event_id"), col("ub"), col("md"),
+          mortonCol(col("ub"), col("md")).as("z")),
+      Some(
+        s"""SELECT event_id, ub, md, $mortonSql AS z
+           |FROM (SELECT event_id,
+           |        user_id % 1024 AS ub,
+           |        CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) * 60
+           |          + EXTRACT(minute FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+           |          AS md
+           |      FROM events)""".stripMargin))
+  }
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
-      q54, q64, q65, q69, q72)
+      q54, q64, q65, q69, q72, q73, q74, q76)
 }

@@ -226,5 +226,30 @@ object TextQueries {
         |FROM toks JOIN counts USING (token), total
         |GROUP BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q14, q15, q16, q17, q62, q66)
+  /** q75 — OUTER explode: docs keep a row (NULL pos/token) when their
+    * long-token array is empty — posexplode_outer vs plain posexplode,
+    * which silently drops such parents (the classic lost-rows bug in
+    * flattening pipelines). The oracle reconstructs outer semantics as
+    * unnest ∪ empty-array parents. */
+  val q75 = Q("q75_outer_explode",
+    (s, d) => Catalog.documents(s, d)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => length(t) > 9).as("longs"))
+      .select(col("doc_id"), posexplode_outer(col("longs")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("p"),
+        col("col").as("token")),
+    Some(
+      """WITH la AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> length(t) > 9) AS longs
+        |  FROM documents)
+        |SELECT doc_id, CAST(p - 1 AS BIGINT) AS p, longs[p] AS token
+        |FROM (SELECT doc_id, longs,
+        |        unnest(generate_series(1, len(longs))) AS p
+        |      FROM la WHERE len(longs) > 0)
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL FROM la WHERE len(longs) = 0""".stripMargin))
+
+  val all: Seq[Q] = Seq(q14, q15, q16, q17, q62, q66, q75)
 }
