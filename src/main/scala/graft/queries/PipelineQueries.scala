@@ -177,5 +177,35 @@ object PipelineQueries {
          |GROUP BY 1, 2""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(q41, q42, q46, q47)
+  /** q77 — deterministic STRATIFIED SUBSAMPLE: the n smallest salted
+    * hash ranks per language — "give me a reproducible 50-doc sample per
+    * stratum" without rand() (which no two engines, or even two Spark
+    * runs with different partitionings, would agree on). Runs through
+    * the custom [[graft.plans.TopKPerGroup]] operator, so the per-stratum
+    * selection is heap-bounded map-side — no per-group sort, and the
+    * shuffle carries at most groups·n rows per mapper: exactly how a
+    * 100 TB corpus gets subsampled. Oracle = the window formulation. */
+  val q77 = {
+    val n = 50
+    Q("q77_stratified_sample",
+      (s, d) => {
+        val ranked = Catalog.documents(s, d).select(col("doc_id"),
+          col("lang"),
+          TextAnalysis.hash60(concat(lit("sample|"),
+            col("doc_id").cast("string"))).as("rk"))
+        graft.plans.TopKPerGroup(ranked, n, Seq(col("lang")),
+          Seq(col("rk").asc, col("doc_id").asc))
+      },
+      Some(
+        s"""SELECT doc_id, lang, rk FROM (
+           |  SELECT doc_id, lang, rk,
+           |    row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id)
+           |      AS rn
+           |  FROM (SELECT doc_id, lang,
+           |          CAST(('0x' || substr(md5('sample|'
+           |            || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+           |        FROM documents)) WHERE rn <= $n""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q46, q47, q77)
 }
