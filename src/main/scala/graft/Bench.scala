@@ -31,8 +31,13 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
     }
-    spark.sharedState.cacheManager.clearCache()
+    // clearCache runs before EVERY timed query, not once: queries
+    // persist() and never unpersist, and the CacheManager matches by
+    // logical plan, so a later query sharing a plan fragment (e.g. q61
+    // reusing q19's signature pipeline) would otherwise read an earlier
+    // timed query's materialized cache instead of paying its own.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -39,7 +39,8 @@ import org.apache.spark.sql.types._
   *  - the deleted @@row_count is ONE conditional aggregate over the
   *    lookback partitions only (no full-target count, no second scan);
   *  - the publish rewrites only partitions with `cdc_day >= date(offset)`
-  *    via `partitionOverwriteMode=dynamic`.
+  *    via a per-partition staged swap (rename-aside, rename-in); the
+  *    NULL-cdc partition is merged, never replaced.
   */
 object IncrementalLoad {
 
@@ -72,9 +73,15 @@ object IncrementalLoad {
     StructField("deleted_count", LongType),
     StructField("key_expr", StringType)))
 
+  /** FileSystem of `path`'s own scheme (never the default FS — a target
+    * on s3a:// or hdfs:// must resolve to its own filesystem). */
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
+    if (fsFor(spark, path).exists(new Path(path))) Some(spark.read.parquet(path))
+    else None
   }
 
   /** Logical view of the managed target: physical layout (the partition
@@ -86,7 +93,7 @@ object IncrementalLoad {
     * entry point for the offset max-scan. Day strings are yyyy-MM-dd, so
     * lexicographic max == date max. None when no dated partition exists. */
   private def latestDay(spark: SparkSession, path: String): Option[String] = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
     val p = new Path(path)
     if (!fs.exists(p)) None
     else fs.listStatus(p).iterator
@@ -148,44 +155,82 @@ object IncrementalLoad {
     val next = kept.map(_.unionByName(freshDf)).getOrElse(freshDf)
       .withColumn(partCol, to_date(col(cdcCol)))
 
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, params.targetPath)
     val targetP = new Path(params.targetPath)
     val staging = new Path(params.targetPath + "__staging")
     if (fullLoad || target.isEmpty) {
-      // staged write + atomic publish (ref :23-26, :321-328): full
-      // snapshot beside the target, then rename over it.
+      // staged write + snapshot publish (ref :23-26, :321-328): full
+      // snapshot beside the target; the old target is renamed ASIDE
+      // (not deleted) before the staged snapshot renames in, so every
+      // byte is always under exactly one of target / __retired /
+      // __staging — a crash strands data in a sibling dir, never loses
+      // it. Recovery: if target is missing, promote __staging (complete
+      // snapshot) or restore __retired; then delete the other.
       next.write.partitionBy(partCol).mode("overwrite")
         .parquet(staging.toString)
-      if (fs.exists(targetP)) fs.delete(targetP, true)
+      val retired = new Path(params.targetPath + "__retired")
+      fs.delete(retired, true)
+      if (fs.exists(targetP)) fs.rename(targetP, retired)
       fs.rename(staging, targetP) // publish; staging gone (S8)
+      fs.delete(retired, true)
     } else {
-      // Delta publish — partition-level staged swap: stage kept∪fresh
-      // (all rows have cdc_day >= date(offset)), drop the target's
-      // lookback partition directories (the DELETE scope — every row
-      // with cdc > offset lives there, ref :29-34), then move the staged
-      // partitions in. History partitions (< date(offset)) are never
+      // Delta publish — per-partition staged swap: stage kept∪fresh
+      // (all rows have cdc_day >= date(offset)), then swap each staged
+      // partition over its target directory ONE PARTITION AT A TIME:
+      // rename the old dir aside to a dot-prefixed retire name (hidden
+      // from Spark/Hadoop readers), rename the staged dir in, drop the
+      // retire dir. History partitions (< date(offset)) are never
       // opened, matching the reference's cheap-clone intent (ref
-      // :22,319). Unlike dynamic partition overwrite, this also removes
-      // a lookback partition whose rows were all deleted with no fresh
-      // replacement.
+      // :22,319). Emptied lookback partitions (all rows deleted, no
+      // fresh replacement) are dropped LAST, after all new data is in
+      // place.
+      //
+      // Atomicity contract: each partition's swap is two renames — a
+      // concurrent reader can observe that ONE partition momentarily
+      // absent, and different partitions swap at different instants
+      // (cross-partition consistency is not promised mid-publish; the
+      // reference's own delete-then-insert window, ref :29-317, is
+      // strictly wider). No crash point loses data: every partition's
+      // bytes live in exactly one of target/P, target/.P.retire, or
+      // __staging/P. Recovery: finish moving __staging partitions in,
+      // restore any .P.retire whose P is missing, then delete
+      // leftovers.
+      //
+      // The NULL partition (__HIVE_DEFAULT_PARTITION__) is special: its
+      // rows never satisfy the reference's `cdc > offset` delete
+      // predicate (NULL comparisons are false), so its history must be
+      // KEPT — staged fresh null-cdc files are MERGED into the existing
+      // directory (per-file renames; part-file names are UUID-unique)
+      // instead of replacing it.
       next.write.partitionBy(partCol).mode("overwrite")
         .parquet(staging.toString)
       val offsetDayStr = offset.take(10) // yyyy-MM-dd sorts like dates
+      val nullPart = partCol + "=__HIVE_DEFAULT_PARTITION__"
+      val stagedNames = fs.listStatus(staging).iterator
+        .map(_.getPath.getName).filter(_.startsWith(partCol + "=")).toSet
+      stagedNames.foreach { name =>
+        val src = new Path(staging, name)
+        val dest = new Path(targetP, name)
+        if (name == nullPart && fs.exists(dest)) {
+          fs.listStatus(src).iterator
+            .filterNot(_.getPath.getName.startsWith("_"))
+            .foreach(f => fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+        } else {
+          val retire = new Path(targetP, "." + name + ".retire")
+          fs.delete(retire, true)
+          if (fs.exists(dest)) fs.rename(dest, retire)
+          fs.rename(src, dest)
+          fs.delete(retire, true)
+        }
+      }
+      // DELETE-scope partitions whose rows were all deleted with no
+      // fresh replacement — removed only now, after the publish.
       if (fs.exists(targetP)) fs.listStatus(targetP).foreach { st =>
         val name = st.getPath.getName
-        // Only dated partitions are in the DELETE scope — the null
-        // partition (__HIVE_DEFAULT_PARTITION__) is kept, as NULL cdc
-        // never satisfies the reference's `cdc > offset` delete predicate.
         if (name.matches(partCol + "=\\d{4}-\\d{2}-\\d{2}") &&
-            name.stripPrefix(partCol + "=") >= offsetDayStr)
+            name.stripPrefix(partCol + "=") >= offsetDayStr &&
+            !stagedNames.contains(name))
           fs.delete(st.getPath, true)
-      }
-      fs.listStatus(staging).foreach { st =>
-        if (st.getPath.getName.startsWith(partCol + "=")) {
-          val dest = new Path(targetP, st.getPath.getName)
-          if (fs.exists(dest)) fs.delete(dest, true)
-          fs.rename(st.getPath, dest)
-        }
       }
       fs.delete(staging, true) // DROP staging (S8)
     }

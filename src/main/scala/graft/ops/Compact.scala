@@ -8,20 +8,33 @@ import org.apache.spark.sql.SparkSession
   * micro-batch / per task of every partition overwrite); readers then
   * pay per-file open + footer parse costs that dwarf the data at 100 TB
   * directory scales. Compaction rewrites a parquet directory into
-  * ~`targetBytes` files through a staged write + atomic rename — the
-  * same publish discipline as [[graft.etl.IncrementalLoad]], so no
-  * reader ever observes a half-compacted directory.
+  * ~`targetBytes` files through a staged write + rename promote — the
+  * same publish discipline as [[graft.etl.IncrementalLoad]]: a reader
+  * sees the old files or the new, never a mix.
   *
   * `repartition(n)` (round-robin shuffle) rather than `coalesce(n)`:
   * coalesce would skip the shuffle but glues input splits together
   * as-is, inheriting any skew in the small files — balanced output
   * files are the point of compacting.
+  *
+  * Publish discipline: staged write, then rename the old dir ASIDE
+  * (`__retired`), rename the staged dir in, drop the retired dir. No
+  * crash point loses data — the rows always live under exactly one of
+  * `path`, `path__retired`, or `path__compact` — but the publish is
+  * NOT atomic: between the two renames a reader sees `path` missing
+  * (recovery: promote `__compact` if complete, else restore
+  * `__retired`).
   */
 object Compact {
 
+  /** FileSystem of `path`'s own scheme — never the default FS. */
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
   /** Bytes of parquet under `path` (recursive). */
   def parquetBytes(spark: SparkSession, path: String): Long = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
     val it = fs.listFiles(new Path(path), true)
     var total = 0L
     while (it.hasNext) {
@@ -37,14 +50,17 @@ object Compact {
       targetBytes: Long = 128L << 20): Int = {
     val parts = math.max(1L,
       (parquetBytes(spark, path) + targetBytes - 1) / targetBytes).toInt
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
     val staged = new Path(path + "__compact")
     fs.delete(staged, true)
     spark.read.parquet(path).repartition(parts)
       .write.parquet(staged.toString)
     val target = new Path(path)
-    fs.delete(target, true)
+    val retired = new Path(path + "__retired")
+    fs.delete(retired, true)
+    fs.rename(target, retired)
     fs.rename(staged, target)
+    fs.delete(retired, true)
     parts
   }
 }

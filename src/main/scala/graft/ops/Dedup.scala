@@ -198,7 +198,18 @@ object Dedup {
   /** Connected components over near-dup candidate pairs — the cluster
     * resolution step that turns pairwise candidates into keep/drop
     * groups (component representative = min doc_id, the canonical
-    * survivor). Min-label propagation WITH POINTER DOUBLING: each round
+    * survivor).
+    *
+    * TWO-PHASE design. The edge list of a dedup graph is O(duplicate
+    * pairs), orders of magnitude smaller than the corpus; when it fits
+    * one executor's memory (`localEdgeThreshold`, default 10M edges ≈
+    * a few hundred MB of hash map) the components come from a SINGLE
+    * union-find task on an executor — one job, no rounds, no driver
+    * data. Above the threshold, distributed min-label propagation with
+    * pointer doubling runs (the general path); the same standard hybrid
+    * every production CC uses (iterate to contract, finish locally).
+    *
+    * Distributed path: min-label propagation WITH POINTER DOUBLING: each round
     * (1) every vertex takes the min of its own and its neighbors'
     * labels, then (2) twice replaces its label with its label's label
     * (path halving). Propagation alone needs rounds = component
@@ -218,8 +229,14 @@ object Dedup {
     * means an unchanged relation: one tiny aggregate per round, no
     * change-join. Driver holds one Long per round, never row data. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localEdgeThreshold: Long = 10000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    if (edges.count() <= localEdgeThreshold) {
+      val labels = unionFindLocal(edges)
+      return vertices.join(labels, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("rep"))
+    }
     val sym = edges.select(col("doc_a").as("v"), col("doc_b").as("n"))
       .unionAll(edges.select(col("doc_b").as("v"), col("doc_a").as("n")))
       .persist(MEMORY_AND_DISK)
@@ -264,5 +281,40 @@ object Dedup {
     vertices.join(labels.select(col("v"), col("rep")),
         col("doc_id") === col("v"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+  }
+
+  /** (v, rep) labels for every edge-touched vertex via one union-find
+    * task on an EXECUTOR (repartition(1).mapPartitions — never the
+    * driver). Union-by-min keeps each tree's root = the component's
+    * smallest vertex, so find() IS the canonical representative;
+    * deterministic regardless of edge order. */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          parent.getOrElseUpdate(a, find(a))
+          parent.getOrElseUpdate(b, find(b))
+        }
+        parent.keysIterator.toArray.iterator.map(v => (v, find(v)))
+      }
+      .toDF("v", "rep")
   }
 }

@@ -90,7 +90,19 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 /** One bounded-heap pass: ≤ k rows per group survive, emitted best-first
   * per group. `partial = true` runs on whatever partitioning the child
   * has (map-side trim); the final pass declares ClusteredDistribution so
-  * all survivors of a group meet in one partition. */
+  * all survivors of a group meet in one partition.
+  *
+  * Memory contract: each pass holds one ≤k-row heap per distinct group
+  * key IN ITS PARTITION, on heap, no spill. The PARTIAL pass bounds the
+  * map at [[TopKPerGroupExec.maxPartialGroups]] heaps — once a mapper
+  * has seen that many distinct keys, rows of further NEW keys pass
+  * through untrimmed (correct: pass-through only forgoes the trim; the
+  * final pass still bounds every group to k), so a pathological
+  * groups≈rows input degrades to a plain shuffle instead of an OOM.
+  * The FINAL pass cannot pass through (its output IS the answer); its
+  * footprint is (total groups / shuffle partitions)·k rows per task —
+  * for extreme group cardinality × k budgets, prefer the sort-spilling
+  * `row_number().over(window)` formulation instead. */
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     ordering: Seq[SortOrder], partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -108,6 +120,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     val grp = groupExprs
     val ord = ordering
     val attrs = child.output
+    val isPartial = partial
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(grp, attrs)
       val rowOrd = new LazilyGeneratedOrdering(ord, attrs)
@@ -116,28 +129,58 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       // deterministic per partition (insertion order).
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
         mutable.PriorityQueue[InternalRow]]
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
-            heaps.put(key.copy(), h)
-            h
+      new Iterator[InternalRow] {
+        private var passRow: InternalRow = null
+        private var tail: Iterator[InternalRow] = null
+        private def advance(): Unit = {
+          while (passRow == null && tail == null) {
+            if (!it.hasNext) {
+              tail = heaps.iterator.flatMap { case (_, h) =>
+                h.dequeueAll.reverseIterator // best-first within the group
+              }
+            } else {
+              val row = it.next()
+              val key = keyProj(row)
+              heaps.get(key) match {
+                case Some(heap) =>
+                  if (heap.size < kLocal) heap.enqueue(row.copy())
+                  else if (rowOrd.compare(row, heap.head) < 0) {
+                    heap.dequeue() // drop the worst kept row
+                    heap.enqueue(row.copy())
+                  }
+                case None
+                    if isPartial &&
+                      heaps.size >= TopKPerGroupExec.maxPartialGroups =>
+                  // map bounded: new keys pass through untrimmed
+                  passRow = row
+                case None =>
+                  val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+                  heaps.put(key.copy(), h)
+                  if (h.size < kLocal) h.enqueue(row.copy())
+              }
+            }
+          }
         }
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (rowOrd.compare(row, heap.head) < 0) {
-          heap.dequeue() // drop the worst kept row
-          heap.enqueue(row.copy())
+        override def hasNext: Boolean = {
+          advance()
+          passRow != null || tail.hasNext
         }
-      }
-      heaps.iterator.flatMap { case (_, h) =>
-        h.dequeueAll.reverseIterator // best-first within the group
+        override def next(): InternalRow = {
+          advance()
+          if (passRow != null) { val r = passRow; passRow = null; r }
+          else tail.next()
+        }
       }
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan)
       : TopKPerGroupExec = copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Partial-pass map bound: 2^20 groups × k row copies per mapper is a
+    * few hundred MB at typical k, well under executor memory; beyond it
+    * the trim stops paying for itself anyway (groups ≈ rows). */
+  val maxPartialGroups: Int = 1 << 20
 }

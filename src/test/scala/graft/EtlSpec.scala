@@ -135,6 +135,29 @@ class IncrementalLoadSpec extends SparkSuite {
     assert(r.offset == "2024-01-01")
   }
 
+  test("NULL-cdc partition: history kept, fresh nulls merged on delta") {
+    wipe()
+    import SparkSpec.spark.implicits._
+    def mk(rows: Seq[(Long, Option[String], Double)]): DataFrame =
+      rows.toDF("event_id", "cdc_s", "value").select(col("event_id"),
+        col("cdc_s").cast("timestamp").as("cdc_ts"), col("value"))
+    // FULL_LOAD seeds a dated partition and a NULL-cdc row
+    IncrementalLoad.run(spark, params("FULL_LOAD", "n"),
+      _ => mk(Seq((1L, Some("2024-01-10 00:00:00"), 1.0), (2L, None, 2.0))),
+      "cdc_ts")
+    // delta brings one dated row and one MORE null-cdc row; the old
+    // null row must survive (NULL never matches `cdc > offset`) and the
+    // fresh one must merge in beside it
+    IncrementalLoad.run(spark, params("DELTA", "n"),
+      _ => mk(Seq((3L, Some("2024-01-12 00:00:00"), 3.0), (4L, None, 4.0))),
+      "cdc_ts")
+    val rows = IncrementalLoad.readTarget(spark, s"$base/n")
+      .select(col("event_id"), col("cdc_ts").cast("string")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows.keySet == Set(2L, 3L, 4L)) // 1 deleted by lookback, 2 KEPT
+    assert(rows(2L).isEmpty && rows(4L).isEmpty)
+  }
+
   test("S5 at scale: a delta run rewrites ONLY lookback partitions") {
     wipe()
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -101,6 +101,11 @@ class DedupSpec extends SparkSuite {
       Seq((4L, 3L), (3L, 2L), (2L, 1L), (11L, 10L)).toDF("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc2 == cc)
+    // localEdgeThreshold = 0 forces the DISTRIBUTED pointer-doubling
+    // path; both phases must resolve the same components
+    val cc3 = Dedup.connectedComponents(verts, edges, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc3 == cc)
   }
 
   test("hot-shingle DF cap stops boilerplate fan-out (skew guard)") {
