@@ -195,6 +195,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** Prefix-filtered all-pairs similarity join (the AllPairs / PPJoin
+    * family — Bayardo et al. '07, Xiao et al. '08; PAPERS.md): at
+    * Jaccard threshold t, two shingle sets with J(A,B) ≥ t must share
+    * an element within the first |X| − ⌈t·|X|⌉ + 1 elements of EACH
+    * set under one global element order. So only those PREFIXES are
+    * indexed and self-joined — at t = 0.9 the inverted index holds 10%
+    * of each doc and the candidate join shrinks ~quadratically vs the
+    * full-index join in [[jaccardPairs]]. The global order is
+    * (df asc, h asc): rarest-first, the standard choice, minimizing
+    * prefix collisions. Candidates also pass the length filter
+    * (t·|A| ≤ |B| ∧ t·|B| ≤ |A|); the exact intersection is then
+    * computed ONLY for surviving pairs from sorted shingle-set arrays
+    * (`array_intersect`, O(|A|+|B|) per pair) — the full inverted
+    * index is never self-joined.
+    *
+    * Same output contract as [[jaccardPairs]] at the same threshold
+    * (the filter is lossless); use this form when t is high and the
+    * corpus is large. Scale shape: both windows partition by doc_id
+    * (per-doc rank/size, never global); the prefix self-join is the
+    * only pair-producing shuffle.
+    */
+  def jaccardPrefixPairs(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = hashedShingles(docs, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfRel = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = hs.join(dfRel, "h")
+      .select(col("doc_id"), col("h"), col("df"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .withColumn("n_sh", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("rnk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("h"), col("n_sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n_sh") >= ceil(lit(threshold) * col("a.n_sh")) &&
+          col("a.n_sh") >= ceil(lit(threshold) * col("b.n_sh")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(lit(1)).select(col("doc_a"), col("doc_b"))
+    val sets = hs.groupBy(col("doc_id")).agg(
+      sort_array(collect_list(col("h"))).as("hset"),
+      count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("ha"),
+        col("n_sh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("hb"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("ha"), col("hb"))).cast("bigint"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
   /** Connected components over near-dup candidate pairs — the cluster
     * resolution step that turns pairwise candidates into keep/drop
     * groups (component representative = min doc_id, the canonical

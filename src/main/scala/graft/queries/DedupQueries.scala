@@ -237,6 +237,31 @@ object DedupQueries {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b)
          |SELECT v AS doc_id, min(r) AS rep FROM reach GROUP BY 1""".stripMargin))
 
+  /** q78 — PREFIX-FILTERED all-pairs similarity join ([[Dedup
+    * .jaccardPrefixPairs]], the AllPairs/PPJoin family) at t = 0.7.
+    * The oracle is the PLAIN inverted-index Jaccard at the same
+    * threshold — hash-green proves the prefix + length filters are
+    * lossless (identical pairs, intersections, and scores) while the
+    * Spark plan only ever self-joins ~30% of each doc's shingles. */
+  val q78 = Q("q78_jaccard_prefix",
+    (s, d) => Dedup.jaccardPrefixPairs(docsNear(s, d), 3, 0.7),
+    Some(
+      s"""WITH ${shinglesSql(docsNearSql)},
+         |sh AS (SELECT DISTINCT doc_id, ${ringHashSql("shingle")} AS h
+         |       FROM shingles),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.h = b.h
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+         |FROM (SELECT p.*, sa.n_sh AS na, sb.n_sh AS nb
+         |      FROM pairs p
+         |      JOIN sizes sa ON sa.doc_id = p.doc_a
+         |      JOIN sizes sb ON sb.doc_id = p.doc_b)
+         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.7""".stripMargin))
+
   /** q63 — cross-doc PARAGRAPH dedup (the CCNet/common-crawl line-dedup
     * pass): explode docs into ¶-separated segments, drop every segment
     * whose distinct-document frequency exceeds 1 (boilerplate), and
@@ -328,5 +353,5 @@ object DedupQueries {
          |SELECT doc_id FROM corpus
          |WHERE fp NOT IN (SELECT fp FROM bench)""".stripMargin))
 
-  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67)
+  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67, q78)
 }

@@ -108,6 +108,19 @@ class DedupSpec extends SparkSuite {
     assert(cc3 == cc)
   }
 
+  test("prefix-filtered jaccard equals the plain inverted-index join") {
+    // several thresholds: the prefix + length filters must be lossless
+    Seq(0.3, 0.5, 0.8).foreach { t =>
+      val plain = Dedup.jaccardPairs(docs, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("inter"),
+          r.getAs[Double]("jaccard"))).toSet
+      val pref = Dedup.jaccardPrefixPairs(docs, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("inter"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(pref == plain, s"threshold $t")
+    }
+  }
+
   test("hot-shingle DF cap stops boilerplate fan-out (skew guard)") {
     // 20 otherwise-disjoint docs sharing one boilerplate sentence: the
     // uncapped inverted index fans the boilerplate shingles into all
