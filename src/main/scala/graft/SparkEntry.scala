@@ -1,8 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnalyticsQueries, DedupQueries, EtlQueries,
-  LoadQueries, MultimodalQueries, Parity, PipelineQueries, Q,
+import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries,
+  EtlQueries, LoadQueries, MultimodalQueries, Parity, PipelineQueries, Q,
   RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -12,7 +12,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     Parity.all ++ EtlQueries.all ++ LoadQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      RelationalQueries.all ++ PipelineQueries.all ++ AnalyticsQueries.all
+      RelationalQueries.all ++ PipelineQueries.all ++ AnalyticsQueries.all ++
+      CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 25-column three-branch fact union — the reference's core build

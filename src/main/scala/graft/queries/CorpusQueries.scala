@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis._
+import graft.plans.TopKPerGroup
+import graft.tables.Catalog
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond dedup/similarity: sequence packing, repetition-based
+  * quality filters (the Gopher-rule analogs), TF-IDF term weighting,
+  * stopword removal, and deterministic shard assignment for training
+  * writers. All shapes are keyed shuffles — nothing corpus², nothing
+  * driver-side.
+  */
+object CorpusQueries {
+
+  private val tokSqlArr = """regexp_split_to_array(text, '\s+')"""
+
+  /** q79 — SEQUENCE PACKING: lay documents head-to-tail into fixed
+    * 512-token training sequences, packed per source shard (the unit a
+    * real pipeline packs within, so the window is keyed and parallel —
+    * a single global ORDER BY would serialize on one task at 100 TB).
+    * Each doc gets the sequence id and offset where its first token
+    * lands; `div`/`%` keep the arithmetic in exact integer space (a
+    * double floor() would corrupt offsets past 2^53 cumulative tokens).
+    */
+  val q79 = Q("q79_sequence_packing",
+    (s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Catalog.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        .withColumn("start_off",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("start_off div 512").as("seq_id"),
+          (col("start_off") % 512).as("seq_off"))
+    },
+    Some(
+      s"""SELECT doc_id, source, n_tokens,
+         |  CAST(start_off // 512 AS BIGINT) AS seq_id,
+         |  CAST(start_off % 512 AS BIGINT) AS seq_off
+         |FROM (
+         |  SELECT doc_id, source,
+         |    CAST(len($tokSqlArr) AS BIGINT) AS n_tokens,
+         |    COALESCE(SUM(CAST(len($tokSqlArr) AS BIGINT))
+         |      OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS start_off
+         |  FROM documents)""".stripMargin))
+
+  /** q80 — REPETITION QUALITY FILTER (Gopher-style): per-doc top-unigram
+    * fraction and duplicate-bigram fraction, plus the resulting
+    * keep/drop label. Bigrams are built array-side (zip_with against the
+    * tail slice — narrow, no shuffle) so the only shuffles are the two
+    * keyed per-doc aggregations. Fractions divide doubles cast from
+    * exact bigint counts (IEEE-identical across engines).
+    */
+  val q80 = {
+    val uniT = 0.12 // top-unigram fraction above this → repetitive
+    val biT = 0.20  // duplicate-bigram fraction above this → repetitive
+    Q("q80_repetition_filter",
+      (s, d) => {
+        val base = Catalog.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            filter(
+              zip_with(col("toks"),
+                slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+                (a, b) => concat(a, lit(" "), b)),
+              x => x.isNotNull).as("bigrams"))
+        val uni = base.select(col("doc_id"), explode(col("toks")).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum(col("c")).as("n_tok"),
+            max(col("c")).as("max_uni"))
+        val bi = base.select(col("doc_id"), explode(col("bigrams")).as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum(col("c")).as("n_bi"),
+            count(lit(1)).as("n_bi_d"))
+        uni.join(bi, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok").cast("bigint").as("n_tokens"),
+            (col("max_uni").cast("double") / col("n_tok").cast("double"))
+              .as("top_unigram_frac"),
+            coalesce((col("n_bi") - col("n_bi_d")).cast("double")
+              / col("n_bi").cast("double"), lit(0.0)).as("dup_bigram_frac"))
+          .withColumn("rep_label",
+            when(col("top_unigram_frac") > uniT, "repetitive")
+              .when(col("dup_bigram_frac") > biT, "repetitive")
+              .otherwise("ok"))
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, $tokSqlArr AS a FROM documents),
+           |uni AS (
+           |  SELECT doc_id, u.t, count(*) AS c
+           |  FROM d, unnest(d.a) AS u(t) GROUP BY 1, 2),
+           |uagg AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+           |    CAST(max(c) AS BIGINT) AS max_uni
+           |  FROM uni GROUP BY 1),
+           |bg AS (
+           |  SELECT doc_id, u.b, count(*) AS c
+           |  FROM d, unnest(list_transform(generate_series(1, len(a) - 1),
+           |    i -> a[i] || ' ' || a[i + 1])) AS u(b)
+           |  GROUP BY 1, 2),
+           |bagg AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+           |    CAST(count(*) AS BIGINT) AS n_bi_d
+           |  FROM bg GROUP BY 1),
+           |j AS (
+           |  SELECT doc_id, n_tok AS n_tokens,
+           |    CAST(max_uni AS DOUBLE) / CAST(n_tok AS DOUBLE)
+           |      AS top_unigram_frac,
+           |    COALESCE(CAST(n_bi - n_bi_d AS DOUBLE)
+           |      / CAST(n_bi AS DOUBLE), 0.0) AS dup_bigram_frac
+           |  FROM uagg LEFT JOIN bagg USING (doc_id))
+           |SELECT *,
+           |  CASE WHEN top_unigram_frac > $uniT THEN 'repetitive'
+           |       WHEN dup_bigram_frac > $biT THEN 'repetitive'
+           |       ELSE 'ok' END AS rep_label
+           |FROM j""".stripMargin))
+  }
+
+  /** q81 — TF-IDF TOP TERMS per document, through the custom bounded
+    * top-k operator (plans/TopKPerGroup — second consumer after q70, so
+    * the per-doc trim never materializes the full scored relation into
+    * a sort). Scores quantize to micro units (round(tf·ln(N/df)·10⁶))
+    * because ln is the one non-correctly-rounded libm call; ties (e.g.
+    * the score-0 everywhere-terms) break on term asc — (score, term) is
+    * a total order because terms are unique per doc.
+    */
+  val q81 = Q("q81_tfidf_top_terms",
+    (s, d) => {
+      val docs = Catalog.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val scored = tf.join(dfreq, "t").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("t").as("term"),
+          round(col("tf").cast("double")
+            * log(col("n_docs") / col("df").cast("double")) * 1e6)
+            .cast("bigint").as("score_micro"))
+      TopKPerGroup(scored, 3, Seq(col("doc_id")),
+        Seq(col("score_micro").desc, col("term").asc))
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, u.t
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+        |        FROM documents) d, unnest(d.a) AS u(t)),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, t AS term,
+        |    CAST(round(CAST(tf AS DOUBLE)
+        |      * ln(n_docs / CAST(df AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS score_micro
+        |  FROM tf JOIN df USING (t), n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id
+        |        ORDER BY score_micro DESC, term) AS rn
+        |      FROM scored)
+        |SELECT doc_id, term, score_micro FROM r WHERE rn <= 3""".stripMargin))
+
+  /** Stopword list shared by the Spark side and the generated oracle —
+    * one declaration, so the two cannot drift. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on")
+
+  /** q82 — STOPWORD REMOVAL: array-side filter against a small inline
+    * set (narrow, codegen'd, no shuffle at all — the whole op is a
+    * projection). Emits the cleaned text plus kept/total counts.
+    */
+  val q82 = {
+    val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    Q("q82_stopword_removal",
+      (s, d) => Catalog.documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          filter(tokens(col("text")),
+            t => !t.isInCollection(stopwords)).as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kept")).cast("bigint").as("n_kept"),
+          concat_ws(" ", col("kept")).as("clean_text")),
+      Some(
+        s"""WITH d AS (SELECT doc_id, $tokSqlArr AS a FROM documents),
+           |f AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens,
+           |        list_filter(a,
+           |          t -> NOT list_contains($stopSqlList, t)) AS kept
+           |      FROM d)
+           |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+           |  array_to_string(kept, ' ') AS clean_text
+           |FROM f""".stripMargin))
+  }
+
+  /** q83 — DETERMINISTIC SHARD ASSIGNMENT for training writers: shard =
+    * content-hash mod 16 (so reruns and retries land identically — no
+    * rand()), position within shard by (hash, doc_id). The window is
+    * keyed by shard, so at scale each of the 16..4096 shards sorts
+    * independently; content-hashing also decorrelates shard from source
+    * order, giving writers balanced output files.
+    */
+  val q83 = Q("q83_shard_assign",
+    (s, d) => {
+      val hashed = Catalog.documents(s, d)
+        .select(col("doc_id"), hash60(normalizeText(col("text"))).as("h"))
+        .withColumn("shard", pmod(col("h"), lit(16L)))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      hashed.select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("bigint").as("pos_in_shard"))
+    },
+    Some {
+      val h = TextQueries.hash60Sql(TextQueries.normSql)
+      s"""WITH d AS (SELECT doc_id, $h AS h FROM documents)
+         |SELECT doc_id, h % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 16
+         |    ORDER BY h, doc_id) AS BIGINT) AS pos_in_shard
+         |FROM d""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83)
+}

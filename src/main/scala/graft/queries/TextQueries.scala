@@ -26,7 +26,7 @@ object TextQueries {
     s"CAST($hits AS DOUBLE) / nullif(CAST($tokSql AS DOUBLE), 0)"
   }
 
-  private val normSql =
+  private[queries] val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))"""
 
   /** 60-bit md5-derived hash — same as TextAnalysis.hash60. */

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.CorpusQueries
+
+class CorpusSpec extends SparkSuite {
+
+  test("q79 packing: offsets stay inside the budget and tile each source") {
+    val out = CorpusQueries.q79.run(spark, sf).cache()
+    assert(out.filter(col("seq_off") < 0 || col("seq_off") >= 512).count() == 0)
+    // per source, the first doc starts at (seq 0, off 0) and start
+    // offsets reconstruct the running token sum exactly
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val recon = out
+      .withColumn("expect_start",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("seq_id") * 512 + col("seq_off") =!= col("expect_start"))
+    assert(recon.count() == 0)
+    out.unpersist()
+  }
+
+  test("q80 repetition fractions match a hand computation per doc") {
+    val row = graft.tables.Catalog.documents(spark, sf)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val toks = row.getString(1).trim.split("\\s+").toSeq
+    val topUni = toks.groupBy(identity).map(_._2.size).max.toDouble / toks.size
+    val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val dupBi =
+      (bigrams.size - bigrams.distinct.size).toDouble / bigrams.size
+    val got = CorpusQueries.q80.run(spark, sf)
+      .filter(col("doc_id") === row.getLong(0)).head()
+    assert(math.abs(got.getAs[Double]("top_unigram_frac") - topUni) < 1e-12)
+    assert(math.abs(got.getAs[Double]("dup_bigram_frac") - dupBi) < 1e-12)
+  }
+
+  test("q81 equals the window row_number formulation") {
+    val viaTopK = CorpusQueries.q81.run(spark, sf)
+    // same scored relation, ranked the classic way
+    val docs = graft.tables.Catalog.documents(spark, sf)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfreq, "t").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t").as("term"),
+        round(col("tf").cast("double")
+          * log(col("n_docs") / col("df").cast("double")) * 1e6)
+          .cast("bigint").as("score_micro"))
+    val viaWindow = scored
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("term").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+    assertSameRows(viaTopK, viaWindow)
+  }
+
+  test("q82 removes every stopword and nothing else") {
+    val out = CorpusQueries.q82.run(spark, sf)
+    val bad = out.filter(
+      CorpusQueries.stopwords.map(w =>
+        col("clean_text").rlike(s"(^| )$w( |$$)")).reduce(_ || _))
+    assert(bad.count() == 0)
+    assert(out.filter(col("n_kept") > col("n_tokens")).count() == 0)
+    // kept count is consistent with the cleaned text itself
+    val mismatch = out.filter(col("n_kept") =!=
+      when(col("clean_text") === "", 0L)
+        .otherwise(size(split(col("clean_text"), " ")).cast("bigint")))
+    assert(mismatch.count() == 0)
+  }
+
+  test("q82 plans as a pure projection — zero exchanges") {
+    val plan = CorpusQueries.q82.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("q83 shards are dense, positions contiguous, rerun-identical") {
+    val out = CorpusQueries.q83.run(spark, sf).cache()
+    assert(out.filter(col("shard") < 0 || col("shard") >= 16).count() == 0)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos_in_shard").as("mx"),
+        min("pos_in_shard").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(perShard.count() == 0)
+    assertSameRows(out, CorpusQueries.q83.run(spark, sf))
+    out.unpersist()
+  }
+}
