@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Similarity
@@ -424,5 +424,107 @@ object SimilarityQueries {
            |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60, q68)
+  /** q84 — SEMANTIC DEDUP (the SemDeDup shape): embedding near-dup pairs
+    * found inside LEARNED k-means cells (the same two Lloyd passes as
+    * q60) refined by an 8-bit sign sub-bucket — pairwise exact cosine
+    * runs only within (cell, sign-bucket) blocks, never corpus². The
+    * corpus is the q22 dup-injection (every 5th vector re-appears under
+    * vec_id+100000), so exact duplicates — identical embeddings, hence
+    * identical cell AND identical sign bits — are guaranteed findable;
+    * borderline cross-block pairs are the documented recall tradeoff of
+    * any blocked semantic dedup, and the oracle computes the identical
+    * blocking, so hash-green proves training + blocking + scoring end to
+    * end.
+    *
+    * Scale shape (100 TB): k-means is q60's (aggregates over exploded
+    * dims, centroids broadcastable); blocking bounds pair fan-out to
+    * Σ_blocks n_b² with ~corpus/(k·256) expected block size; the
+    * pairwise stage is a bucket equi-join scoring with the fused native
+    * [[graft.functions.CosineScaled]] expression. */
+  val q84 = {
+    val k = 8
+    val thr = 0.99
+    def signBits(iv: Column): Column =
+      (0 until 8).map(i =>
+        when(element_at(iv, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    Q("q84_semantic_dedup",
+      (s, d) => {
+        val e = Catalog.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val corpus = e.unionAll(e.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        val dims = corpus
+          .select(col("vec_id"), Similarity.intVec(col("embedding")).as("iv"))
+          .select(col("vec_id"), posexplode(col("iv")))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cells = graft.ops.KMeans.assign(dims, k, iters = 2)
+          .select(col("vec_id"), col("cid"))
+        val vec = corpus.join(cells, "vec_id")
+          .select(col("vec_id"), col("cid"), col("embedding"),
+            signBits(Similarity.intVec(col("embedding"))).as("sb"))
+        vec.as("a").join(vec.as("b"),
+            col("a.cid") === col("b.cid") && col("a.sb") === col("b.sb") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.cid").as("cid"),
+            graft.functions.CosineScaled(col("a.embedding"), col("b.embedding"))
+              .as("cosine"))
+          .filter(col("cosine") >= thr)
+      },
+      Some(
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, embedding FROM embeddings
+           |  WHERE vec_id % 5 = 0),
+           |iv0 AS (SELECT vec_id,
+           |          list_transform(embedding,
+           |            x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+           |            AS iv
+           |        FROM e),
+           |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+           |dims AS (SELECT vec_id, p, iv[p] AS x FROM iv0, pos),
+           |seeds AS (SELECT vec_id AS cid, p, x AS c FROM dims
+           |          WHERE vec_id < $k),
+           |dist1 AS (SELECT d.vec_id, s.cid,
+           |            sum((d.x - s.c) * (d.x - s.c)) AS d2
+           |          FROM dims d JOIN seeds s USING (p) GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY d2, cid) AS rn
+           |         FROM dist1) WHERE rn = 1),
+           |c1 AS (SELECT a.cid, d.p,
+           |         CAST(round(CAST(sum(d.x) AS DOUBLE) / count(*)) AS BIGINT)
+           |           AS c
+           |       FROM dims d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+           |dist2 AS (SELECT d.vec_id, c.cid,
+           |            sum((d.x - c.c) * (d.x - c.c)) AS d2
+           |          FROM dims d JOIN c1 c USING (p) GROUP BY 1, 2),
+           |a2 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+           |             AS rn
+           |         FROM dist2) WHERE rn = 1),
+           |n AS (SELECT vec_id, iv,
+           |        CAST(list_aggregate(list_transform(iv, x -> x * x), 'sum')
+           |          AS DOUBLE) AS nrm,
+           |        list_aggregate(list_transform(generate_series(1, 8),
+           |          i -> CASE WHEN iv[i] > 0
+           |               THEN CAST(1 AS BIGINT) << (i - 1)
+           |               ELSE CAST(0 AS BIGINT) END), 'sum') AS sb
+           |      FROM iv0),
+           |v AS (SELECT n.*, a2.cid FROM n JOIN a2 USING (vec_id))
+           |SELECT vec_a, vec_b, cid, cosine FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid,
+           |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+           |      i -> a.iv[i] * b.iv[i]), 'sum') AS DOUBLE)
+           |      / sqrt(a.nrm * b.nrm) AS cosine
+           |  FROM v a JOIN v b ON a.cid = b.cid AND a.sb = b.sb
+           |    AND a.vec_id < b.vec_id)
+           |WHERE cosine >= $thr""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60, q68, q84)
 }

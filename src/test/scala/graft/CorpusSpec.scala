@@ -77,6 +77,21 @@ class CorpusSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("q84 semantic dedup finds every injected exact duplicate") {
+    val out = graft.queries.SimilarityQueries.q84.run(spark, sf).cache()
+    val injected = graft.tables.Catalog.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("vec_a"),
+        (col("vec_id") + 100000L).as("vec_b"))
+    // identical embeddings land in the same cell and sign bucket, so
+    // every injected pair must surface, at cosine exactly 1.0
+    val missed = injected.join(out, Seq("vec_a", "vec_b"), "left_anti")
+    assert(missed.count() == 0)
+    assert(out.join(injected, Seq("vec_a", "vec_b"), "left_semi")
+      .filter(col("cosine") =!= 1.0).count() == 0)
+    out.unpersist()
+  }
+
   test("q83 shards are dense, positions contiguous, rerun-identical") {
     val out = CorpusQueries.q83.run(spark, sf).cache()
     assert(out.filter(col("shard") < 0 || col("shard") >= 16).count() == 0)
