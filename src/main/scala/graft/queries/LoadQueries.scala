@@ -98,5 +98,43 @@ object LoadQueries {
          |       (SELECT count(*) FROM t1, off WHERE cdc_ts > o),
          |       '$keyExpr'""".stripMargin))
 
-  val all: Seq[Q] = Seq(q12, q13)
+  /** q85 — STORAGE-BUCKETED CO-LOCATED JOIN ([[graft.ops.Bucketing]]):
+    * orders and lineitem are written once as 8-bucket parquet tables on
+    * their join key, then joined — the planner proves both sides'
+    * clustering from the catalog, so the join itself needs NO exchange
+    * and (with `sortBy`) no sort on either side; the only shuffle left
+    * is the tiny 5-group rollup above it (BucketingSpec pins that plan
+    * shape). The oracle is the plain declarative join+agg — bucketing
+    * must be invisible to results. */
+  val q85 = {
+    import org.apache.spark.sql.types.DecimalType
+    Q("q85_bucketed_join",
+      (s, d) => {
+        val tag = Paths.get(d).getFileName.toString
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"/tmp/graft_bucketed/$tag"
+        graft.ops.Bucketing.writeBucketed(Catalog.orders(s, d),
+          s"graft_b_orders_$tag", s"$base/orders", 8, "o_orderkey")
+        graft.ops.Bucketing.writeBucketed(Catalog.lineitem(s, d),
+          s"graft_b_lineitem_$tag", s"$base/lineitem", 8, "l_orderkey")
+        s.table(s"graft_b_orders_$tag")
+          .join(s.table(s"graft_b_lineitem_$tag"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(3, 2)) -
+                col("l_discount").cast(DecimalType(18, 2))))
+              .cast("double").as("revenue"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+          |    AS DOUBLE) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY 1""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q12, q13, q85)
 }
