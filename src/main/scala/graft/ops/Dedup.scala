@@ -237,8 +237,10 @@ object Dedup {
           col("a.n_sh") >= ceil(lit(threshold) * col("b.n_sh")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(lit(1)).select(col("doc_a"), col("doc_b"))
+    // no sort_array: size(array_intersect) is order-invariant, and
+    // collect_list order never reaches the output
     val sets = hs.groupBy(col("doc_id")).agg(
-      sort_array(collect_list(col("h"))).as("hset"),
+      collect_list(col("h")).as("hset"),
       count(lit(1)).as("n_sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("ha"),

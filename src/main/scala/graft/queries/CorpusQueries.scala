@@ -222,5 +222,57 @@ object CorpusQueries {
          |FROM d""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83)
+  /** q86 — window-function breadth beyond q32 (lead, dense_rank,
+    * percent_rank, cume_dist, nth_value, last_value over an explicit
+    * whole-partition frame). Money as exact cents; the rank-family
+    * doubles are rationals of exact counts — identical across engines.
+    * Total order inside each partition via (ts, event_id); frames are
+    * written out explicitly so both engines agree on nth/last semantics.
+    */
+  val q86 = {
+    Q("q86_window_breadth",
+      (s, d) => {
+        val e = Catalog.events(s, d).select(col("event_id"),
+          col("event_type"), col("ts"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        val wTime = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val wVal = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents").desc, col("event_id"))
+        e.select(col("event_id"), col("event_type"), col("cents"),
+          lead(col("cents"), 1).over(wTime).as("next_cents"),
+          dense_rank().over(wVal).cast("bigint").as("dr"),
+          percent_rank().over(wVal).as("pr"),
+          cume_dist().over(wVal).as("cd"),
+          nth_value(col("event_id"), 3).over(
+            wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("third_id"),
+          last(col("event_id")).over(
+            wTime.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("last_id"))
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, event_type, ts,
+          |    CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events)
+          |SELECT event_id, event_type, cents,
+          |  lead(cents, 1) OVER wt AS next_cents,
+          |  CAST(dense_rank() OVER wv AS BIGINT) AS dr,
+          |  percent_rank() OVER wv AS pr,
+          |  cume_dist() OVER wv AS cd,
+          |  nth_value(event_id, 3) OVER (
+          |    PARTITION BY event_type ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_id,
+          |  last_value(event_id) OVER (
+          |    PARTITION BY event_type ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |    AS last_id
+          |FROM e
+          |WINDOW wt AS (PARTITION BY event_type ORDER BY ts, event_id),
+          |       wv AS (PARTITION BY event_type
+          |              ORDER BY cents DESC, event_id)""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86)
 }

@@ -104,3 +104,37 @@ class CorpusSpec extends SparkSuite {
     out.unpersist()
   }
 }
+
+/** The text-cleaning surface (quality score, PII redaction, stopword
+  * filter) is pure narrow projections, so the same Column expressions
+  * must drop into a Structured Streaming pipeline unchanged — this is
+  * the §2.9 composition contract for the corpus operators. */
+class CorpusStreamingSpec extends SparkSuite {
+  import SparkSpec.spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streamed text cleaning equals the batch projection") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.tables.Catalog.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(40)
+      .as[(Long, String)].collect().toSeq
+    def clean(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.ops.TextAnalysis.qualityScore(col("text")).as("q"),
+      graft.ops.TextAnalysis.redactPii(col("text")).as("red"),
+      concat_ws(" ", filter(graft.ops.TextAnalysis.tokens(col("text")),
+        t => !t.isInCollection(CorpusQueries.stopwords))).as("kept"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = clean(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("corpus_clean")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(20)); q.processAllAvailable()
+      input.addData(docs.drop(20)); q.processAllAvailable()
+    } finally q.stop()
+
+    assertSameRows(spark.table("corpus_clean"),
+      clean(docs.toDF("doc_id", "text")))
+  }
+}
