@@ -218,34 +218,37 @@ object Dedup {
     */
   def jaccardPrefixPairs(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hs = hashedShingles(docs, n).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfRel = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val ranked = hs.join(dfRel, "h")
-      .select(col("doc_id"), col("h"), col("df"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .withColumn("n_sh", count(lit(1)).over(
-        Window.partitionBy(col("doc_id"))))
-    val prefix = ranked
-      .filter(col("rnk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("doc_id"), col("h"), col("n_sh"))
+    // ONE per-doc aggregation builds everything doc-local at once: the
+    // rarest-first order (sort_array over (df, h) structs — an in-memory
+    // ~|doc| sort per group), the prefix (array slice), and the full
+    // shingle-set array for the later intersection. The previous
+    // formulation paid two window passes PLUS a separate per-doc
+    // collect_list — an extra full-corpus exchange and a corpus-wide
+    // sort this shape never needs.
+    val sets = hs.join(dfRel, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"),
+        count(lit(1)).as("n_sh"))
+      .select(col("doc_id"),
+        transform(col("arr"), s => s("h")).as("harr"), col("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = sets.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("harr"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+        .as("h"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n_sh") >= ceil(lit(threshold) * col("a.n_sh")) &&
           col("a.n_sh") >= ceil(lit(threshold) * col("b.n_sh")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(lit(1)).select(col("doc_a"), col("doc_b"))
-    // no sort_array: size(array_intersect) is order-invariant, and
-    // collect_list order never reaches the output
-    val sets = hs.groupBy(col("doc_id")).agg(
-      collect_list(col("h")).as("hset"),
-      count(lit(1)).as("n_sh"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("ha"),
+      .join(sets.select(col("doc_id").as("doc_a"), col("harr").as("ha"),
         col("n_sh").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("hb"),
+      .join(sets.select(col("doc_id").as("doc_b"), col("harr").as("hb"),
         col("n_sh").as("nb")), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("ha"), col("hb"))).cast("bigint"))

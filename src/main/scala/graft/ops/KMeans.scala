@@ -3,61 +3,71 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Deterministic Lloyd k-means over integer-scaled embedding dimensions —
+/** Deterministic Lloyd k-means over integer-scaled embedding vectors —
   * the trainable coarse quantizer for IVF search (the `label`-cell
   * stand-in's replacement). Everything is exact 64-bit integer math
   * except the round(mean) centroid update, whose single double divide +
   * round is IEEE-deterministic, so assignments are bit-identical across
   * engines and partitionings.
   *
-  * Input `dims` is the exploded (vec_id, p, x) relation (x = 1e6-scaled
-  * component, [[Similarity.intVec]]). Seeds are the first `k` vectors by
+  * Input `vecs` is the (vec_id, iv) relation (iv = 1e6-scaled integer
+  * vector, [[Similarity.intVec]]). Seeds are the first `k` vectors by
   * id — deterministic, no RNG. Ties in the nearest-centroid argmin break
-  * by smallest centroid id.
+  * by smallest centroid id (struct (d2, cid) min — lexicographic).
   *
-  * Scale shape (100 TB): the centroid relation is k×dim rows — tiny — so
-  * each Lloyd pass is (1) one broadcast join of dims against all k
-  * centroids + a grouped exact integer sum: map-side, one shuffle of
-  * N·k partial rows; (2) one grouped sum for the centroid update. The
-  * centroids are COLLECTED between rounds (k×dim rows, the one sanctioned
-  * driver materialization) and re-broadcast, truncating the lineage so
-  * pass i+1 never re-runs pass i — the same structure as distributed
-  * Lloyd in MLlib, minus the RNG.
+  * Scale shape (100 TB): centroids are k×dim values — tiny — and are
+  * COLLECTED between rounds (the one sanctioned driver materialization,
+  * same structure as distributed Lloyd in MLlib minus the RNG), which
+  * also truncates lineage so pass i+1 never re-runs pass i. They then
+  * re-enter the plan as LITERAL arrays, making each assignment pass a
+  * pure zero-shuffle projection: per row, k exact zip_with/aggregate
+  * distances and one array_min argmin. (The previous formulation
+  * broadcast-joined the dim-exploded relation against centroids —
+  * N·dim·k intermediate rows and two keyed shuffles per pass; the
+  * literal-projection form does the same exact arithmetic map-side.)
+  * The centroid update is one explode + grouped sum per round, keyed on
+  * (cid, p) — k·dim groups.
   */
 object KMeans {
 
   /** (vec_id, cid, d2) after `iters` assignment passes (d2 = exact
     * squared integer distance to the winning centroid). */
-  def assign(dims: DataFrame, k: Long, iters: Int): DataFrame = {
+  def assign(vecs: DataFrame, k: Long, iters: Int): DataFrame = {
     require(iters >= 1)
-    val spark = dims.sparkSession
+    val spark = vecs.sparkSession
     import spark.implicits._
 
-    // k×dim rows → driver and back: re-broadcast as a literal relation so
-    // each Lloyd round starts from materialized centroids, not lineage.
-    def materialize(cent: DataFrame): DataFrame =
-      spark.createDataset(
-        cent.select(col("cid"), col("p").cast("int"), col("c"))
-          .as[(Long, Int, Long)].collect().toSeq.sorted)
-        .toDF("cid", "p", "c")
+    // (cid, p, c) rows → ordered per-centroid arrays on the driver
+    def collectCent(df: DataFrame): Seq[(Long, Seq[Long])] =
+      df.select(col("cid"), col("p").cast("int"), col("c"))
+        .as[(Long, Int, Long)].collect().toSeq
+        .groupBy(_._1).toSeq
+        .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3)) }
+        .sortBy(_._1)
 
-    def assignTo(cent: DataFrame): DataFrame =
-      dims.join(broadcast(cent), "p")
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+    def assignTo(cent: Seq[(Long, Seq[Long])]): DataFrame = {
+      val cands = array(cent.map { case (cid, carr) =>
+        struct(
+          aggregate(
+            zip_with(col("iv"), typedlit(carr), (x, c) => (x - c) * (x - c)),
+            lit(0L), (acc, v) => acc + v).as("d2"),
+          lit(cid).as("cid"))
+      }: _*)
+      vecs.select(col("vec_id"), array_min(cands).as("m"))
         .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+    }
 
-    var cent = materialize(dims.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("p"), col("x").as("c")))
+    var cent = collectCent(vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), posexplode(col("iv")))
+      .select(col("cid"), col("pos").as("p"), col("col").as("c")))
     var asg = assignTo(cent)
     for (_ <- 2 to iters) {
       // round(mean) keeps centroids integer → next pass stays exact.
       // An emptied cluster simply drops out of the relation.
-      cent = materialize(dims.join(asg.select("vec_id", "cid"), "vec_id")
-        .groupBy(col("cid"), col("p"))
-        .agg(round(sum(col("x")).cast("double") / count(lit(1)))
+      cent = collectCent(vecs.join(asg.select("vec_id", "cid"), "vec_id")
+        .select(col("cid"), posexplode(col("iv")))
+        .groupBy(col("cid"), col("pos").as("p"))
+        .agg(round(sum(col("col")).cast("double") / count(lit(1)))
           .cast("bigint").as("c")))
       asg = assignTo(cent)
     }

@@ -282,13 +282,11 @@ object SimilarityQueries {
     val k = 8
     Q("q60_ivf_kmeans",
       (s, d) => {
-        // persisted: every Lloyd pass (assignment join + centroid
-        // update) re-reads dims; one materialization serves them all
-        val dims = intVecs(s, d)
-          .select(col("vec_id"), posexplode(col("iv")))
-          .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+        // persisted: every Lloyd pass (zero-shuffle assignment + centroid
+        // update) re-reads vecs; one materialization serves them all
+        val vecs = intVecs(s, d).select(col("vec_id"), col("iv"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        graft.ops.KMeans.assign(dims, k, iters = 2)
+        graft.ops.KMeans.assign(vecs, k, iters = 2)
       },
       Some(
         s"""WITH iv AS ($intVecsSql),
@@ -328,11 +326,13 @@ object SimilarityQueries {
     val k = 8
     Q("q68_ivf_kmeans_search",
       (s, d) => {
-        val dims = intVecs(s, d)
+        val vecs = intVecs(s, d).select(col("vec_id"), col("iv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dims = vecs
           .select(col("vec_id"), posexplode(col("iv")))
           .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val asg = graft.ops.KMeans.assign(dims, k, iters = 2)
+        val asg = graft.ops.KMeans.assign(vecs, k, iters = 2)
           .select(col("vec_id"), col("cid"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val celled = dims.join(asg, "vec_id")
@@ -453,12 +453,10 @@ object SimilarityQueries {
         val e = Catalog.embeddings(s, d).select(col("vec_id"), col("embedding"))
         val corpus = e.unionAll(e.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-        val dims = corpus
+        val vecs = corpus
           .select(col("vec_id"), Similarity.intVec(col("embedding")).as("iv"))
-          .select(col("vec_id"), posexplode(col("iv")))
-          .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cells = graft.ops.KMeans.assign(dims, k, iters = 2)
+        val cells = graft.ops.KMeans.assign(vecs, k, iters = 2)
           .select(col("vec_id"), col("cid"))
         val vec = corpus.join(cells, "vec_id")
           .select(col("vec_id"), col("cid"), col("embedding"),
