@@ -27,18 +27,11 @@ object CorpusQueries {
     * double floor() would corrupt offsets past 2^53 cumulative tokens).
     */
   val q79 = Q("q79_sequence_packing",
-    (s, d) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    (s, d) => graft.ops.Packing.pack(
       Catalog.documents(s, d)
         .select(col("doc_id"), col("source"),
-          tokenCount(col("text")).cast("bigint").as("n_tokens"))
-        .withColumn("start_off",
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          expr("start_off div 512").as("seq_id"),
-          (col("start_off") % 512).as("seq_off"))
-    },
+          tokenCount(col("text")).cast("bigint").as("n_tokens")),
+      "source", "doc_id", "n_tokens", 512),
     Some(
       s"""SELECT doc_id, source, n_tokens,
          |  CAST(start_off // 512 AS BIGINT) AS seq_id,

@@ -113,6 +113,31 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("sequence packing reconstructs exact prefix sums per shard") {
+    val gen = Gen.listOfN(24,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(1L, 700L)))
+    check("packing", Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((shard, toks), i) =>
+        (shard, i.toLong, toks)
+      }.toDF("shard", "id", "n_tokens")
+      val out = graft.ops.Packing.pack(df, "shard", "id", "n_tokens", 512)
+        .select("shard", "id", "n_tokens", "seq_id", "seq_off")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // per shard in id order: start offset == running token sum, and
+      // the offset always stays inside the budget
+      out.groupBy(_._1).forall { case (_, g) =>
+        var cum = 0L
+        g.sortBy(_._2).forall { case (_, _, toks, seqId, seqOff) =>
+          val ok = seqOff >= 0 && seqOff < 512 &&
+            seqId * 512 + seqOff == cum
+          cum += toks
+          ok
+        }
+      }
+    })
+  }
+
   test("minhash signature is invariant under row duplication") {
     check("minhash-dup", Prop.forAll(Gen.listOfN(4,
       Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))) {
