@@ -267,5 +267,25 @@ object CorpusQueries {
           |              ORDER BY cents DESC, event_id)""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86)
+  /** q87 — GLOBAL CURRICULUM RANK without a global sort
+    * ([[graft.ops.GlobalRank]]): every document numbered under the
+    * total order (longest first, doc_id tiebreak) through the
+    * range-partition + per-partition-window + offset-correction shape —
+    * the naive `row_number() OVER (ORDER BY …)` would pull the whole
+    * corpus through one task. The oracle IS that naive global window
+    * (DuckDB is single-node anyway), so hash-green proves the two-phase
+    * form computes identical ranks. */
+  val q87 = Q("q87_global_rank",
+    (s, d) => graft.ops.GlobalRank.withRank(
+      Catalog.documents(s, d).select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("n_chars"),
+        col("rank").cast("bigint").as("rank")),
+    Some(
+      """SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |    AS BIGINT) AS rank
+        |FROM documents""".stripMargin))
+
+  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87)
 }

@@ -103,6 +103,23 @@ class CorpusSpec extends SparkSuite {
     assertSameRows(out, CorpusQueries.q83.run(spark, sf))
     out.unpersist()
   }
+  test("q87 global rank avoids the single-task global window") {
+    val out = graft.queries.CorpusQueries.q87.run(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    // the row_number window must be keyed by _pid (parallel) — the
+    // naive form's windowspec starts with the ORDER columns instead.
+    // (The offsets window runs over one row per partition; its tiny
+    // SinglePartition exchange is the design, not a violation.)
+    assert(plan.contains("row_number() windowspecdefinition(_pid"), plan)
+    // and it must agree with the naive global formulation
+    val naive = graft.tables.Catalog.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("bigint"))
+    assertSameRows(out, naive)
+  }
 }
 
 /** The text-cleaning surface (quality score, PII redaction, stopword
