@@ -287,5 +287,66 @@ object CorpusQueries {
         |    AS BIGINT) AS rank
         |FROM documents""".stripMargin))
 
-  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87)
+  /** q88 — PACKED-SEQUENCE MATERIALIZATION: the step after q79's offset
+    * assignment — actually build each fixed 512-token training sequence,
+    * with documents WRAPPING across sequence boundaries (a doc spanning
+    * sequences s0..s1 contributes the token slice that lands in each).
+    * Per (source, seq): contributing doc count, token count (exactly 512
+    * except each source's tail sequence), and the md5 fingerprint of the
+    * packed text (portable across engines; the gate never ships
+    * megabyte text cells). Shapes: the span explode is narrow (≤2 rows
+    * per doc in the common case); the only shuffle is the keyed
+    * (source, seq) aggregation with an in-group sort of ~a few docs. */
+  val q88 = Q("q88_sequence_materialize",
+    (s, d) => {
+      val packed = graft.ops.Packing.pack(
+        Catalog.documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")).cast("bigint")),
+        "source", "doc_id", "n", 512)
+        .withColumn("start", col("seq_id") * 512 + col("seq_off"))
+      val spans = packed.select(col("source"), col("doc_id"), col("toks"),
+          col("n"), col("start"),
+          explode(expr("sequence(start div 512, (start + n - 1) div 512)"))
+            .as("seq"))
+        .withColumn("lo", greatest(col("seq") * 512 - col("start"), lit(0L)))
+        .withColumn("hi", least(col("n"), (col("seq") + 1) * 512 - col("start")))
+        .select(col("source"), col("seq"), col("doc_id"),
+          array_join(slice(col("toks"), (col("lo") + 1).cast("int"),
+            (col("hi") - col("lo")).cast("int")), " ").as("chunk"),
+          (col("hi") - col("lo")).as("k"))
+      spans.groupBy(col("source"), col("seq").as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("k")).as("n_tokens"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("chunk")))),
+            s => s("chunk")), " ")).as("fp"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $tokSqlArr AS toks,
+         |    CAST(len($tokSqlArr) AS BIGINT) AS n
+         |  FROM documents),
+         |p AS (
+         |  SELECT *, COALESCE(CAST(SUM(n) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING) AS BIGINT), 0) AS start
+         |  FROM d),
+         |spans AS (
+         |  SELECT source, doc_id, toks, n, start, u.seq
+         |  FROM p, unnest(generate_series(start // 512,
+         |    (start + n - 1) // 512)) u(seq)),
+         |chunks AS (
+         |  SELECT source, seq, doc_id,
+         |    array_to_string(toks[greatest(seq * 512 - start, 0) + 1 :
+         |      least(n, (seq + 1) * 512 - start)], ' ') AS chunk,
+         |    least(n, (seq + 1) * 512 - start)
+         |      - greatest(seq * 512 - start, 0) AS k
+         |  FROM spans)
+         |SELECT source, seq AS seq_id, count(*) AS n_docs,
+         |  CAST(sum(k) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(chunk, ' ' ORDER BY doc_id)) AS fp
+         |FROM chunks GROUP BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88)
 }

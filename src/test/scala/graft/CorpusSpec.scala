@@ -103,6 +103,23 @@ class CorpusSpec extends SparkSuite {
     assertSameRows(out, CorpusQueries.q83.run(spark, sf))
     out.unpersist()
   }
+  test("q88 packs exactly 512 tokens per sequence and loses none") {
+    val out = CorpusQueries.q88.run(spark, sf).cache()
+    // every sequence but each source's last (max seq_id) is exactly full
+    val tails = out.groupBy("source").agg(max("seq_id").as("last_seq"))
+    val short = out.join(tails, "source")
+      .filter(col("seq_id") =!= col("last_seq") &&
+        col("n_tokens") =!= 512L)
+    assert(short.count() == 0)
+    // token conservation: packed total == corpus total
+    val packedTotal = out.agg(sum("n_tokens")).head().getLong(0)
+    val corpusTotal = graft.tables.Catalog.documents(spark, sf)
+      .select(sum(size(graft.ops.TextAnalysis.tokens(col("text"))))
+        .cast("bigint")).head().getLong(0)
+    assert(packedTotal == corpusTotal)
+    out.unpersist()
+  }
+
   test("q87 global rank avoids the single-task global window") {
     val out = graft.queries.CorpusQueries.q87.run(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
