@@ -334,6 +334,105 @@ object AnalyticsQueries {
         |               o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin))
 
+  /** q89 — WINSORIZED robust statistics: per-group p05/p95 bounds
+    * (exact percentiles, rounded to integer cents so every comparison
+    * and the clipped sum stay in exact 64-bit space), clip counts, and
+    * the winsorized mean (one exact integer sum, one final double
+    * divide). The all-integer clip is what keeps the result portable —
+    * clipping against raw interpolated doubles would put an
+    * order-dependent float sum in the aggregate. */
+  val q89 = Q("q89_winsorize",
+    (s, d) => {
+      val e = Catalog.lineitem(s, d).select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("c"))
+      val bounds = e.groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(c, 0.05)")).cast("bigint").as("lo"),
+        round(expr("percentile(c, 0.95)")).cast("bigint").as("hi"))
+      e.join(broadcast(bounds), "l_returnflag")
+        .select(col("l_returnflag"), col("lo"), col("hi"),
+          least(greatest(col("c"), col("lo")), col("hi")).as("w"),
+          col("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("lo")).as("lo_cents"), first(col("hi")).as("hi_cents"),
+          sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          (sum(col("w")).cast("double") / count(lit(1)).cast("double"))
+            .as("winsorized_mean_cents"))
+    },
+    Some(
+      """WITH e AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem),
+        |b AS (SELECT l_returnflag,
+        |        CAST(round(quantile_cont(c, 0.05)) AS BIGINT) AS lo,
+        |        CAST(round(quantile_cont(c, 0.95)) AS BIGINT) AS hi
+        |      FROM e GROUP BY 1)
+        |SELECT l_returnflag, lo AS lo_cents, hi AS hi_cents,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(sum(least(greatest(c, lo), hi)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS winsorized_mean_cents
+        |FROM e JOIN b USING (l_returnflag)
+        |GROUP BY 1, 2, 3""".stripMargin))
+
+  /** q90 — regression/correlation from EXACT sufficient statistics:
+    * built-in corr()/covar/regr_* accumulate doubles, so their last
+    * ulps depend on partitioning — unusable under a hash gate and
+    * subtly irreproducible on a cluster. Instead the five sums
+    * (Σx, Σy, Σxx, Σxy, Σyy) accumulate as exact integers (x = epoch
+    * day, y = cents), combine in decimal(38,0) (n·Σyy overflows int64
+    * at this scale), and only the final slope/intercept/corr divides
+    * are IEEE doubles — bit-identical everywhere. */
+  val q90 = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    Q("q90_suffstats_regression",
+      (s, d) => {
+        val e = Catalog.events(s, d).select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("bigint").as("x"),
+          round(col("value") * 100).cast("bigint").as("y"))
+        val sums = e.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        val covN = d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy"))
+        val varX = d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx"))
+        val varY = d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy"))
+        sums.select(col("event_type"), col("n"),
+          (covN.cast("double") / varX.cast("double")).as("slope"),
+          ((col("sy").cast("double") - (covN.cast("double") / varX.cast("double"))
+            * col("sx").cast("double")) / col("n").cast("double"))
+            .as("intercept"),
+          (covN.cast("double")
+            / (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+            .as("corr_xy"))
+      },
+      Some(
+        """WITH e AS (SELECT event_type,
+          |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+          |      AS BIGINT) AS x,
+          |    CAST(round(value * 100) AS BIGINT) AS y
+          |  FROM events),
+          |s AS (SELECT event_type, count(*) AS n,
+          |        sum(x) AS sx, sum(y) AS sy,
+          |        sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+          |      FROM e GROUP BY 1)
+          |SELECT event_type, CAST(n AS BIGINT) AS n,
+          |  CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+          |  (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |    / CAST(n AS DOUBLE) AS intercept,
+          |  CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+          |FROM s""".stripMargin))
+  }
+
   val all: Seq[Q] =
-    Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70)
+    Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70, q89, q90)
 }
