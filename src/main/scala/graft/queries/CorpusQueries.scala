@@ -348,5 +348,32 @@ object CorpusQueries {
          |  md5(string_agg(chunk, ' ' ORDER BY doc_id)) AS fp
          |FROM chunks GROUP BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88)
+  /** q91 — the CUSTOM AGGREGATE FUNCTION
+    * ([[graft.functions.BoundedTopKAgg]], TypedImperativeAggregate): per
+    * source, the 5 smallest document fingerprint hashes as one csv cell,
+    * computed in bounded k-element heaps with map-side partial merge.
+    * The oracle ranks with a window and string_aggs the survivors —
+    * hash-green proves heap semantics (dups kept, value order, merge
+    * associativity) equal the declarative form. */
+  val q91 = Q("q91_bounded_topk_agg",
+    (s, d) => Catalog.documents(s, d)
+      .select(col("source"), hash60(normalizeText(col("text"))).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.BoundedTopKAgg.smallestCsv(col("h"), 5)
+          .as("smallest5")),
+    Some {
+      val h = TextQueries.hash60Sql(TextQueries.normSql)
+      s"""WITH d AS (SELECT source, $h AS h FROM documents),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM d),
+         |n AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  (SELECT string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)
+         |   FROM r WHERE r.source = n.source AND rn <= 5) AS smallest5
+         |FROM n""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91)
 }

@@ -120,6 +120,24 @@ class CorpusSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("bounded top-k aggregate equals the window form on any partitioning") {
+    import SparkSpec.spark.implicits._
+    val rows = (1L to 200L).map(i => ((i % 7).toString, i * 37 % 101))
+    val base = rows.toDF("g", "v")
+    def viaAgg(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(graft.functions.BoundedTopKAgg.smallestCsv(col("v"), 5).as("s"))
+    val expected = base
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy("v")))
+      .filter(col("rn") <= 5).groupBy("g")
+      .agg(concat_ws(",", sort_array(collect_list(col("v")))).as("s"))
+    // 1-partition and many-partition runs must agree with the window
+    // form — exercises update, serialize/deserialize, and merge paths
+    assertSameRows(viaAgg(base.coalesce(1)), expected)
+    assertSameRows(viaAgg(base.repartition(13)), expected)
+  }
+
   test("q87 global rank avoids the single-task global window") {
     val out = graft.queries.CorpusQueries.q87.run(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
