@@ -489,7 +489,36 @@ object RelationalQueries {
            |      FROM events)""".stripMargin))
   }
 
+  /** q92 — UNPIVOT/melt (q35's inverse): the three lineitem money
+    * columns become (measure, cents) rows via `stack` — a narrow
+    * generator, zero shuffle; values go to exact cents so the melted
+    * column is one portable integer type. The oracle is the explicit
+    * UNION ALL expansion. */
+  val q92 = Q("q92_unpivot",
+    (s, d) => Catalog.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("bigint")
+        .as("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("p"),
+        round(col("l_discount") * 100).cast("bigint").as("disc"),
+        round(col("l_tax") * 100).cast("bigint").as("tax"))
+      .selectExpr("l_orderkey", "l_linenumber",
+        """stack(3, 'extendedprice', p, 'discount', disc, 'tax', tax)
+           AS (measure, cents)"""),
+    Some(
+      """WITH c AS (SELECT l_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure,
+        |       p AS cents FROM c
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', disc FROM c
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', tax FROM c""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
-      q54, q64, q65, q69, q72, q73, q74, q76)
+      q54, q64, q65, q69, q72, q73, q74, q76, q92)
 }
