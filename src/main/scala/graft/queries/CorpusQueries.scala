@@ -52,9 +52,10 @@ object CorpusQueries {
     * keyed per-doc aggregations. Fractions divide doubles cast from
     * exact bigint counts (IEEE-identical across engines).
     */
+  private[queries] val uniT = 0.12 // top-unigram frac above → repetitive
+  private[queries] val biT = 0.20  // dup-bigram frac above → repetitive
+
   val q80 = {
-    val uniT = 0.12 // top-unigram fraction above this → repetitive
-    val biT = 0.20  // duplicate-bigram fraction above this → repetitive
     Q("q80_repetition_filter",
       (s, d) => {
         val base = Catalog.documents(s, d)
@@ -375,5 +376,65 @@ object CorpusQueries {
          |FROM n""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91)
+  /** q93 — END-TO-END CORPUS PIPELINE v2 (q41's successor over the
+    * round-5 ops): repetition filter (q80 labels) → exact dedup
+    * (min-doc_id per content fingerprint) → per-source sequence packing
+    * → shard accounting. Every stage is a keyed shuffle or a narrow
+    * projection; the composition adds nothing super-linear. */
+  val q93 = Q("q93_pack_pipeline",
+    (s, d) => {
+      val rep = q80.run(s, d)
+        .filter(col("rep_label") === "ok").select(col("doc_id"))
+      val keep = Catalog.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          fingerprintMd5(col("text")).as("fp"))
+        .join(rep, "doc_id")
+      val canon = keep.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val surv = keep.join(canon, Seq("fp", "doc_id"), "left_semi")
+      graft.ops.Packing.pack(surv, "source", "doc_id", "n_tokens", 512)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("seq_id")) + 1).as("n_seqs"),
+          sum(col("n_tokens")).as("n_tokens"))
+    },
+    Some {
+      val norm = TextQueries.normSql
+      s"""WITH d AS (SELECT doc_id, source, $tokSqlArr AS a, text
+         |           FROM documents),
+         |uni AS (SELECT doc_id, u.t, count(*) AS c
+         |        FROM d, unnest(d.a) AS u(t) GROUP BY 1, 2),
+         |uagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |           CAST(max(c) AS BIGINT) AS max_uni
+         |         FROM uni GROUP BY 1),
+         |bg AS (SELECT doc_id, u.b, count(*) AS c
+         |       FROM d, unnest(list_transform(generate_series(1, len(a) - 1),
+         |         i -> a[i] || ' ' || a[i + 1])) AS u(b)
+         |       GROUP BY 1, 2),
+         |bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+         |           CAST(count(*) AS BIGINT) AS n_bi_d
+         |         FROM bg GROUP BY 1),
+         |lab AS (SELECT doc_id FROM uagg LEFT JOIN bagg USING (doc_id)
+         |        WHERE NOT (CAST(max_uni AS DOUBLE) / CAST(n_tok AS DOUBLE)
+         |                     > $uniT
+         |          OR COALESCE(CAST(n_bi - n_bi_d AS DOUBLE)
+         |               / CAST(n_bi AS DOUBLE), 0.0) > $biT)),
+         |keep AS (SELECT d.doc_id, d.source, uagg.n_tok AS n_tokens,
+         |           md5($norm) AS fp
+         |         FROM d JOIN uagg USING (doc_id) JOIN lab USING (doc_id)),
+         |canon AS (SELECT fp, min(doc_id) AS doc_id FROM keep GROUP BY 1),
+         |surv AS (SELECT k.* FROM keep k
+         |         JOIN canon c ON k.fp = c.fp AND k.doc_id = c.doc_id),
+         |p AS (SELECT *, COALESCE(CAST(SUM(n_tokens) OVER (
+         |        PARTITION BY source ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        AS BIGINT), 0) AS start
+         |      FROM surv)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(start // 512) + 1 AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM p GROUP BY 1""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91, q93)
 }
