@@ -18,18 +18,27 @@ import org.apache.spark.sql.DataFrame
 object Bucketing {
 
   /** Write `df` as a bucketed+sorted parquet table at `path` registered
-    * as `table` in the session catalog, replacing any previous version
-    * (drop + dir wipe first, so reruns and stale files from a dead
-    * session can't mix generations). */
+    * as `table` in the session catalog. WRITE-ONCE semantics: if the
+    * table is already registered in this session with matching row
+    * count, the write is skipped — that IS the operator's contract (pay
+    * the layout shuffle once, join forever); rewriting per query would
+    * charge every consumer the one-time cost. A count mismatch (or a
+    * missing/unregistered path) rebuilds from scratch: drop + dir wipe
+    * first, so stale files from a dead session can't mix generations. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       buckets: Int, key: String): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    df.write.format("parquet").mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
-      .option("path", path).saveAsTable(table)
+    val current = spark.catalog.tableExists(table) && fs.exists(p) &&
+      (try spark.table(table).count() == df.count()
+       catch { case _: Throwable => false })
+    if (!current) {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      fs.delete(p, true)
+      df.write.format("parquet").mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", path).saveAsTable(table)
+    }
   }
 }

@@ -136,5 +136,47 @@ object LoadQueries {
           |GROUP BY 1""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q12, q13, q85)
+  /** q94 — DYNAMIC PARTITION PRUNING: events land date-partitioned (the
+    * layout the incremental protocol already writes), then a join
+    * against a small filtered dim of days prunes fact partitions AT
+    * RUNTIME — the dim's day set is only known after its filter runs, so
+    * static pruning can't help; Spark injects a dynamicpruning subquery
+    * into the scan (DppSpec pins it). At 100 TB this is the difference
+    * between scanning 3 days and scanning 3 years. The oracle computes
+    * the same join declaratively. */
+  val q94 = Q("q94_dynamic_partition_pruning",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_dpp/$tag/events_by_day"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      Catalog.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").parquet(base)
+      val fact = s.read.parquet(base)
+      // dim: the days that saw any error event in the first week — known
+      // only at runtime, exactly the DPP shape
+      val dim = Catalog.events(s, d)
+        .filter(col("event_type") === "error" &&
+          dayofmonth(col("ts")) <= 7)
+        .select(to_date(col("ts")).as("day")).distinct()
+      fact.join(dim, "day")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("bigint")).as("cents"))
+    },
+    Some(
+      """WITH dim AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |  WHERE event_type = 'error'
+        |    AND EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 7)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM (SELECT CAST(ts AS DATE) AS day, value FROM events) e
+        |JOIN dim USING (day)
+        |GROUP BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(q12, q13, q85, q94)
 }

@@ -27,6 +27,13 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("q94 scan carries a dynamic partition pruning subquery") {
+    val out = LoadQueries.q94.run(spark, sf)
+    out.collect() // force execution so AQE finalizes plans
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
   test("bucketed aggregation on the bucket key is also exchange-free") {
     val conf = spark.conf
     val oldAqe = conf.get("spark.sql.adaptive.enabled")
