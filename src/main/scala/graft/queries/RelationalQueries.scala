@@ -518,7 +518,32 @@ object RelationalQueries {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', tax FROM c""".stripMargin))
 
+  /** q95 — approximate quantiles (the KLL/GK-family sketch behind
+    * `percentile_approx`, the only way to get percentiles in one pass
+    * over 100 TB without a per-group sort). Like q31, the oracle
+    * verifies the sketch's CONTRACT, not its engine-specific value:
+    * exact medians plus a flag that the approx landed within the
+    * accuracy bound; DuckDB emits literal TRUE. At accuracy 10k on
+    * 1e5-row groups the rank error is ≤ ~10 rows — the 2% value bound
+    * is orders looser, so partition-order wiggle can't flip the flag. */
+  val q95 = Q("q95_approx_quantile",
+    (s, d) => Catalog.lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(c, 0.5)").as("exact_p50"),
+        expr("percentile_approx(c, 0.5, 10000)").as("approx_p50"))
+      .select(col("l_returnflag"), col("exact_p50"),
+        (abs(col("approx_p50") - col("exact_p50"))
+          <= col("exact_p50") * lit(0.02)).as("within_bound")),
+    Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+        |    AS exact_p50,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
-      q54, q64, q65, q69, q72, q73, q74, q76, q92)
+      q54, q64, q65, q69, q72, q73, q74, q76, q92, q95)
 }
