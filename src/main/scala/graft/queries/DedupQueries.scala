@@ -353,5 +353,64 @@ object DedupQueries {
          |SELECT doc_id FROM corpus
          |WHERE fp NOT IN (SELECT fp FROM bench)""".stripMargin))
 
-  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67, q78)
+  /** q96 — INCREMENTAL DEDUP-INDEX MAINTENANCE: the daily-crawl shape.
+    * A persisted MinHash signature index covers the existing corpus
+    * (step 1 simulates that history — in production it already sits in
+    * storage); the incremental run then shingles/hashes ONLY the delta
+    * batch, reads the index back, and band-joins delta×all — never
+    * all×all, so each day's near-dup cost is O(delta · corpus/buckets)
+    * instead of re-LSHing the whole corpus. Emits the canonicalized
+    * candidate pairs touching the delta; the oracle recomputes the FULL
+    * pair set declaratively and filters to delta-touching pairs —
+    * hash-green proves the incremental path finds exactly the pairs a
+    * full rebuild would. (Uncapped variant; the DF-cap composes as in
+    * q19.) */
+  val q96 = {
+    val deltaFrom = 450L
+    Q("q96_incremental_dedup_index",
+      (s, d) => {
+        val tag = java.nio.file.Paths.get(d).getFileName.toString
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val idxPath = s"/tmp/graft_dedup_index/$tag"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val corpus = docsNear(s, d)
+        val isDelta = (col("doc_id") % 1000000L) >= deltaFrom
+        // 1. history: the signature index the previous runs left behind
+        fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+        Dedup.minhashSignature(
+            Dedup.hashedShingles(corpus.filter(!isDelta), 3))
+          .write.parquet(idxPath)
+        // 2. the incremental run: sign the delta only, join the index
+        val baseSigs = s.read.parquet(idxPath)
+        val deltaSigs = Dedup.minhashSignature(
+            Dedup.hashedShingles(corpus.filter(isDelta), 3))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val allBands = Dedup.lshBands(baseSigs.unionByName(deltaSigs))
+        val deltaBands = Dedup.lshBands(deltaSigs)
+        deltaBands.as("a").join(allBands.as("b"),
+            col("a.bh") === col("b.bh") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(lit(1)).select(col("doc_a"), col("doc_b"))
+      },
+      Some(
+        s"""WITH ${shinglesSql(docsNearSql)},
+           |hashed AS (SELECT doc_id, ${ringHashSql("shingle")} AS h
+           |           FROM shingles),
+           |sigs AS (SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashed GROUP BY doc_id),
+           |bands AS ($bandsSql),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |          FROM bands a JOIN bands b
+           |            ON a.bh = b.bh AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b FROM pairs
+           |WHERE doc_a % 1000000 >= $deltaFrom
+           |   OR doc_b % 1000000 >= $deltaFrom""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67, q78, q96)
 }
