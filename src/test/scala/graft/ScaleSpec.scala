@@ -71,4 +71,30 @@ class ScaleSpec extends SparkSuite {
     // and the join result is correct
     assert(j.count() == 3)
   }
+
+  test("round-5 corpus operators keep every window keyed") {
+    // the packing (q79) and shard (q83) windows must partition by their
+    // shard column — an unkeyed window serializes the corpus through
+    // one task (the q87 naive form this library exists to avoid)
+    for (q <- Seq(graft.queries.CorpusQueries.q79,
+        graft.queries.CorpusQueries.q83)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"${q.name} plans an unkeyed window:\n$plan")
+    }
+  }
+
+  test("q96 incremental run shingles only the delta batch") {
+    val out = graft.queries.DedupQueries.q96.run(spark, sf)
+    out.collect()
+    // the incremental stage must source history from the STORED index,
+    // not recompute it: the final plan reads graft_dedup_index parquet
+    // (the delta-side document scan sits under the persisted delta-sig
+    // relation and is therefore delta-filtered by construction)
+    // (string probe: AQE wraps the plan, so FileSourceScanExec nodes
+    // aren't reachable via collect here)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("graft_dedup_index"),
+      "incremental run must read the persisted signature index")
+  }
 }
