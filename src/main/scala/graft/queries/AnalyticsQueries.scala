@@ -433,6 +433,80 @@ object AnalyticsQueries {
           |FROM s""".stripMargin))
   }
 
+  /** q97 — conversion FUNNEL: per signed-up user, the first purchase at
+    * or after their first signup, bucketed by conversion latency. Two
+    * keyed aggregations and one broadcast-able join of per-user
+    * scalars — no window over the raw event stream. */
+  val q97 = Q("q97_funnel",
+    (s, d) => {
+      val e = Catalog.events(s, d)
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts_signup"))
+      val firstPurchase = e.filter(col("event_type") === "purchase")
+        .join(signup, "user_id")
+        .filter(col("ts") >= col("ts_signup"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts_purchase"))
+      signup.join(firstPurchase, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("ts_purchase").isNull, "never")
+            .when(datediff(to_date(col("ts_purchase")),
+              to_date(col("ts_signup"))) === 0, "same_day")
+            .when(datediff(to_date(col("ts_purchase")),
+              to_date(col("ts_signup"))) <= 7, "within_week")
+            .otherwise("later").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+    },
+    Some(
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS ts_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, min(e.ts) AS ts_purchase
+        |  FROM events e JOIN su USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.ts_signup
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT su.user_id,
+        |    CASE WHEN fp.ts_purchase IS NULL THEN 'never'
+        |         WHEN date_diff('day', CAST(su.ts_signup AS DATE),
+        |           CAST(fp.ts_purchase AS DATE)) = 0 THEN 'same_day'
+        |         WHEN date_diff('day', CAST(su.ts_signup AS DATE),
+        |           CAST(fp.ts_purchase AS DATE)) <= 7 THEN 'within_week'
+        |         ELSE 'later' END AS bucket
+        |  FROM su LEFT JOIN fp USING (user_id))
+        |SELECT bucket, count(*) AS n_users FROM b GROUP BY 1""".stripMargin))
+
+  /** q98 — RETENTION COHORTS: users grouped by first-activity week, the
+    * classic cohort grid (cohort_week × week_offset → distinct active
+    * users). Weeks are exact integer day-diffs div 7 — no engine week()
+    * convention in sight. The per-user first-activity aggregate and the
+    * distinct (user, week) relation are both keyed shuffles. */
+  val q98 = Q("q98_retention_cohort",
+    (s, d) => {
+      val e = Catalog.events(s, d).select(col("user_id"),
+        expr("datediff(to_date(ts), date'2024-01-01') div 7").as("week"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val active = e.distinct()
+      active.join(cohort, "user_id")
+        .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week
+        |           FROM e GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70, q89, q90)
+    Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70, q89,
+      q90, q97, q98)
 }
