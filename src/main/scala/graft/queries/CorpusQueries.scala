@@ -436,5 +436,56 @@ object CorpusQueries {
          |FROM p GROUP BY 1""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91, q93)
+  /** q99 — DATA PROFILING audit ([[graft.ops.Profile]]): per-column
+    * null/distinct/min/max over documents in ONE scan (a per-column
+    * loop would scan the corpus once per column). The oracle is the
+    * per-column UNION ALL expansion. */
+  val q99 = Q("q99_profile",
+    (s, d) => graft.ops.Profile.profile(
+      Catalog.documents(s, d),
+      Seq("doc_id", "lang", "source", "n_chars")),
+    Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(one)
+        .mkString("\nUNION ALL\n")
+    })
+
+  /** q100 — SKEW-SALTED join + two-phase aggregation at the hard gate
+    * (SkewSpec proves the mechanics; this proves RESULTS): events join
+    * a per-user dim through [[graft.ops.Skew.saltedJoin]] (key spread
+    * over 8 salts) and the per-type revenue rolls up through
+    * [[graft.ops.Skew.saltedSumCount]]. Salting must be invisible to
+    * results — the oracle is the plain join + plain GROUP BY. */
+  val q100 = Q("q100_salted_join",
+    (s, d) => {
+      val e = Catalog.events(s, d).select(col("user_id"),
+        col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
+      val dim = e.groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
+        .select(col("user_id").as("u"), col("user_events"))
+      val joined = graft.ops.Skew.saltedJoin(e, dim, "user_id", "u", 8)
+        .select(col("event_type"),
+          (col("cents") * col("user_events")).as("weighted"))
+      graft.ops.Skew.saltedSumCount(joined, "event_type", "weighted", 8)
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |dim AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+        |        FROM e GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(sum(cents * user_events) AS BIGINT) AS sum_weighted,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e JOIN dim USING (user_id)
+        |GROUP BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91, q93,
+    q99, q100)
 }
