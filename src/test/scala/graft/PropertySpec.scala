@@ -138,6 +138,36 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("global rank equals the naive global window on arbitrary data") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 3)))
+    check("globalRank", Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((v, g), i) => (i.toLong, v, g) }
+        .toDF("id", "v", "g").repartition(5)
+      val got = graft.ops.GlobalRank.withRank(df,
+        Seq(col("v").desc, col("id").asc))
+        .select("id", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.zipWithIndex
+        .map { case ((v, _), i) => (i.toLong, v) }
+        .sortBy { case (id, v) => (-v, id) }
+        .zipWithIndex.map { case ((id, _), r) => id -> (r + 1L) }.toMap
+      got == want
+    })
+  }
+
+  test("profile counts nulls and distincts exactly") {
+    val gen = Gen.listOfN(30, Gen.option(Gen.choose(0L, 5L)))
+    check("profile", Prop.forAll(gen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val row = graft.ops.Profile.profile(df, Seq("v"))
+        .collect().head
+      row.getAs[Long]("n_rows") == vs.size &&
+        row.getAs[Long]("n_null") == vs.count(_.isEmpty) &&
+        row.getAs[Long]("n_distinct") == vs.flatten.distinct.size
+    })
+  }
+
   test("minhash signature is invariant under row duplication") {
     check("minhash-dup", Prop.forAll(Gen.listOfN(4,
       Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))) {
