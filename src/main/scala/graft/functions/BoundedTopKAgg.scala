@@ -90,4 +90,23 @@ object BoundedTopKAgg {
   def smallestCsv(c: Column, k: Int): Column =
     GraftSqlBridge.column(
       BoundedTopKAgg(GraftSqlBridge.expression(c), k).toAggregateExpression())
+
+  /** SQL registration: `bounded_topk(col, k)` with a foldable int k —
+    * injected by [[GraftExtensions]] so the SQL front door gets the
+    * aggregate too. */
+  val registryEntry: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("bounded_topk"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[BoundedTopKAgg].getName, "bounded_topk"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "bounded_topk takes (col, k)")
+      val k = args(1) match {
+        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+        case other => throw new IllegalArgumentException(
+          s"bounded_topk k must be a literal, got $other")
+      }
+      BoundedTopKAgg(args.head, k)
+    })
 }

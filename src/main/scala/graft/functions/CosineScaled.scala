@@ -124,6 +124,7 @@ object CosineScaled {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineScaled.registryEntry)
+    ext.injectFunction(BoundedTopKAgg.registryEntry)
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -59,4 +59,17 @@ class CosineScaledSpec extends SparkSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
   }
+
+  test("bounded_topk is SQL-callable and respects the literal-k contract") {
+    val (id, info, builder) = graft.functions.BoundedTopKAgg.registryEntry
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val r = spark.sql(
+      "SELECT bounded_topk(v, 3) AS s FROM VALUES (5L), (1L), (4L), (2L), (9L) t(v)")
+      .first()
+    assert(r.getString(0) == "1,2,4")
+    val err = intercept[Exception] {
+      spark.sql("SELECT bounded_topk(v, v) FROM VALUES (1L) t(v)").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
 }
