@@ -506,7 +506,36 @@ object AnalyticsQueries {
         |FROM active JOIN cohort USING (user_id)
         |GROUP BY 1, 2""".stripMargin))
 
+  /** q101 — MEDIAN ABSOLUTE DEVIATION (the robust dispersion measure
+    * behind outlier fences): per-group median of |x − median(x)| over
+    * exact integer cents — two grouped exact-percentile passes with a
+    * broadcast of the per-group medians between them. */
+  val q101 = Q("q101_mad",
+    (s, d) => {
+      val e = Catalog.lineitem(s, d).select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("c"))
+      val med = e.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(c, 0.5)").as("median_cents"))
+      e.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("median_cents"),
+          abs(col("c").cast("double") - col("median_cents")).as("dev"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("median_cents")).as("median_cents"),
+          expr("percentile(dev, 0.5)").as("mad_cents"))
+    },
+    Some(
+      """WITH e AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, quantile_cont(c, 0.5) AS median_cents
+        |      FROM e GROUP BY 1)
+        |SELECT l_returnflag, min(median_cents) AS median_cents,
+        |  quantile_cont(abs(CAST(c AS DOUBLE) - median_cents), 0.5)
+        |    AS mad_cents
+        |FROM e JOIN m USING (l_returnflag)
+        |GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70, q89,
-      q90, q97, q98)
+      q90, q97, q98, q101)
 }
