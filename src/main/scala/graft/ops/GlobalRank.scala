@@ -29,6 +29,9 @@ object GlobalRank {
   /** Adds `rank` (1-based, dense in the row_number sense) under the
     * total order `order`. */
   def withRank(df: DataFrame, order: Seq[Column]): DataFrame = {
+    require(Seq("_pid", "rank").forall(!df.columns.contains(_)),
+      "withRank() adds rank (and uses _pid internally); " +
+        "rename conflicting input columns first")
     val parts = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())

@@ -60,6 +60,9 @@ object KMeans {
     var cent = collectCent(vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), posexplode(col("iv")))
       .select(col("cid"), col("pos").as("p"), col("col").as("c")))
+    require(cent.nonEmpty,
+      s"no seed vectors: corpus has no vec_id < $k (assignment would " +
+        "silently be NULL)")
     var asg = assignTo(cent)
     for (_ <- 2 to iters) {
       // round(mean) keeps centroids integer → next pass stays exact.

@@ -19,6 +19,10 @@ object Packing {
   def pack(df: DataFrame, shardCol: String, idCol: String,
       tokCol: String, budget: Int): DataFrame = {
     require(budget > 0)
+    require(Seq("start_off", "seq_id", "seq_off")
+      .forall(!df.columns.contains(_)),
+      "pack() adds seq_id/seq_off (and uses start_off internally); " +
+        "rename conflicting input columns first")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("start_off",
