@@ -71,8 +71,18 @@ case class BoundedTopKAgg(child: Expression, k: Int,
     buf
   }
 
-  // input must be LongType (child.eval is cast to Long); no
-  // ExpectsInputTypes mixin — AbstractDataType is private[sql]
+  // enforce LongType at analysis (ExpectsInputTypes is unavailable —
+  // AbstractDataType is private[sql] — but checkInputDataTypes is not):
+  // without this, an int/decimal column passes analysis and the
+  // update() cast throws ClassCastException mid-job on an executor
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"bounded_topk requires BIGINT input, got ${child.dataType.sql}")
+
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   override def prettyName: String = "bounded_topk"
@@ -103,7 +113,11 @@ object BoundedTopKAgg {
     (args: Seq[Expression]) => {
       require(args.length == 2, "bounded_topk takes (col, k)")
       val k = args(1) match {
-        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+        case e if e.foldable => e.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"bounded_topk k must be a non-null integer literal, got $other")
+        }
         case other => throw new IllegalArgumentException(
           s"bounded_topk k must be a literal, got $other")
       }

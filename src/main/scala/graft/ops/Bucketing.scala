@@ -19,26 +19,47 @@ object Bucketing {
 
   /** Write `df` as a bucketed+sorted parquet table at `path` registered
     * as `table` in the session catalog. WRITE-ONCE semantics: if the
-    * table is already registered in this session with matching row
-    * count, the write is skipped — that IS the operator's contract (pay
-    * the layout shuffle once, join forever); rewriting per query would
-    * charge every consumer the one-time cost. A count mismatch (or a
-    * missing/unregistered path) rebuilds from scratch: drop + dir wipe
-    * first, so stale files from a dead session can't mix generations. */
+    * table is registered and the input's row count matches the count
+    * SENTINEL recorded at write time, the write is skipped — that IS
+    * the operator's contract (pay the layout shuffle once, join
+    * forever); rewriting per query would charge every consumer the
+    * one-time cost. The sentinel (a `_graft_rows` file beside the data)
+    * makes the check one input count — never a target scan — and
+    * detects a changed source even across sessions; a mismatch rebuilds
+    * from scratch (drop + dir wipe, so stale files from a dead session
+    * can't mix generations). Same-count-different-content updates are
+    * NOT detected — pass a changed `path` (versioned layout dirs, the
+    * standard practice) when the source can mutate in place. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       buckets: Int, key: String): Unit = {
     val spark = df.sparkSession
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sentinel = new Path(path + "_graft_rows")
+    val inputRows = df.count()
     val current = spark.catalog.tableExists(table) && fs.exists(p) &&
-      (try spark.table(table).count() == df.count()
-       catch { case _: Throwable => false })
+      fs.exists(sentinel) && readLong(fs, sentinel).contains(inputRows)
     if (!current) {
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       fs.delete(p, true)
+      fs.delete(sentinel, true)
       df.write.format("parquet").mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
         .option("path", path).saveAsTable(table)
+      val out = fs.create(sentinel, true)
+      try out.write(inputRows.toString.getBytes("UTF-8"))
+      finally out.close()
     }
   }
+
+  private def readLong(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[Long] =
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+      } finally in.close()
+    } catch { case _: Throwable => None }
 }

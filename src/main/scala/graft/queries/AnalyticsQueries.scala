@@ -393,22 +393,31 @@ object AnalyticsQueries {
         val e = Catalog.events(s, d).select(col("event_type"),
           datediff(to_date(col("ts")), lit("2024-01-01")).cast("bigint").as("x"),
           round(col("value") * 100).cast("bigint").as("y"))
+        // the per-row products are exact in int64 (x ≤ ~10⁴ days,
+        // y ≤ ~10⁷ cents), but their SUMS are accumulated in
+        // decimal(38,0): Σ(y·y) wraps int64 past ~10⁹ rows per group —
+        // exactly the 100 TB regime this query exists for
         val sums = e.groupBy(col("event_type")).agg(
-          count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("y") * col("y")).as("syy"))
-        val covN = d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy"))
-        val varX = d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx"))
-        val varY = d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy"))
+          count(lit(1)).as("n"),
+          sum(d38(col("x"))).as("sx"),
+          sum(d38(col("y"))).as("sy"),
+          sum(d38(col("x") * col("x"))).as("sxx"),
+          sum(d38(col("x") * col("y"))).as("sxy"),
+          sum(d38(col("y") * col("y"))).as("syy"))
+        val covN = d38(col("n")) * col("sxy") - col("sx") * col("sy")
+        val varX = d38(col("n")) * col("sxx") - col("sx") * col("sx")
+        val varY = d38(col("n")) * col("syy") - col("sy") * col("sy")
+        // zero-variance groups (single event, or all on one day) emit
+        // NULL instead of NaN/Infinity — mirrored by the oracle's NULLIF
+        val slope = (covN.cast("double")
+          / when(varX === 0, lit(null)).otherwise(varX).cast("double"))
         sums.select(col("event_type"), col("n"),
-          (covN.cast("double") / varX.cast("double")).as("slope"),
-          ((col("sy").cast("double") - (covN.cast("double") / varX.cast("double"))
-            * col("sx").cast("double")) / col("n").cast("double"))
-            .as("intercept"),
+          slope.as("slope"),
+          ((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n").cast("double")).as("intercept"),
           (covN.cast("double")
-            / (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+            / when(varX === 0 || varY === 0, lit(null))
+              .otherwise(sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
             .as("corr_xy"))
       },
       Some(
@@ -423,13 +432,13 @@ object AnalyticsQueries {
           |      FROM e GROUP BY 1)
           |SELECT event_type, CAST(n AS BIGINT) AS n,
           |  CAST(n * sxy - sx * sy AS DOUBLE)
-          |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+          |    / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS slope,
           |  (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
-          |    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          |    / CAST(n AS DOUBLE) AS intercept,
+          |    / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+          |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
           |  CAST(n * sxy - sx * sy AS DOUBLE)
-          |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-          |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+          |    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0) AS corr_xy
           |FROM s""".stripMargin))
   }
 

@@ -383,11 +383,13 @@ object CorpusQueries {
     * projection; the composition adds nothing super-linear. */
   val q93 = Q("q93_pack_pipeline",
     (s, d) => {
+      // q80's output already carries n_tokens — reusing it saves a
+      // second regex tokenization pass over the corpus
       val rep = q80.run(s, d)
-        .filter(col("rep_label") === "ok").select(col("doc_id"))
+        .filter(col("rep_label") === "ok")
+        .select(col("doc_id"), col("n_tokens"))
       val keep = Catalog.documents(s, d)
         .select(col("doc_id"), col("source"),
-          tokenCount(col("text")).cast("bigint").as("n_tokens"),
           fingerprintMd5(col("text")).as("fp"))
         .join(rep, "doc_id")
       val canon = keep.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))

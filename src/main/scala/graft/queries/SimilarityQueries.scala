@@ -458,9 +458,14 @@ object SimilarityQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cells = graft.ops.KMeans.assign(vecs, k, iters = 2)
           .select(col("vec_id"), col("cid"))
+        // persisted: vec feeds BOTH self-join sides — without it the
+        // corpus union, the cell join and the sign-bit scaling all run
+        // twice (the k-means assignment projection is the dominant
+        // per-row arithmetic here)
         val vec = corpus.join(cells, "vec_id")
           .select(col("vec_id"), col("cid"), col("embedding"),
             signBits(Similarity.intVec(col("embedding"))).as("sb"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         vec.as("a").join(vec.as("b"),
             col("a.cid") === col("b.cid") && col("a.sb") === col("b.sb") &&
               col("a.vec_id") < col("b.vec_id"))
