@@ -529,5 +529,95 @@ object SimilarityQueries {
            |WHERE cosine >= $thr""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60, q68, q84)
+  /** q102 — PRODUCT QUANTIZATION (the PQ/ADC member of the ANN family,
+    * completing brute → LSH → IVF → trained-IVF → PQ): the 64-dim
+    * integer vectors split into 8 subspaces of 8 dims; each subspace
+    * has a 4-cell codebook (subvectors of the first 4 vectors — the
+    * deterministic seeds-as-codebook choice, same convention as q60's
+    * seeding); every vector encodes to 8 small codes, and the
+    * asymmetric distance to the query is the sum of 8 PRECOMPUTED
+    * query-to-centroid subdistances looked up by code. Codebooks and
+    * the query's distance table are driver-collected literals (5 rows +
+    * a 8×4 long table), so encode+ADC is a ZERO-shuffle projection per
+    * row and the only ordering work is the bounded top-k
+    * (TakeOrdered). All arithmetic is exact int64; ties break
+    * (distance, cell) / (adc, vec_id) — total orders both engines
+    * share. */
+  val q102 = {
+    val numSub = 8
+    val subDim = 8
+    val cells = 4
+    Q("q102_pq_ann",
+      (s, d) => {
+        val vecs = intVecs(s, d).select(col("vec_id"), col("iv"))
+        val small = vecs
+          .filter(col("vec_id") < cells || col("vec_id") === queryVecId)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val seeds = (0 until cells).map(c => small(c.toLong))
+        val qv = small(queryVecId)
+        def sub(v: Seq[Long], si: Int): Seq[Long] =
+          v.slice(si * subDim, (si + 1) * subDim)
+        def d2(a: Seq[Long], b: Seq[Long]): Long =
+          a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+        // qdTable(si)(c): exact ||q_si - seed_c,si||², the ADC lookup
+        val qdTable = (0 until numSub).map(si =>
+          (0 until cells).map(c => d2(sub(qv, si), sub(seeds(c), si))))
+        val adc = (0 until numSub).map { si =>
+          val sv = slice(col("iv"), si * subDim + 1, subDim)
+          val code = array_min(array((0 until cells).map { c =>
+            struct(
+              aggregate(zip_with(sv, typedlit(sub(seeds(c), si)),
+                (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+                .as("d2"),
+              lit(c).as("cid"))
+          }: _*)).getField("cid")
+          element_at(typedlit(qdTable(si)), code + 1)
+        }.reduce(_ + _)
+        vecs.filter(col("vec_id") =!= queryVecId)
+          .select(col("vec_id"), adc.as("adc"))
+          .orderBy(col("adc").asc, col("vec_id").asc).limit(topK)
+      },
+      Some {
+        def dist(tbl: String, si: Int, c: Int): String = {
+          val off = si * subDim
+          s"list_aggregate(list_transform(generate_series(1, $subDim), " +
+            s"j -> ($tbl.iv[$off + j] - s$c.iv[$off + j]) * " +
+            s"($tbl.iv[$off + j] - s$c.iv[$off + j])), 'sum')"
+        }
+        val distCols = (for (si <- 0 until numSub; c <- 0 until cells)
+          yield s"${dist("v", si, c)} AS d${si}_$c").mkString(",\n    ")
+        val qdCols = (for (si <- 0 until numSub; c <- 0 until cells)
+          yield s"${dist("q", si, c)} AS qd${si}_$c").mkString(",\n    ")
+        def codeCase(si: Int): String =
+          s"CASE WHEN d${si}_0 <= d${si}_1 AND d${si}_0 <= d${si}_2 " +
+            s"AND d${si}_0 <= d${si}_3 THEN 0 " +
+            s"WHEN d${si}_1 <= d${si}_2 AND d${si}_1 <= d${si}_3 THEN 1 " +
+            s"WHEN d${si}_2 <= d${si}_3 THEN 2 ELSE 3 END"
+        val termCols = (0 until numSub).map(si =>
+          s"CASE ${codeCase(si)} " +
+            (0 until cells).map(c => s"WHEN $c THEN qd.qd${si}_$c").mkString(" ") +
+            s" END AS t$si").mkString(",\n    ")
+        val seedsCtes = (0 until cells).map(c =>
+          s"s$c AS (SELECT iv FROM iv WHERE vec_id = $c)").mkString(",\n")
+        s"""WITH iv AS ($intVecsSql),
+           |$seedsCtes,
+           |qv AS (SELECT iv FROM iv WHERE vec_id = $queryVecId),
+           |qd AS (SELECT
+           |    $qdCols
+           |  FROM qv q, ${(0 until cells).map(c => s"s$c").mkString(", ")}),
+           |dists AS (SELECT v.vec_id,
+           |    $distCols
+           |  FROM iv v, ${(0 until cells).map(c => s"s$c").mkString(", ")}
+           |  WHERE v.vec_id <> $queryVecId)
+           |SELECT vec_id,
+           |  CAST(${(0 until numSub).map(si => s"t$si").mkString(" + ")}
+           |    AS BIGINT) AS adc
+           |FROM (SELECT vec_id,
+           |    $termCols
+           |  FROM dists, qd)
+           |ORDER BY adc, vec_id LIMIT $topK""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102)
 }
