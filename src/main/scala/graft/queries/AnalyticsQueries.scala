@@ -544,7 +544,41 @@ object AnalyticsQueries {
         |FROM e JOIN m USING (l_returnflag)
         |GROUP BY 1""".stripMargin))
 
+  /** q104 — EQUI-WIDTH HISTOGRAM: order values bucketed into 10 fixed
+    * $50k bins (top bin clamps the tail), per-bin count and exact
+    * cent-bounds — the one-scan shape dashboards and data-profiling use
+    * (q99's numeric sibling). Bucket arithmetic is integer division on
+    * exact cents — no width_bucket builtin dependence, no float
+    * boundaries, so the two engines cannot disagree on edge values.
+    * One keyed aggregation; at 100 TB the map-side partial combine
+    * reduces each partition to ≤10 rows before the shuffle. */
+  val q104 = {
+    val widthCents = 5000000L // $50k bins
+    val nBuckets = 10L
+    Q("q104_histogram",
+      (s, d) => Catalog.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        // `div`, not `/`: Column./ on bigints is IEEE double division
+        .select(least(expr(s"cents DIV ${widthCents}L"),
+          lit(nBuckets - 1)).cast("bigint").as("bucket"), col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .withColumn("bucket_lo_cents", col("bucket") * widthCents),
+      Some(
+        s"""WITH c AS (
+           |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders)
+           |SELECT least(cents // $widthCents, ${nBuckets - 1}) AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  min(cents) AS min_cents, max(cents) AS max_cents,
+           |  least(cents // $widthCents, ${nBuckets - 1}) * $widthCents
+           |    AS bucket_lo_cents
+           |FROM c GROUP BY 1""".stripMargin))
+  }
+
   val all: Seq[Q] =
     Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70, q89,
-      q90, q97, q98, q101)
+      q90, q97, q98, q101, q104)
 }

@@ -412,5 +412,77 @@ object DedupQueries {
            |   OR doc_b % 1000000 >= $deltaFrom""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67, q78, q96)
+  /** q110 — N-GRAM DECONTAMINATION (the GPT-3-style sibling of q67's
+    * whole-document fingerprint anti-join): a document is contaminated
+    * if more than half its distinct token 13-grams appear in the
+    * benchmark set — which catches PARTIAL verbatim inclusion (a
+    * benchmark question pasted mid-document) that whole-doc hashing
+    * misses. The benchmark here is every 40th doc with its first 5
+    * tokens dropped, so flagged docs overlap high-but-below-1.0 —
+    * exercising the threshold, not just exact self-match. Shapes: grams
+    * are hashed to bigints before the join (the shuffle carries 8-byte
+    * keys, not 100-byte strings); the benchmark gram set is
+    * dimension-sized → broadcast semi join; per-doc fractions are exact
+    * int ratios. */
+  val q110 = {
+    val n = 13
+    val dropPrefix = 5
+    val gramExpr = // 13-token sliding windows, [] when the doc is shorter
+      s"""CASE WHEN size(toks) >= $n
+         |  THEN transform(sequence(1, size(toks) - ${n - 1}),
+         |    i -> array_join(slice(toks, i, $n), ' '))
+         |  ELSE slice(toks, 1, 0) END""".stripMargin // typed empty array
+    Q("q110_ngram_decontaminate",
+      (s, d) => {
+        val docs = Catalog.documents(s, d)
+          .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text"))
+            .as("toks"))
+        val grams = docs
+          .select(col("doc_id"), explode(expr(gramExpr)).as("g"))
+          .select(col("doc_id"), graft.functions.Hash60(col("g")).as("gh"))
+          .distinct()
+        val bench = docs.filter(col("doc_id") % 40 === 0)
+          .select(slice(col("toks"), lit(dropPrefix + 1),
+            greatest(size(col("toks")) - dropPrefix, lit(0))).as("toks"))
+          .select(explode(expr(gramExpr)).as("g"))
+          .select(graft.functions.Hash60(col("g")).as("gh"))
+          .distinct()
+        val hits = grams.join(broadcast(bench), Seq("gh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("contaminated",
+            col("n_hit") * 2L > col("n_grams")) // frac > 0.5, exact ints
+      },
+      Some {
+        def gramsSql(toks: String) =
+          s"""list_transform(generate_series(1, len($toks) - ${n - 1}),
+             |  i -> array_to_string(($toks)[i : i + ${n - 1}], ' '))""".stripMargin
+        val tokSql = """regexp_split_to_array(text, '\s+')"""
+        s"""WITH d AS (SELECT doc_id, $tokSql AS toks FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id,
+           |    ${TextQueries.hash60Sql("u.g")} AS gh
+           |  FROM d, unnest(${gramsSql("d.toks")}) AS u(g)),
+           |bench AS (
+           |  SELECT DISTINCT ${TextQueries.hash60Sql("u.g")} AS gh
+           |  FROM (SELECT toks[${dropPrefix + 1} : len(toks)] AS toks
+           |        FROM d WHERE doc_id % 40 = 0) b,
+           |       unnest(${gramsSql("b.toks")}) AS u(g)),
+           |hits AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+           |  FROM grams WHERE gh IN (SELECT gh FROM bench) GROUP BY 1),
+           |tot AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           |  FROM grams GROUP BY 1)
+           |SELECT doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+           |  COALESCE(n_hit, 0) * 2 > n_grams AS contaminated
+           |FROM tot LEFT JOIN hits USING (doc_id)""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67, q78, q96,
+    q110)
 }

@@ -324,5 +324,62 @@ object EtlQueries {
           |FROM events GROUP BY 1, 2""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71)
+  /** q108 — MERGE (upsert) application: one CDC change batch — deletes,
+    * updates, inserts keyed on c_custkey — applied to a base snapshot in
+    * a single pass, the `MERGE INTO … WHEN MATCHED/NOT MATCHED` protocol
+    * of warehouse SQL re-expressed for a file-based target (the
+    * row-level sibling of IncrementalLoad's partition-level
+    * delete-insert). Shape: ONE left join of base onto the change batch
+    * (broadcast when the batch is dimension-sized, shuffle otherwise)
+    * deciding keep/update/delete per row, plus a union of the inserts —
+    * never a per-op pass over the target. Money handled as exact cents.
+    * The change batch is derived deterministically from the base so the
+    * oracle can reconstruct it. */
+  val q108 = Q("q108_merge_upsert",
+    (s, d) => {
+      val base = graft.tables.Catalog.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("bigint").as("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"),
+          col("c_mktsegment"))
+      // the CDC batch: key%10==0 → D, key%10==1 → U (+$123.45), and an
+      // insert stream keyed above the base range for key%10==2
+      val matched = base.filter(col("c_custkey") % 10 <= 1)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, "D").otherwise("U").as("op"),
+          (col("bal_cents") + 12345L).as("new_bal_cents"))
+      val inserts = base.filter(col("c_custkey") % 10 === 2)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NewCustomer#"), col("c_custkey").cast("string"))
+            .as("c_name"),
+          col("c_nationkey"), col("bal_cents"), col("c_mktsegment"),
+          lit("inserted").as("row_status"))
+      base.join(matched, Seq("c_custkey"), "left")
+        .filter(col("op").isNull || col("op") === "U") // WHEN MATCHED DELETE
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          when(col("op") === "U", col("new_bal_cents"))
+            .otherwise(col("bal_cents")).as("bal_cents"), // WHEN MATCHED UPDATE
+          col("c_mktsegment"),
+          when(col("op") === "U", "updated").otherwise("kept")
+            .as("row_status"))
+        .unionByName(inserts) // WHEN NOT MATCHED INSERT
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_mktsegment
+        |  FROM customer)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 10 = 1 THEN bal_cents + 12345
+        |       ELSE bal_cents END AS bal_cents,
+        |  c_mktsegment,
+        |  CASE WHEN c_custkey % 10 = 1 THEN 'updated' ELSE 'kept' END
+        |    AS row_status
+        |FROM base WHERE c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'NewCustomer#' || c_custkey,
+        |  c_nationkey, bal_cents, c_mktsegment, 'inserted'
+        |FROM base WHERE c_custkey % 10 = 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108)
 }

@@ -543,7 +543,115 @@ object RelationalQueries {
         |  TRUE AS within_bound
         |FROM lineitem GROUP BY 1""".stripMargin))
 
+  /** q105 — CORRELATED SUBQUERY breadth through the SQL front door:
+    * EXISTS, NOT EXISTS, IN, and a correlated scalar COUNT subquery —
+    * the forms SQL-pipeline users write instead of explicit semi/anti
+    * joins (q27 is the DataFrame spelling). One shared SQL text runs in
+    * BOTH engines, so the oracle also proves the front door parses the
+    * same dialect. Catalyst decorrelates every form into joins —
+    * RewritePredicateSubquery turns EXISTS/IN into semi/anti hash joins,
+    * the scalar count into an aggregate + left join — so nothing here
+    * executes per-row at scale. */
+  val q105 = {
+    val text =
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderpriority = '1-URGENT') AS n_urgent
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 5000)
+        |  AND c.c_custkey IN (SELECT o_custkey FROM orders
+        |                      WHERE o_orderdate >= TIMESTAMP '1996-01-01')""".stripMargin
+    Q("q105_exists_subquery",
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql(text)
+      },
+      Some(text))
+  }
+
+  /** q106 — MERGEABLE DISTINCT SKETCHES (Apache DataSketches HLL): the
+    * scale path for COUNT(DISTINCT) over 100 TB is not one giant
+    * shuffle but per-partition sketches unioned upward — here per
+    * (priority, month) sketches of the customer set are built with
+    * `hll_sketch_agg`, then `hll_union_agg` merges twelve monthly
+    * sketches into the per-priority estimate WITHOUT re-touching the
+    * fact (the re-aggregation property q31's plain
+    * approx_count_distinct doesn't expose). Like q31/q95 the oracle
+    * verifies the sketch's contract, not its engine-specific value:
+    * exact distinct plus a flag that the merged estimate landed within
+    * 5% (lgK=12 → 3σ ≈ 4.9%); DuckDB emits literal TRUE. */
+  val q106 = Q("q106_hll_sketch_merge",
+    (s, d) => {
+      val monthly = Catalog.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          month(col("o_orderdate")).as("m"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val merged = monthly.groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      val exact = Catalog.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+      exact.join(merged, "o_orderpriority")
+        .select(col("o_orderpriority"), col("exact_cust"),
+          (abs(col("approx") - col("exact_cust"))
+            <= col("exact_cust") * lit(0.05)).as("within_bound"))
+    },
+    Some(
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
+        |  TRUE AS within_bound
+        |FROM orders GROUP BY 1""".stripMargin))
+
+  /** q107 — RANGE (INTERVAL) JOIN via day-bucket expansion: count
+    * shipments falling inside each promo window `[o_orderdate,
+    * o_orderdate + 3 days)` of the urgent-order sample. The naive form
+    * is a pure theta join — every engine plans it as a nested loop over
+    * fact × windows. The scale path: explode each window into the day
+    * buckets it touches (≤4 rows per window — dimension-sized), equi-
+    * join the fact on its OWN day bucket (broadcast, zero fact shuffle),
+    * then apply the exact timestamp predicate as a residual filter.
+    * Same bucketing trick as the as-of join family; works for any
+    * bounded-width interval. The oracle IS the naive theta join —
+    * hash-green proves the bucketed rewrite loses/duplicates nothing
+    * (a window's boundary day buckets overlap the next window's). */
+  val q107 = Q("q107_range_join",
+    (s, d) => {
+      val windows = Catalog.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderkey") % 29 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("ws"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("we"))
+      val buckets = windows.withColumn("day",
+        explode(sequence(to_date(col("ws")), to_date(col("we")))))
+      val li = Catalog.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"),
+          to_date(col("l_shipdate")).as("day"))
+      val hits = li.join(broadcast(buckets), "day")
+        .filter(col("l_shipdate") >= col("ws") && col("l_shipdate") < col("we"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      windows.join(hits, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n"), lit(0L)).cast("bigint").as("n_shipped"))
+    },
+    Some(
+      """WITH w AS (
+        |  SELECT o_orderkey, o_orderdate AS ws,
+        |    o_orderdate + INTERVAL 3 DAY AS we
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 29 = 0)
+        |SELECT w.o_orderkey,
+        |  CAST(count(l.l_orderkey) AS BIGINT) AS n_shipped
+        |FROM w LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= w.ws AND l.l_shipdate < w.we
+        |GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
-      q54, q64, q65, q69, q72, q73, q74, q76, q92, q95)
+      q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107)
 }

@@ -251,5 +251,123 @@ object TextQueries {
         |UNION ALL
         |SELECT doc_id, NULL, NULL FROM la WHERE len(longs) = 0""".stripMargin))
 
-  val all: Seq[Q] = Seq(q14, q15, q16, q17, q62, q66, q75)
+  /** q103 — ACCENT FOLDING via the custom codegen expression
+    * [[graft.functions.FoldAccents]] (NFD + strip combining marks — the
+    * standard normalization pass before multilingual dedup). The corpus
+    * text is ASCII, so each doc is suffixed with a fixed accented probe
+    * string to force real decomposition work; the oracle is DuckDB's
+    * utf8proc-backed `strip_accents`, so hash-green proves the JVM
+    * normalizer and utf8proc agree byte-for-byte. Folding changes the
+    * fingerprint — the pre/post hash pair shows the collision effect
+    * dedup relies on. */
+  val q103 = {
+    val probe = " Résumé żółć café naïve Zürich mañana ÀÉÎÕÜ pâté"
+    Q("q103_fold_accents",
+      (s, d) => {
+        val withProbe = concat(col("text"), lit(probe))
+        Catalog.documents(s, d).select(col("doc_id"),
+          graft.functions.FoldAccents(withProbe).as("folded"),
+          hash60(withProbe).as("h_raw"),
+          hash60(graft.functions.FoldAccents(withProbe)).as("h_folded"))
+      },
+      Some {
+        val withProbe = s"text || ' ${probe.trim}'"
+        s"""SELECT doc_id, strip_accents($withProbe) AS folded,
+           |  ${hash60Sql(withProbe)} AS h_raw,
+           |  ${hash60Sql(s"strip_accents($withProbe)")} AS h_folded
+           |FROM documents""".stripMargin
+      })
+  }
+
+  /** q109 — BM25 RANKED RETRIEVAL: the classic keyword-search scorer
+    * (Robertson k1=1.2, b=0.75) over the documents table, top 10 docs
+    * for a 3-term query. Shapes for 100 TB: per-doc token explode is
+    * filtered to the QUERY TERMS before the tf aggregation (the shuffle
+    * carries only matching postings, not the corpus vocabulary);
+    * corpus-level stats (N, avgdl) are a 2-value broadcast; the final
+    * top-k is a TakeOrdered, never a global sort. Scores are
+    * micro-quantized bigints (ln is the one non-correctly-rounded libm
+    * call) with doc_id tiebreak — a total order, so the LIMIT set is
+    * deterministic in both engines. */
+  val q109 = {
+    val terms = Seq("vector", "merge", "stream")
+    val k1 = "1.2"
+    val b = "0.75"
+    Q("q109_bm25_search",
+      (s, d) => {
+        val docs = Catalog.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("bigint"))
+        val stats = docs.agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+            .as("avgdl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+          .filter(col("t").isInCollection(terms))
+          .groupBy(col("doc_id"), col("dl"), col("t"))
+          .agg(count(lit(1)).cast("bigint").as("tf"))
+        val dfreq = tf.groupBy(col("t"))
+          .agg(count(lit(1)).cast("bigint").as("df"))
+        val scored = tf.join(broadcast(dfreq), "t")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("t"),
+            (log((col("n_docs").cast("double") - col("df").cast("double")
+              + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+              * (col("tf").cast("double") * lit(k1.toDouble + 1.0))
+              / (col("tf").cast("double") + lit(k1.toDouble)
+                * (lit(1.0 - b.toDouble) + lit(b.toDouble)
+                  * col("dl").cast("double") / col("avgdl"))))
+              .as("part"))
+        // fixed-order term sum (p0 + p1 + p2), never sum(double) — the
+        // accumulation order is part of the result contract
+        val perTerm = terms.zipWithIndex.map { case (t, i) =>
+          coalesce(max(when(col("t") === t, col("part"))), lit(0.0)).as(s"p$i")
+        }
+        scored.groupBy(col("doc_id"))
+          .agg(perTerm.head, perTerm.tail: _*)
+          .select(col("doc_id"),
+            round(terms.indices.map(i => col(s"p$i")).reduce(_ + _) * 1e6)
+              .cast("bigint").as("score_micro"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some {
+        val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+        val tokSqlArr = """regexp_split_to_array(text, '\s+')"""
+        s"""WITH d AS (SELECT doc_id, $tokSqlArr AS toks FROM documents),
+           |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |              AS avgdl
+           |          FROM dd),
+           |tf AS (SELECT doc_id, dl, u.t, CAST(count(*) AS BIGINT) AS tf
+           |       FROM dd, unnest(dd.toks) AS u(t)
+           |       WHERE list_contains($termList, u.t)
+           |       GROUP BY 1, 2, 3),
+           |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |scored AS (
+           |  SELECT doc_id, t,
+           |    ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+           |        / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+           |      * (CAST(tf AS DOUBLE) * (1.0 + $k1))
+           |      / (CAST(tf AS DOUBLE) + $k1
+           |        * ((1.0 - $b) + $b * CAST(dl AS DOUBLE) / avgdl)) AS part
+           |  FROM tf JOIN df USING (t), stats),
+           |byterm AS (
+           |  SELECT doc_id,
+           |    ${terms.zipWithIndex.map { case (t, i) =>
+                  s"COALESCE(max(CASE WHEN t = '$t' THEN part END), 0.0) AS p$i"
+                }.mkString(",\n    ")}
+           |  FROM scored GROUP BY 1)
+           |SELECT doc_id,
+           |  CAST(round((${terms.indices.map(i => s"p$i").mkString(" + ")})
+           |    * 1e6) AS BIGINT) AS score_micro
+           |FROM byterm
+           |ORDER BY score_micro DESC, doc_id
+           |LIMIT 10""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] = Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109)
 }
