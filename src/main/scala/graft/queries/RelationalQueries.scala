@@ -651,7 +651,38 @@ object RelationalQueries {
         |  ON l.l_shipdate >= w.ws AND l.l_shipdate < w.we
         |GROUP BY 1""".stripMargin))
 
+  /** q111 — BLOOM-FILTER SEMI-JOIN REDUCTION ([[graft.ops.BloomPrune]]):
+    * lineitem is pre-filtered by a broadcast bloom filter over the
+    * urgent-order key set BEFORE the exact semi join, so at scale the
+    * shuffle carries only might-match rows — the explicit, heuristics-
+    * independent form of Spark's InjectRuntimeFilter, built from the
+    * same internal BloomFilterAggregate / BloomFilterMightContain
+    * expressions. The bloom is a few hundred KB regardless of key count
+    * (where a broadcast hash relation of the keys would not be), and
+    * false positives are removed by the exact join that follows — the
+    * oracle is the PLAIN semi join, so hash-green proves the prune is
+    * result-invisible. */
+  val q111 = Q("q111_bloom_semi_join",
+    (s, d) => {
+      val urgent = Catalog.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.ops.BloomPrune.semiJoin(
+        Catalog.lineitem(s, d), "l_orderkey", urgent, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("bigint")).as("qty_cents"))
+    },
+    Some(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
-      q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107)
+      q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
+      q111)
 }
