@@ -126,6 +126,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineScaled.registryEntry)
     ext.injectFunction(BoundedTopKAgg.registryEntry)
     ext.injectFunction(FoldAccents.registryEntry)
+    ext.injectFunction(CmsSketch.mergeRegistryEntry)
+    ext.injectFunction(CmsSketch.estimateRegistryEntry)
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -578,7 +578,62 @@ object AnalyticsQueries {
            |FROM c GROUP BY 1""".stripMargin))
   }
 
+  /** q114 — ITERATIVE GRAPH COMPUTE ([[graft.ops.PageRank]]): 3
+    * PageRank iterations over the part↔supplier co-occurrence graph
+    * (node ids disambiguated as part·2 / supp·2+1; each distinct
+    * lineitem pairing contributes both directed edges). Every iteration
+    * is one key-partitioned join + groupBy over a persisted
+    * edge relation — the join-based formulation that scales where
+    * driver-side graph libraries don't. Integer micro-unit ranks make
+    * the fixpoint arithmetic EXACT, so the oracle (the same three
+    * iterations unrolled as DuckDB CTEs) hash-matches bit-for-bit —
+    * no epsilon, unlike FP PageRank. Top-20 by rank. */
+  val q114 = Q("q114_pagerank",
+    (s, d) => {
+      val li = Catalog.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("p"),
+          (col("l_suppkey") * 2 + 1).as("sp"))
+      val edges = li.select(col("p").as("src"), col("sp").as("dst"))
+        .union(li.select(col("sp").as("src"), col("p").as("dst")))
+        .distinct()
+      graft.ops.PageRank.run(edges, 3)
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    },
+    Some(
+      """WITH pairs AS (
+        |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp FROM lineitem),
+        |edges AS (
+        |  SELECT p AS src, sp AS dst FROM pairs
+        |  UNION
+        |  SELECT sp AS src, p AS dst FROM pairs),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r0 r ON r.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT)
+        |           AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON c.node = n.node),
+        |c2 AS (SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r1 r ON r.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT)
+        |           AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON c.node = n.node),
+        |c3 AS (SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r2 r ON r.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT)
+        |           AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON c.node = n.node)
+        |SELECT node, rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70, q89,
-      q90, q97, q98, q101, q104)
+      q90, q97, q98, q101, q104, q114)
 }

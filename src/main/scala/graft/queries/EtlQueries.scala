@@ -381,5 +381,49 @@ object EtlQueries {
         |  c_nationkey, bal_cents, c_mktsegment, 'inserted'
         |FROM base WHERE c_custkey % 10 = 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108)
+  /** q113 — SNAPSHOT DIFF / change-data-feed GENERATION
+    * ([[graft.ops.SnapshotDiff]]): q108's inverse — given two snapshots
+    * of a keyed table, derive the I/U/D batch that turns one into the
+    * other, in ONE key-partitioned full-outer join (at 100 TB both
+    * snapshots are bucketed on the key, so the join is co-located; no
+    * driver state, nothing O(n²)). Update detection is null-safe struct
+    * equality, so NULL↔value transitions classify as updates. Snapshots
+    * are derived deterministically from orders: "old" drops key%97==0,
+    * "new" drops key%89==0 and bumps totalprice by $1 for key%13==0 —
+    * so the expected feed is reconstructible by the oracle. */
+  val q113 = Q("q113_snapshot_diff",
+    (s, d) => {
+      val base = graft.tables.Catalog.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("bigint").as("price_cents"))
+      val oldSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 13 === 0, col("price_cents") + 100L)
+            .otherwise(col("price_cents")))
+      graft.ops.SnapshotDiff.diff(oldSnap, newSnap,
+        keyCols = Seq("o_orderkey"),
+        compareCols = Seq("o_orderstatus", "price_cents"))
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |old AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+        |new AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN price_cents + 100
+        |         ELSE price_cents END AS price_cents
+        |  FROM base WHERE o_orderkey % 89 <> 0)
+        |SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+        |  CASE WHEN old.o_orderkey IS NULL THEN 'I'
+        |       WHEN new.o_orderkey IS NULL THEN 'D'
+        |       ELSE 'U' END AS change_type
+        |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+        |  OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+        |  OR old.price_cents IS DISTINCT FROM new.price_cents""".stripMargin))
+
+  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108, q113)
 }

@@ -178,5 +178,41 @@ object LoadQueries {
         |JOIN dim USING (day)
         |GROUP BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(q12, q13, q85, q94)
+  /** q115 — FILE-LEVEL DATA SKIPPING ([[graft.ops.DataSkipping]]):
+    * zone-map pruning from plain parquet — lineitem is laid out
+    * range-clustered on l_shipdate (8 files via repartitionByRange, the
+    * write pattern that makes stats tight), a one-scan stats table
+    * records each file's min/max, and a quarter-long range query prunes
+    * the FILE LIST before the scan opens anything (DataSkippingSpec
+    * pins that ~¾ of the files are skipped). Complements q94: DPP
+    * prunes by partition directory at runtime, this prunes inside an
+    * unpartitioned directory by clustering stats — the Delta/Iceberg
+    * skipping mechanism. The exact predicate re-applies after the
+    * prune, so the oracle is the plain filtered aggregate. */
+  val q115 = Q("q115_data_skipping",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_skip/$tag/lineitem_by_shipdate"
+      Catalog.lineitem(s, d)
+        .repartitionByRange(8, col("l_shipdate"))
+        .write.mode("overwrite").parquet(base)
+      val stats = graft.ops.DataSkipping.buildStats(s, base, "l_shipdate")
+      graft.ops.DataSkipping.prunedRead(s, base, stats, "l_shipdate",
+          lit("1995-03-01 00:00:00").cast("timestamp"),
+          lit("1995-05-31 23:59:59").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("bigint")).as("qty_cents"))
+    },
+    Some(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+        |  AND TIMESTAMP '1995-05-31 23:59:59'
+        |GROUP BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115)
 }

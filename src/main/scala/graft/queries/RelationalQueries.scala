@@ -681,8 +681,47 @@ object RelationalQueries {
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin))
 
+  /** q112 — MERGEABLE FREQUENCY SKETCHES (count-min heavy hitters,
+    * [[graft.functions.CmsMergeAgg]]/[[graft.functions.CmsEstimate]]):
+    * q106's roll-up story for COUNTS instead of DISTINCTs. Per-month
+    * sketches of the part-key stream are built with Spark's builtin
+    * `count_min_sketch`, merged upward by the custom cms_merge
+    * aggregate (partial/final merged map-side — the fact is touched
+    * once, ever), and the merged sketch is probed for the 20 true
+    * heaviest keys. Like q31/q95/q106 the oracle verifies the sketch's
+    * CONTRACT, not an engine value: exact counts plus the CMS bound
+    * `exact ≤ estimate ≤ exact + ⌈ε·N⌉` (deterministic here — fixed
+    * seed); DuckDB emits literal TRUE. */
+  val q112 = Q("q112_cms_heavy_hitters",
+    (s, d) => {
+      val eps = 1e-4; val conf = 0.999; val seed = 7
+      val li = Catalog.lineitem(s, d)
+      val monthly = li
+        .groupBy(month(col("l_shipdate")).as("m"))
+        .agg(count_min_sketch(col("l_partkey"),
+            lit(eps), lit(conf), lit(seed)).as("sk"),
+          count(lit(1)).as("n"))
+      val merged = monthly.agg(
+        graft.functions.CmsSketch.merge(col("sk"), eps, conf, seed).as("sk"),
+        sum(col("n")).as("total"))
+      val top = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("l_partkey")).limit(20)
+      val est = graft.functions.CmsSketch.estimate(col("sk"), col("l_partkey"))
+      top.crossJoin(broadcast(merged))
+        .select(col("l_partkey"), col("exact_n"),
+          (est >= col("exact_n") &&
+            est <= col("exact_n") + ceil(lit(eps) * col("total")).cast("bigint"))
+            .as("within_bound"))
+    },
+    Some(
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1
+        |ORDER BY exact_n DESC, l_partkey LIMIT 20""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
-      q111)
+      q111, q112)
 }
