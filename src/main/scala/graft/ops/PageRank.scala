@@ -27,7 +27,10 @@ object PageRank {
   /** `edges`: directed (src BIGINT, dst BIGINT), pre-deduplicated.
     * Returns (node, rank) over nodes = src ∪ dst. */
   def run(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // only the two relations REUSED each iteration are persisted; the
+    // raw edge list is consumed once building each, and caching it
+    // would just double the memory footprint
+    val e = edges.select(col("src"), col("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -425,5 +425,47 @@ object EtlQueries {
         |  OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
         |  OR old.price_cents IS DISTINCT FROM new.price_cents""".stripMargin))
 
-  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108, q113)
+  /** q117 — INCREMENTAL DISTINCT-COUNT STATE (q71 × q106): the
+    * daily-active-users state table is per-day HLL sketches, and a
+    * late-arriving delta batch maintains it by sketching ITSELF and
+    * merging in with one day-keyed outer join — `hll_union` on the one
+    * overlapping day (the cutoff falls mid-day to force that path),
+    * pass-through for history days. Raw history is never re-read after
+    * bootstrap: maintenance cost is O(state + delta), and the state
+    * stays mergeable for further roll-ups (weekly/monthly), which a
+    * stored `count(DISTINCT)` number can never be. Oracle verifies the
+    * estimate contract per day (lgK=12 → 3σ ≈ 4.9%): exact distinct
+    * users + bound flag, DuckDB emits TRUE. */
+  val q117 = Q("q117_incremental_distinct_state",
+    (s, d) => {
+      val ev = graft.tables.Catalog.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+      val cutoff = lit("2024-01-20 12:00:00").cast("timestamp")
+      val state = ev.filter(col("ts") < cutoff)
+        .groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val delta = ev.filter(col("ts") >= cutoff)
+        .groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .toDF("day_d", "sk_d") // renamed: both derive from ev (self-join)
+      val nextState = state
+        .join(delta, col("day") === col("day_d"), "full_outer")
+        .select(coalesce(col("day"), col("day_d")).as("day"),
+          when(col("sk").isNotNull && col("sk_d").isNotNull,
+            hll_union(col("sk"), col("sk_d")))
+            .otherwise(coalesce(col("sk"), col("sk_d"))).as("sk"))
+      val exact = ev.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(
+          nextState.select(col("day").as("day_s"),
+            hll_sketch_estimate(col("sk")).as("approx")),
+          col("day") === col("day_s"))
+        .select(col("day"), col("exact_users"),
+          (abs(col("approx") - col("exact_users"))
+            <= col("exact_users") * lit(0.05)).as("within_bound"))
+    },
+    Some(
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108, q113, q117)
 }

@@ -214,5 +214,59 @@ object LoadQueries {
         |  AND TIMESTAMP '1995-05-31 23:59:59'
         |GROUP BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115)
+  /** q119 — TABLE CHECKSUM / replica divergence
+    * ([[graft.ops.TableChecksum]]): two copies of orders — one with 15
+    * tampered rows (key%1000==1, +1 cent) — are compared by exchanging
+    * 64 bucket checksums instead of the table. Row fingerprint =
+    * Hash60 over a canonical `key|status|cents` concat (bit-identical
+    * in DuckDB via the md5-prefix idiom); bucket checksum = BIT_XOR of
+    * fingerprints, so it's order- and partitioning-invariant and any
+    * one-row change flips its bucket. Output = the diverged-bucket
+    * worklist with both sides' checksums; the oracle recomputes both
+    * replicas' checksums declaratively and must produce the same
+    * buckets AND the same checksum values. */
+  val q119 = Q("q119_table_checksum",
+    (s, d) => {
+      import graft.ops.TableChecksum
+      val base = Catalog.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      val tampered = base.withColumn("cents",
+        when(col("o_orderkey") % 1000 === 1, col("cents") + 1L)
+          .otherwise(col("cents")))
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        graft.functions.Hash60(concat_ws("|",
+          df("o_orderkey").cast("string"), df("o_orderstatus"),
+          df("cents").cast("string")))
+      val a = TableChecksum.checksums(base,
+        col("o_orderkey") % 64, fp(base))
+      val b = TableChecksum.checksums(tampered,
+        col("o_orderkey") % 64, fp(tampered))
+      TableChecksum.diverged(a, b)
+    },
+    Some(
+      s"""WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderkey % 64 AS bucket,
+        |    bit_xor(${TextQueries.hash60Sql(
+               "o_orderkey || '|' || o_orderstatus || '|' || cents")})
+        |      AS checksum_a,
+        |    count(*) AS rows_a
+        |  FROM base GROUP BY 1),
+        |b AS (
+        |  SELECT o_orderkey % 64 AS bucket,
+        |    bit_xor(${TextQueries.hash60Sql(
+               "o_orderkey || '|' || o_orderstatus || '|' || " +
+               "(CASE WHEN o_orderkey % 1000 = 1 THEN cents + 1 ELSE cents END)")})
+        |      AS checksum_b,
+        |    count(*) AS rows_b
+        |  FROM base GROUP BY 1)
+        |SELECT bucket, checksum_a, checksum_b, rows_a, rows_b
+        |FROM a JOIN b USING (bucket)
+        |WHERE checksum_a <> checksum_b OR rows_a <> rows_b""".stripMargin))
+
+  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119)
 }

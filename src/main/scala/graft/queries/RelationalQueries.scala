@@ -720,8 +720,49 @@ object RelationalQueries {
         |FROM lineitem GROUP BY 1
         |ORDER BY exact_n DESC, l_partkey LIMIT 20""".stripMargin))
 
+  /** q116 — JOIN-SIZE ESTIMATION WITHOUT THE JOIN
+    * ([[graft.functions.FreqSketchAgg]]/[[graft.functions.SketchInnerProduct]]):
+    * the AMS/count-min inner-product technique — each side's key
+    * frequencies are sketched in ONE map-side-combined scan, and
+    * `min_i Σ_j A[i][j]·B[i][j]` over the two KB-sized tables estimates
+    * `|orders ⋈ lineitem|` before any join executes. This is the input
+    * a cost-based planner needs to pick broadcast vs shuffle vs skew
+    * handling up front; at 100 TB the sketches cost two scans that
+    * pipeline with whatever else reads the tables, vs actually running
+    * the join to find out. Oracle pattern of q106/q112: exact join size
+    * plus a flag that the deterministic (fixed-seed) estimate obeys
+    * `true ≤ est ≤ true + ε·Na·Nb`; DuckDB emits literal TRUE. */
+  val q116 = Q("q116_join_size_estimate",
+    (s, d) => {
+      val depth = 5; val width = 4096; val seed = 99L
+      val o = Catalog.orders(s, d)
+      val l = Catalog.lineitem(s, d)
+      val skO = o.agg(
+        graft.functions.FreqSketch.agg(col("o_orderkey"), depth, width, seed)
+          .as("sk_o"), count(lit(1)).as("n_o"))
+      val skL = l.agg(
+        graft.functions.FreqSketch.agg(col("l_orderkey"), depth, width, seed)
+          .as("sk_l"), count(lit(1)).as("n_l"))
+      val est = graft.functions.FreqSketch.innerProduct(col("sk_o"), col("sk_l"))
+      val trueSize = o.select(col("o_orderkey"))
+        .join(l.select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("true_join_rows"))
+      // ε = e/width; slack = ⌈ε·n_o·n_l⌉ (the CM inner-product bound)
+      trueSize.crossJoin(skO.crossJoin(skL))
+        .select(col("true_join_rows"),
+          (est >= col("true_join_rows") &&
+            est <= col("true_join_rows") +
+              ceil(lit(math.E / width) * col("n_o") * col("n_l"))
+                .cast("bigint")).as("within_bound"))
+    },
+    Some(
+      """SELECT CAST(count(*) AS BIGINT) AS true_join_rows,
+        |  TRUE AS within_bound
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
-      q111, q112)
+      q111, q112, q116)
 }

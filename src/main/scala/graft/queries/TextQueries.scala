@@ -369,5 +369,48 @@ object TextQueries {
       })
   }
 
-  val all: Seq[Q] = Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109)
+  /** q118 — VOCABULARY INDUCTION + OOV ACCOUNTING: the tokenizer-prep
+    * pass — induce the top-200 corpus vocabulary (count-ranked,
+    * token-tiebroken so the cut is deterministic in both engines) and
+    * measure per-language out-of-vocabulary rates against it. The OOV
+    * rate is parts-per-million via exact integer division — no FP. The
+    * vocab is dimension-sized by construction, so membership is a
+    * broadcast left join against the token stream (never a shuffle of
+    * the corpus); counts and the vocab cut are one map-side-combined
+    * groupBy each. This is the coverage report that decides vocab size
+    * / byte-fallback policy before committing to a tokenizer. */
+  val q118 = Q("q118_vocab_oov",
+    (s, d) => {
+      val toks = Catalog.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(200)
+        .select(col("token"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_v").isNull, 1)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT lang, u.token
+        |  FROM (SELECT lang, regexp_split_to_array(text, '\s+') AS t
+        |        FROM documents) d, unnest(d.t) u(token)),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS cnt FROM toks
+        |    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 200)),
+        |j AS (
+        |  SELECT lang, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks LEFT JOIN vocab v USING (token))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  (CAST(sum(oov) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |    AS oov_ppm
+        |FROM j GROUP BY 1""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118)
 }
