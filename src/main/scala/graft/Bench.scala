@@ -50,10 +50,13 @@ object Bench {
     // tail the driver retains — a full-name line (~4 KB at 78 queries) gets
     // truncated there and has never parsed (BENCH_r01..r04 "parsed": null).
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // compact line: 2 decimals (10 ms) — at 130+ queries every byte
+    // counts against the ~2k stdout tail the driver retains
+    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"DETAIL $detail")
-    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"steady_state","queries":$qs,"sf":"$sfDir"}""")

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries,
   EtlQueries, LoadQueries, MultimodalQueries, Parity, PipelineQueries, Q,
-  RelationalQueries, SimilarityQueries, TextQueries}
+  RelationalQueries, SimilarityQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,7 +13,7 @@ object SparkEntry {
     Parity.all ++ EtlQueries.all ++ LoadQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       RelationalQueries.all ++ PipelineQueries.all ++ AnalyticsQueries.all ++
-      CorpusQueries.all
+      CorpusQueries.all ++ StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 25-column three-branch fact union — the reference's core build

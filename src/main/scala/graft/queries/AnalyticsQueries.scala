@@ -633,7 +633,193 @@ object AnalyticsQueries {
         |SELECT node, rank FROM r3
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin))
 
+  /** q120 — INTERVAL MERGE (gaps-and-islands): coalesce each user's
+    * overlapping 30-minute activity intervals into maximal sessions.
+    * The standard two-window formulation: an island opens exactly where
+    * the running max of previous interval ends fails to reach the
+    * current start, and a running sum of those openings numbers the
+    * islands. Both windows share ONE partitioning+ordering — a single
+    * shuffle and sort serve the whole query; the final roll-up groups
+    * on (user, island). Event_id breaks timestamp ties so the order —
+    * and therefore the hash — is total. */
+  val q120 = Q("q120_interval_merge",
+    (s, d) => {
+      val iv = Catalog.events(s, d).select(
+        col("user_id"), col("event_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+      val prevEnd = max(col("e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val opens = when(prevEnd.isNull || col("s") > prevEnd, 1L).otherwise(0L)
+      iv.withColumn("island",
+          sum(opens).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("interval_start"),
+          max(col("e")).as("interval_end"),
+          count(lit(1)).as("n_events"))
+    },
+    Some(
+      """WITH iv AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+        |         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_end
+        |  FROM iv),
+        |isl AS (
+        |  SELECT *, sum(CASE WHEN prev_end IS NULL OR s > prev_end
+        |                     THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY s, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS island
+        |  FROM m)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |       min(s) AS interval_start, max(e) AS interval_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM isl GROUP BY 1, 2""".stripMargin))
+
+  /** q121 — EWMA (α = 1/2, 16-point lookback) over each user's purchase
+    * series, in EXACT integer arithmetic: the weighted sum and the
+    * weight total are emitted as bigint numerator/denominator (weights
+    * are powers of two, so both are exact; a float pow() chain would
+    * accumulate engine-specific rounding and never hash-match).
+    *
+    * Shape note: the whole computation is ONE window pass — collect the
+    * 16-row frame as an array and fold it with higher-order functions
+    * (transform-with-index + aggregate), all codegen-friendly and
+    * executor-local. The oracle computes the same thing relationally
+    * (bounded self-join on row offsets) — two formulations, one
+    * answer. At 100 TB the array form wins: no pair fan-out, state is
+    * O(lookback) per row. */
+  val q121 = Q("q121_ewma",
+    (s, d) => {
+      val p = Catalog.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
+      p.withColumn("arr", collect_list(col("cents")).over(w))
+        .select(col("user_id"), col("event_id"),
+          expr("""aggregate(
+                 |  transform(arr, (x, i) ->
+                 |    x * shiftleft(1L, 15 - (size(arr) - 1 - i))),
+                 |  0L, (a, v) -> a + v)""".stripMargin).as("ewma_num"),
+          expr("""aggregate(
+                 |  transform(arr, (x, i) ->
+                 |    shiftleft(1L, 15 - (size(arr) - 1 - i))),
+                 |  0L, (a, v) -> a + v)""".stripMargin).as("ewma_den"))
+    },
+    Some(
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS i
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a.event_id,
+        |       CAST(sum(b.cents * (CAST(1 AS BIGINT) << (15 - (a.i - b.i))))
+        |            AS BIGINT) AS ewma_num,
+        |       CAST(sum(CAST(1 AS BIGINT) << (15 - (a.i - b.i)))
+        |            AS BIGINT) AS ewma_den
+        |FROM p a JOIN p b
+        |  ON a.user_id = b.user_id AND b.i BETWEEN a.i - 15 AND a.i
+        |GROUP BY 1, 2""".stripMargin))
+
+  /** q122 — SUFFICIENT-STATISTICS OUTLIER FLAGS: per event type, count
+    * the events beyond k = 1.5 population standard deviations, entirely
+    * in integer arithmetic. |x−μ| > kσ is rearranged to
+    * 4·(n·x−s)² > 9·(n·s2−s²) (k = 3/2), so the test needs only the
+    * suffstats (n, Σx, Σx²) in cents — no float mean/stddev whose
+    * accumulation order would differ across engines. Stats are computed
+    * once (one map-side-combined aggregate), broadcast back, and the
+    * flags re-aggregate — two narrow shuffles of ~|types| rows total.
+    * decimal(38,0)/HUGEINT keeps the squares exact far past the int64
+    * horizon (~sf1000 at these magnitudes); k is a parameter — 1.5
+    * exercises both branches on this corpus where 3σ never fires. */
+  val q122 = Q("q122_zscore_outliers",
+    (s, d) => {
+      val D = "decimal(38,0)"
+      val e = Catalog.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("x"))
+      val st = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val dev = col("n").cast(D) * col("x").cast(D) - col("sx").cast(D)
+      val isOut = (dev * dev * lit(4).cast(D)) >
+        ((col("n").cast(D) * col("sxx").cast(D) -
+          col("sx").cast(D) * col("sx").cast(D)) * lit(9).cast(D))
+      e.join(broadcast(st), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          count(when(isOut, 1)).as("n_outliers"),
+          coalesce(sum(when(isOut, col("x"))), lit(0L)).cast("bigint")
+            .as("outlier_cents_sum"))
+    },
+    Some(
+      """WITH e AS (SELECT event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS x
+        |           FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |              sum(x * x) AS sxx
+        |       FROM e GROUP BY 1),
+        |f AS (SELECT e.event_type, e.x, st.n,
+        |             4 * (CAST(st.n AS HUGEINT) * e.x - st.sx)
+        |               * (CAST(st.n AS HUGEINT) * e.x - st.sx)
+        |             > 9 * (CAST(st.n AS HUGEINT) * st.sxx
+        |                    - CAST(st.sx AS HUGEINT) * st.sx) AS is_out
+        |      FROM e JOIN st USING (event_type))
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE is_out) AS BIGINT) AS n_outliers,
+        |       CAST(coalesce(sum(x) FILTER (WHERE is_out), 0) AS BIGINT)
+        |         AS outlier_cents_sum
+        |FROM f GROUP BY 1""".stripMargin))
+
+  /** q129 — NEW vs RETURNING users per day + cumulative reach: the
+    * growth-accounting roll-up (a user is "new" on their first active
+    * day). Heavy work is two keyed aggregations (per-user first day,
+    * per-day counts); the only unpartitioned window — the cumulative
+    * sum — runs over the ~|days| aggregated rows, never the events.
+    * At 100 TB the per-user first-day relation is exactly the
+    * incremental state a production pipeline would maintain (merge
+    * min(first_day) per delta, q71-style) instead of rescanning. */
+  val q129 = Q("q129_new_vs_returning",
+    (s, d) => {
+      val daily = Catalog.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      val perDay = daily.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("day") === col("first_day"), 1)).as("n_new"))
+      perDay.select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_users"))
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY 1),
+        |pd AS (SELECT day, count(*) AS n_active,
+        |              count(*) FILTER (WHERE day = first_day) AS n_new
+        |       FROM daily JOIN fd USING (user_id) GROUP BY 1)
+        |SELECT day, CAST(n_active AS BIGINT) AS n_active,
+        |       CAST(n_new AS BIGINT) AS n_new,
+        |       CAST(n_active - n_new AS BIGINT) AS n_returning,
+        |       CAST(sum(n_new) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_users
+        |FROM pd""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70, q89,
-      q90, q97, q98, q101, q104, q114)
+      q90, q97, q98, q101, q104, q114, q120, q121, q122, q129)
 }

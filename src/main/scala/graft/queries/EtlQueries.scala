@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.etl.{AggChina, Fact, ItemStatus, Tomford}
@@ -467,5 +468,71 @@ object EtlQueries {
         |  count(DISTINCT user_id) AS exact_users, TRUE AS within_bound
         |FROM events GROUP BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108, q113, q117)
+  /** q128 — DATA-QUALITY EXPECTATIONS (the dbt-test / Deequ constraint
+    * audit every managed pipeline runs before publish): NOT NULL,
+    * key uniqueness, referential integrity, a value-range bound and an
+    * accepted-values set, each reported as (violations, checked).
+    * Bounds are deliberately tight enough that two constraints FIRE on
+    * this corpus — an audit whose failure path is never exercised
+    * verifies nothing. Shape: one conditional aggregate per table plus
+    * one anti-join count for the FK — no row ever leaves the executors,
+    * the audit output is O(constraints). */
+  val q128 = {
+    import graft.tables.Catalog
+    Q("q128_expectations",
+      (s, d) => {
+        val o = Catalog.orders(s, d)
+        val l = Catalog.lineitem(s, d)
+        def row(name: String, violations: Column, checked: Column,
+            src: org.apache.spark.sql.DataFrame) =
+          src.agg(violations.cast("bigint").as("violations"),
+              checked.cast("bigint").as("checked"))
+            .select(lit(name).as("constraint_name"), col("violations"),
+              col("checked"))
+        val fk = l.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        row("orders.o_custkey NOT NULL",
+            count(when(col("o_custkey").isNull, 1)), count(lit(1)), o)
+          .unionAll(row("orders.o_orderkey UNIQUE",
+            count(lit(1)) - countDistinct(col("o_orderkey")),
+            count(lit(1)), o))
+          .unionAll(row("orders.o_orderstatus IN ('O','F')",
+            count(when(!col("o_orderstatus").isin("O", "F"), 1)),
+            count(lit(1)), o))
+          .unionAll(row("lineitem.l_discount <= 0.08",
+            count(when(col("l_discount") > 0.08, 1)), count(lit(1)), l))
+          .unionAll(fk.agg(count(lit(1)).cast("bigint").as("violations"))
+            .crossJoin(l.agg(count(lit(1)).cast("bigint").as("checked")))
+            .select(lit("lineitem.l_orderkey FK orders")
+              .as("constraint_name"), col("violations"), col("checked")))
+      },
+      Some(
+        """SELECT 'orders.o_custkey NOT NULL' AS constraint_name,
+          |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+          |    AS violations,
+          |  CAST(count(*) AS BIGINT) AS checked FROM orders
+          |UNION ALL
+          |SELECT 'orders.o_orderkey UNIQUE',
+          |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+          |  CAST(count(*) AS BIGINT) FROM orders
+          |UNION ALL
+          |SELECT 'orders.o_orderstatus IN (''O'',''F'')',
+          |  CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F'))
+          |       AS BIGINT),
+          |  CAST(count(*) AS BIGINT) FROM orders
+          |UNION ALL
+          |SELECT 'lineitem.l_discount <= 0.08',
+          |  CAST(count(*) FILTER (WHERE l_discount > 0.08) AS BIGINT),
+          |  CAST(count(*) AS BIGINT) FROM lineitem
+          |UNION ALL
+          |SELECT 'lineitem.l_orderkey FK orders',
+          |  CAST((SELECT count(*) FROM lineitem l
+          |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                          WHERE o.o_orderkey = l.l_orderkey))
+          |       AS BIGINT),
+          |  CAST(count(*) AS BIGINT) FROM lineitem""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108, q113, q117,
+    q128)
 }

@@ -268,5 +268,32 @@ object LoadQueries {
         |FROM a JOIN b USING (bucket)
         |WHERE checksum_a <> checksum_b OR rows_a <> rows_b""".stripMargin))
 
-  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119)
+  /** q127 — TARGETED (GDPR) DELETE with file pruning
+    * ([[graft.ops.TargetedDelete]]): events land range-clustered by
+    * user_id into 8 files; erasing 3 users rewrites only the files
+    * whose zone-map interval can contain them (TargetedDeleteSpec pins
+    * ≤ 3 of 8) — every other file keeps its bytes. The query returns
+    * the post-erase table, which must equal the oracle's
+    * `WHERE user_id NOT IN (…)` exactly — proving the file-level
+    * surgery is semantically just a delete. */
+  val q127 = Q("q127_targeted_delete",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_erase/$tag/events_by_user"
+      Catalog.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), round(col("value") * 100).cast("bigint")
+            .as("cents"))
+        .repartitionByRange(8, col("user_id"))
+        .write.mode("overwrite").parquet(base)
+      graft.ops.TargetedDelete.erase(s, base, "user_id", Seq(7L, 42L, 99L))
+      s.read.parquet(base)
+    },
+    Some(
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events WHERE user_id NOT IN (7, 42, 99)""".stripMargin))
+
+  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127)
 }

@@ -207,5 +207,33 @@ object PipelineQueries {
            |        FROM documents)) WHERE rn <= $n""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q41, q42, q46, q47, q77)
+  /** q123 — DETERMINISTIC FIXED-K PER-GROUP SAMPLE (the reservoir-sample
+    * analog for reproducible pipelines): the k "random" docs per source
+    * are the k smallest salted hashes — stable across runs, engines and
+    * partitionings, unlike rand()/reservoir state. One keyed window
+    * (rank ≤ k) is the whole query; at 100 TB swap the window for
+    * [[graft.plans.TopKPerGroup]]'s map-side heap trim — same result,
+    * no per-group sort. */
+  val q123 = Q("q123_group_sample",
+    (s, d) => {
+      val h = TextAnalysis.hash60(
+        concat(lit("sample|"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(h, col("doc_id"))
+      Catalog.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 32)
+        .select(col("source"), col("rk"), col("doc_id"), col("lang"))
+    },
+    Some {
+      val h = "CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+      s"""SELECT source, rk, doc_id, lang FROM (
+         |  SELECT source, doc_id, lang,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY $h, doc_id) AS BIGINT) AS rk
+         |  FROM documents)
+         |WHERE rk <= 32""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q41, q42, q46, q47, q77, q123)
 }

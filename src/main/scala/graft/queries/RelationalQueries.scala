@@ -761,8 +761,29 @@ object RelationalQueries {
         |  TRUE AS within_bound
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin))
 
+  /** q126 — ORDERED STRING AGGREGATION (LISTAGG/string_agg): customer
+    * names per nation, sorted then joined. Spark has no ordered
+    * string_agg aggregate; the portable-and-parallel form is
+    * collect_list → array_sort → array_join, which keeps the sort
+    * per-group on the executors (never a global ORDER BY) and is
+    * deterministic regardless of partitioning — the property the SQL
+    * `WITHIN GROUP (ORDER BY …)` clause exists to provide. */
+  val q126 = Q("q126_string_agg",
+    (s, d) => Catalog.customer(s, d)
+      .join(broadcast(Catalog.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        array_join(array_sort(collect_list(col("c_name"))), "|")
+          .as("names")),
+    Some(
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |       string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
-      q111, q112, q116)
+      q111, q112, q116, q126)
 }

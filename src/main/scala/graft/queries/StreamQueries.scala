@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingLoad
+
+/** Structured Streaming coverage beyond ingest (q26), sessionization
+  * (q37) and online near-dup (q90-family): the two remaining core
+  * streaming shapes — a watermarked STREAM-STREAM interval join and a
+  * tumbling-window streaming aggregation. Both run Trigger.AvailableNow
+  * over a staged copy of the events table and are verified against the
+  * equivalent batch SQL: with all input processed, the streaming result
+  * must equal the batch result exactly.
+  */
+object StreamQueries {
+
+  /** Stage `events.parquet` under a per-query scratch dir and wipe any
+    * previous run (rerun-safe, concurrent-sf-safe — same pattern as
+    * q26). Returns (srcDir, base). */
+  private def stage(s: SparkSession, d: String, tag: String): (String, String) = {
+    val base = s"/tmp/graft_stream/${tag}_${java.nio.file.Paths.get(d).getFileName}"
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+    val conf = s.sparkContext.hadoopConfiguration
+    FileUtil.copy(fs, new Path(s"$d/events.parquet"),
+      fs, new Path(s"$base/src/events.parquet"), false, conf)
+    (s"$base/src", base)
+  }
+
+  private def eventStream(s: SparkSession, srcDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(StreamingLoad.eventsRawSchema).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** q124 — watermarked STREAM-STREAM INTERVAL JOIN: each click joined
+    * to the same user's purchases within the following 30 minutes.
+    * State stays bounded because BOTH sides carry a watermark and the
+    * join condition bounds purchase time relative to click time — Spark
+    * derives the state eviction horizon from exactly that pair
+    * (clicks older than watermark - 30min can never match again).
+    * The oracle is the identical batch interval join. */
+  val q124 = Q("q124_stream_stream_join",
+    (s, d) => {
+      val (src, base) = stage(s, d, "q124")
+      val clicks = eventStream(s, src)
+        .filter(col("event_type") === "click")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = eventStream(s, src)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          round(col("value") * 100).cast("bigint").as("purchase_cents"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"), col("purchase_cents"))
+      val q = joined.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$base/out"); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+    },
+    Some(
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP)
+        |      <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin))
+
+  /** q125 — STREAMING TUMBLING-WINDOW AGGREGATION: daily count + exact
+    * cents sum per event type, maintained by the streaming engine and
+    * published complete per micro-batch (foreachBatch overwrite — the
+    * serving-table pattern). Complete mode is right here because the
+    * key space is bounded (days × event types); an unbounded key space
+    * would use append mode + watermark and accept that the tail window
+    * publishes one trigger late. Tumbling windows are epoch-aligned, so
+    * window.start == date_trunc('day') in the UTC session zone — the
+    * oracle is the identical batch roll-up. */
+  val q125 = Q("q125_stream_window_agg",
+    (s, d) => {
+      val (src, base) = stage(s, d, "q125")
+      val agg = eventStream(s, src)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("bigint")).as("cents_sum"))
+        .select(col("window.start").as("day_start"), col("event_type"),
+          col("n"), col("cents_sum"))
+      val q = agg.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$base/out"); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+    },
+    Some(
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |         AS day_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents_sum
+        |FROM events GROUP BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(q124, q125)
+}
