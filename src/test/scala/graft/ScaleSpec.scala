@@ -84,6 +84,39 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("round-5 window operators keep their windows keyed") {
+    // interval merge (q120), EWMA (q121), and group sampling (q123)
+    // must all partition their windows; q129's cumulative sum IS
+    // unpartitioned but runs post-aggregation over |days| rows, so it
+    // is exempt here and documented in PERF.md
+    for (q <- Seq(graft.queries.AnalyticsQueries.q120,
+        graft.queries.AnalyticsQueries.q121,
+        graft.queries.PipelineQueries.q123)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"${q.name} plans an unkeyed window:\n$plan")
+    }
+  }
+
+  test("q120 interval merge: both windows share one exchange") {
+    val df = graft.queries.AnalyticsQueries.q120.run(spark, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // prev-end max, island sum and the (user, island) roll-up must all
+    // reuse the user_id partitioning: one exchange total
+    assert(shuffles.size <= 1,
+      s"expected 1 shared exchange, got ${shuffles.size}")
+  }
+
+  test("q122 outlier flags broadcast the stats, never shuffle the events twice") {
+    val df = graft.queries.AnalyticsQueries.q122.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"suffstats must come back via broadcast:\n$plan")
+  }
+
   test("q96 incremental run shingles only the delta batch") {
     val out = graft.queries.DedupQueries.q96.run(spark, sf)
     out.collect()
