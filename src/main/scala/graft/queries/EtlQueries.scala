@@ -533,6 +533,46 @@ object EtlQueries {
           |  CAST(count(*) AS BIGINT) FROM lineitem""".stripMargin))
   }
 
+  /** q131 — OBSERVED METRICS (`Dataset.observe`): pipeline audit
+    * counters collected DURING a real write job — zero extra scans,
+    * the mechanism for q13-style audit counts at 100 TB where a
+    * second pass over the data to count it is unaffordable. The query
+    * writes lineitem through an observed projection, then returns the
+    * accumulated metrics as a one-row frame; the oracle recomputes the
+    * same aggregates declaratively — equality proves the streaming-
+    * accumulated metrics match a dedicated aggregation pass. */
+  val q131 = {
+    import graft.tables.Catalog
+    Q("q131_observed_metrics",
+      (s, d) => {
+        val tag = java.nio.file.Paths.get(d).getFileName.toString
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val obs = org.apache.spark.sql.Observation()
+        Catalog.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+          .observe(obs,
+            count(lit(1)).as("rows_written"),
+            sum(round(col("l_quantity") * 100).cast("bigint"))
+              .as("qty_cents"),
+            count(when(col("l_discount") > 0.08, 1)).as("flagged_rows"))
+          .write.mode("overwrite")
+          .parquet(s"/tmp/graft_observe/$tag/lineitem_copy")
+        val m = obs.get
+        import s.implicits._
+        Seq((m("rows_written").asInstanceOf[Long],
+          m("qty_cents").asInstanceOf[Long],
+          m("flagged_rows").asInstanceOf[Long]))
+          .toDF("rows_written", "qty_cents", "flagged_rows")
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS rows_written,
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+          |    AS qty_cents,
+          |  CAST(count(*) FILTER (WHERE l_discount > 0.08) AS BIGINT)
+          |    AS flagged_rows
+          |FROM lineitem""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108, q113, q117,
-    q128)
+    q128, q131)
 }

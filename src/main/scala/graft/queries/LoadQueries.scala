@@ -295,5 +295,48 @@ object LoadQueries {
         |       CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events WHERE user_id NOT IN (7, 42, 99)""".stripMargin))
 
-  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127)
+  /** q132 — TIME TRAVEL over versioned snapshots
+    * ([[graft.ops.Snapshots]]): publish a base version, publish an
+    * updated version (+1 cent on the q119-style tamper keys), then
+    * read BOTH versions as-of and aggregate each — proving an update
+    * never destroys readable history and version selection is exact.
+    * The oracle recomputes both versions' aggregates from the source
+    * table declaratively. Version reads are a directory choice (zero
+    * read-path overhead); SnapshotsSpec covers the commit-point rename,
+    * retention vacuum, and crash-stranded staging. */
+  val q132 = Q("q132_time_travel",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_snap/$tag/orders_versions"
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val v1 = Catalog.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      graft.ops.Snapshots.publish(s, base, v1)
+      val v2 = v1.withColumn("cents", col("cents") +
+        when(col("o_orderkey") % 1000 === 1, 1L).otherwise(0L))
+      graft.ops.Snapshots.publish(s, base, v2)
+      Seq(1, 2).map { v =>
+        graft.ops.Snapshots.asOf(s, base, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("total_cents"))
+      }.reduce(_ unionAll _)
+    },
+    Some(
+      """SELECT CAST(1 AS BIGINT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS total_cents
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                + CASE WHEN o_orderkey % 1000 = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT)
+        |FROM orders""".stripMargin))
+
+  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127, q132)
 }

@@ -782,8 +782,50 @@ object RelationalQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin))
 
+  /** q130 — NATIVE SESSION WINDOWS: `session_window(ts, gap)` in batch
+    * aggregation — the declarative form of q37's hand-built
+    * sessionization and the exact batch analog of the streaming session
+    * operator. The oracle derives sessions from first principles
+    * (gaps-and-islands over [ts, ts+gap) intervals) — hash-equality
+    * proves Spark's session semantics against the textbook definition,
+    * including the boundary rule: an event AT the previous session's
+    * end (s = prev_end) starts a NEW session, because [s, s+gap)
+    * intervals merge only when they properly overlap. One keyed
+    * aggregation; Spark plans it as a single exchange on user_id. */
+  val q130 = Q("q130_session_window",
+    (s, d) => Catalog.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("cents_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("cents_sum")),
+    Some(
+      """WITH iv AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+        |         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_end
+        |  FROM iv),
+        |isl AS (
+        |  SELECT *, sum(CASE WHEN prev_end IS NULL OR s >= prev_end
+        |                     THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY s, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS island
+        |  FROM m)
+        |SELECT user_id, min(s) AS session_start, max(e) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM isl GROUP BY user_id, island""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
-      q111, q112, q116, q126)
+      q111, q112, q116, q126, q130)
 }

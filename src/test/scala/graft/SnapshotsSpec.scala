@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Snapshots
+import graft.tables.Catalog
+
+class SnapshotsSpec extends SparkSuite {
+
+  private val base = "/tmp/graft_snap/spec/orders_versions"
+
+  private def reset(): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("publish assigns sequential versions and asOf reads each exactly") {
+    reset()
+    val o = Catalog.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    assert(Snapshots.publish(spark, base, o) == 1)
+    assert(Snapshots.publish(spark, base, o.limit(10)) == 2)
+    assert(Snapshots.versions(spark, base) == Seq(1, 2))
+    assert(Snapshots.latestVersion(spark, base).contains(2))
+    assert(Snapshots.asOf(spark, base, 1).count() == o.count())
+    assert(Snapshots.asOf(spark, base, 2).count() == 10)
+    // default read = current
+    assert(Snapshots.asOf(spark, base).count() == 10)
+  }
+
+  test("vacuum keeps the newest N and asOf on a vacuumed version fails loudly") {
+    reset()
+    val o = Catalog.orders(spark, sf).select(col("o_orderkey"))
+    (1 to 4).foreach(_ => Snapshots.publish(spark, base, o.limit(5)))
+    assert(Snapshots.vacuum(spark, base, 2) == Seq(1, 2))
+    assert(Snapshots.versions(spark, base) == Seq(3, 4))
+    intercept[IllegalArgumentException] {
+      Snapshots.asOf(spark, base, 1)
+    }
+  }
+
+  test("a stranded staging dir is invisible to readers and overwritten on retry") {
+    reset()
+    val o = Catalog.orders(spark, sf).select(col("o_orderkey"))
+    Snapshots.publish(spark, base, o.limit(3))
+    // simulate a crash mid-publish: staging exists, rename never happened
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".v=2__staging"))
+    assert(Snapshots.versions(spark, base) == Seq(1))
+    assert(Snapshots.asOf(spark, base).count() == 3)
+    // retry publishes v=2 cleanly over the stranded staging
+    assert(Snapshots.publish(spark, base, o.limit(7)) == 2)
+    assert(Snapshots.asOf(spark, base, 2).count() == 7)
+  }
+}
