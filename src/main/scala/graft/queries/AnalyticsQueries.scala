@@ -647,18 +647,9 @@ object AnalyticsQueries {
       val iv = Catalog.events(s, d).select(
         col("user_id"), col("event_id"), col("ts").as("s"),
         (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("s"), col("event_id"))
-      val prevEnd = max(col("e"))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-      val opens = when(prevEnd.isNull || col("s") > prevEnd, 1L).otherwise(0L)
-      iv.withColumn("island",
-          sum(opens).over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
-        .groupBy(col("user_id"), col("island"))
-        .agg(min(col("s")).as("interval_start"),
-          max(col("e")).as("interval_end"),
-          count(lit(1)).as("n_events"))
+      graft.ops.TimeSeries.mergeIslands(iv, col("user_id"), col("s"),
+          col("e"), col("event_id"))
+        .withColumnRenamed("key", "user_id")
     },
     Some(
       """WITH iv AS (
@@ -701,18 +692,10 @@ object AnalyticsQueries {
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts"),
           round(col("value") * 100).cast("bigint").as("cents"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
-      p.withColumn("arr", collect_list(col("cents")).over(w))
-        .select(col("user_id"), col("event_id"),
-          expr("""aggregate(
-                 |  transform(arr, (x, i) ->
-                 |    x * shiftleft(1L, 15 - (size(arr) - 1 - i))),
-                 |  0L, (a, v) -> a + v)""".stripMargin).as("ewma_num"),
-          expr("""aggregate(
-                 |  transform(arr, (x, i) ->
-                 |    shiftleft(1L, 15 - (size(arr) - 1 - i))),
-                 |  0L, (a, v) -> a + v)""".stripMargin).as("ewma_den"))
+      graft.ops.TimeSeries.ewmaNumDen(p, col("user_id"),
+          Seq(col("ts"), col("event_id")), col("cents"), 16)
+        .select(col("user_id"), col("event_id"), col("ewma_num"),
+          col("ewma_den"))
     },
     Some(
       """WITH p AS (

@@ -168,6 +168,68 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("interval merge equals brute-force merging on arbitrary intervals") {
+    // intervals as [s, s+len] over a small integer timeline so overlaps,
+    // touching endpoints (s == prev_end, which must MERGE), and gaps all
+    // occur; brute force merges sorted intervals per key directly
+    val gen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 40L), Gen.choose(1L, 8L)))
+    check("intervals", Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, s, len), i) => (k, i.toLong, s, s + len) }
+        .toDF("k", "tie", "s", "e")
+      val got = graft.ops.TimeSeries
+        .mergeIslands(df, col("k"), col("s"), col("e"), col("tie"))
+        .select(col("key"), col("interval_start"), col("interval_end"),
+          col("n_events"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.map(r => (r._2, r._2 + r._3)).sortBy(identity)
+        val islands = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+          case (acc, (s, e)) => acc match {
+            case (is, ie, n) :: rest if s <= ie =>
+              (is, math.max(ie, e), n + 1) :: rest
+            case _ => (s, e, 1L) :: acc
+          }
+        }
+        islands.map { case (s, e, n) => (k, s, e, n) }
+      }.toSet
+      got == want
+    })
+  }
+
+  test("EWMA num/den equals the direct weighted fold on arbitrary series") {
+    val gen = Gen.listOfN(20, Gen.zip(Gen.choose(0, 1), Gen.choose(0L, 999L)))
+    val lookback = 4
+    check("ewma", Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, i.toLong, v) }
+        .toDF("k", "pos", "v")
+      val got = graft.ops.TimeSeries
+        .ewmaNumDen(df, col("k"), Seq(col("pos")), col("v"), lookback)
+        .select(col("k"), col("pos"), col("ewma_num"), col("ewma_den"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val byKey = rows.zipWithIndex.groupBy(_._1._1)
+      byKey.forall { case (_, rs) =>
+        val series = rs.map { case ((k, v), i) => (k, i.toLong, v) }
+        series.zipWithIndex.forall { case ((k, pos, _), j) =>
+          val frame = series.slice(math.max(0, j - lookback + 1), j + 1)
+          val num = frame.zipWithIndex.map { case ((_, _, x), fi) =>
+            x * (1L << (lookback - frame.size + fi))
+          }.sum
+          val den = frame.zipWithIndex.map { case (_, fi) =>
+            1L << (lookback - frame.size + fi)
+          }.sum
+          got((k, pos)) == ((num, den))
+        }
+      }
+    })
+  }
+
   test("minhash signature is invariant under row duplication") {
     check("minhash-dup", Prop.forAll(Gen.listOfN(4,
       Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))) {
