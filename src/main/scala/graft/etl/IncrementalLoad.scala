@@ -79,6 +79,86 @@ object IncrementalLoad {
     FileSystem.get(new Path(path).toUri,
       spark.sparkContext.hadoopConfiguration)
 
+  /** Publish marker inside a completed staging dir: written ONLY after
+    * the staged parquet write finished, so its presence certifies the
+    * staging is a complete, publishable unit. Content is the publish
+    * mode ("FULL" | "DELTA <offset-day>") — everything recovery needs
+    * to re-run the publish tail after a crash. */
+  val markerName = "_graft_publish"
+
+  private[graft] def writeMarker(fs: FileSystem, staging: Path,
+      content: String): Unit = {
+    val out = fs.create(new Path(staging, markerName), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readMarker(fs: FileSystem, staging: Path): Option[String] = {
+    val p = new Path(staging, markerName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** FULL publish tail: retire the old target, promote the staged
+    * snapshot, drop the retired copy. Idempotent given a complete
+    * staging — rerunnable from any crash point (every byte is always
+    * under exactly one of target / __retired / __staging). */
+  private[graft] def publishFull(fs: FileSystem, targetP: Path,
+      staging: Path): Unit = {
+    val retired = new Path(targetP.toString + "__retired")
+    fs.delete(retired, true)
+    if (fs.exists(targetP)) fs.rename(targetP, retired)
+    fs.rename(staging, targetP) // publish; staging gone (S8)
+    fs.delete(retired, true)
+  }
+
+  /** DELTA publish tail: per-partition staged swap + emptied-partition
+    * cleanup + staging drop. Idempotent given a complete staging and
+    * the RECORDED staged-partition set (from the marker): partitions
+    * already moved out of staging by a crashed attempt are skipped
+    * (no longer listed), but the cleanup still honors the full
+    * original set — re-listing staging on recovery would otherwise
+    * mistake moved partitions for emptied ones and delete them. */
+  private[graft] def publishDelta(fs: FileSystem, targetP: Path,
+      staging: Path, offsetDayStr: String,
+      recordedParts: Set[String]): Unit = {
+    val nullPart = partCol + "=__HIVE_DEFAULT_PARTITION__"
+    val present = fs.listStatus(staging).iterator
+      .map(_.getPath.getName).filter(_.startsWith(partCol + "=")).toSet
+    present.foreach { name =>
+      val src = new Path(staging, name)
+      val dest = new Path(targetP, name)
+      if (name == nullPart && fs.exists(dest)) {
+        fs.listStatus(src).iterator
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .foreach(f => fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+        fs.delete(src, true)
+      } else {
+        val retire = new Path(targetP, "." + name + ".retire")
+        fs.delete(retire, true)
+        if (fs.exists(dest)) fs.rename(dest, retire)
+        fs.rename(src, dest)
+        fs.delete(retire, true)
+      }
+    }
+    // DELETE-scope partitions whose rows were all deleted with no
+    // fresh replacement — removed only now, after the publish.
+    if (fs.exists(targetP)) fs.listStatus(targetP).foreach { st =>
+      val name = st.getPath.getName
+      if (name.matches(partCol + "=\\d{4}-\\d{2}-\\d{2}") &&
+          name.stripPrefix(partCol + "=") >= offsetDayStr &&
+          !recordedParts.contains(name))
+        fs.delete(st.getPath, true)
+    }
+    fs.delete(staging, true) // DROP staging (S8)
+  }
+
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     if (fsFor(spark, path).exists(new Path(path))) Some(spark.read.parquet(path))
     else None
@@ -164,15 +244,14 @@ object IncrementalLoad {
       // (not deleted) before the staged snapshot renames in, so every
       // byte is always under exactly one of target / __retired /
       // __staging — a crash strands data in a sibling dir, never loses
-      // it. Recovery: if target is missing, promote __staging (complete
-      // snapshot) or restore __retired; then delete the other.
+      // it. Recovery = graft.ops.Recovery.recoverIncrementalTarget:
+      // the post-write publish marker makes the crash state
+      // machine-decidable (marker present ⇒ staging complete ⇒ re-run
+      // this publish tail; absent ⇒ write died ⇒ drop staging).
       next.write.partitionBy(partCol).mode("overwrite")
         .parquet(staging.toString)
-      val retired = new Path(params.targetPath + "__retired")
-      fs.delete(retired, true)
-      if (fs.exists(targetP)) fs.rename(targetP, retired)
-      fs.rename(staging, targetP) // publish; staging gone (S8)
-      fs.delete(retired, true)
+      writeMarker(fs, staging, "FULL")
+      publishFull(fs, targetP, staging)
     } else {
       // Delta publish — per-partition staged swap: stage kept∪fresh
       // (all rows have cdc_day >= date(offset)), then swap each staged
@@ -192,9 +271,10 @@ object IncrementalLoad {
       // reference's own delete-then-insert window, ref :29-317, is
       // strictly wider). No crash point loses data: every partition's
       // bytes live in exactly one of target/P, target/.P.retire, or
-      // __staging/P. Recovery: finish moving __staging partitions in,
-      // restore any .P.retire whose P is missing, then delete
-      // leftovers.
+      // __staging/P. Recovery = graft.ops.Recovery
+      // .recoverIncrementalTarget: the marker (mode + offset day,
+      // written only after the staged write completed) lets it re-run
+      // this exact publish tail idempotently.
       //
       // The NULL partition (__HIVE_DEFAULT_PARTITION__) is special: its
       // rows never satisfy the reference's `cdc > offset` delete
@@ -205,34 +285,11 @@ object IncrementalLoad {
       next.write.partitionBy(partCol).mode("overwrite")
         .parquet(staging.toString)
       val offsetDayStr = offset.take(10) // yyyy-MM-dd sorts like dates
-      val nullPart = partCol + "=__HIVE_DEFAULT_PARTITION__"
       val stagedNames = fs.listStatus(staging).iterator
         .map(_.getPath.getName).filter(_.startsWith(partCol + "=")).toSet
-      stagedNames.foreach { name =>
-        val src = new Path(staging, name)
-        val dest = new Path(targetP, name)
-        if (name == nullPart && fs.exists(dest)) {
-          fs.listStatus(src).iterator
-            .filterNot(_.getPath.getName.startsWith("_"))
-            .foreach(f => fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
-        } else {
-          val retire = new Path(targetP, "." + name + ".retire")
-          fs.delete(retire, true)
-          if (fs.exists(dest)) fs.rename(dest, retire)
-          fs.rename(src, dest)
-          fs.delete(retire, true)
-        }
-      }
-      // DELETE-scope partitions whose rows were all deleted with no
-      // fresh replacement — removed only now, after the publish.
-      if (fs.exists(targetP)) fs.listStatus(targetP).foreach { st =>
-        val name = st.getPath.getName
-        if (name.matches(partCol + "=\\d{4}-\\d{2}-\\d{2}") &&
-            name.stripPrefix(partCol + "=") >= offsetDayStr &&
-            !stagedNames.contains(name))
-          fs.delete(st.getPath, true)
-      }
-      fs.delete(staging, true) // DROP staging (S8)
+      writeMarker(fs, staging,
+        (s"DELTA $offsetDayStr" +: stagedNames.toSeq.sorted).mkString("\n"))
+      publishDelta(fs, targetP, staging, offsetDayStr, stagedNames)
     }
 
     // audit append (ref :331-341).

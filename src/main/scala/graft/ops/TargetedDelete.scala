@@ -18,18 +18,23 @@ import org.apache.spark.sql.functions._
   *
   * Publish protocol (same byte-safety contract as
   * [[graft.etl.IncrementalLoad]]): replacement files are fully written
-  * under `dir/.erase_staging` FIRST, then each hit file is deleted and
-  * the staged files move in. A concurrent reader can observe the table
-  * without some hit files for a moment (never duplicated rows); a crash
-  * strands a `.erase_staging` dir (dot-prefixed — invisible to readers)
-  * whose presence signals the op must be re-run. Re-running is safe:
-  * the rewrite is idempotent (erasing already-erased keys rewrites the
-  * same survivors).
+  * under `dir/.erase_staging` FIRST, together with a manifest of the
+  * hit files, then each hit file is deleted and the staged files move
+  * in. A concurrent reader can observe the table without some hit
+  * files for a moment (never duplicated rows); a crash strands a
+  * `.erase_staging` dir (dot-prefixed — invisible to readers) from
+  * which [[Recovery.completeErase]] finishes the swap deterministically
+  * (manifest present ⇒ staging complete ⇒ drop remaining hit files,
+  * move staged files in; manifest absent ⇒ the staged write died ⇒
+  * drop staging, table untouched).
   */
 object TargetedDelete {
 
   final case class EraseStats(filesTotal: Long, filesRewritten: Long,
       rowsDeleted: Long)
+
+  /** Hit-file manifest inside the staging dir (see erase / Recovery). */
+  val manifestName = "_graft_erase_manifest"
 
   /** Erase all rows with `keyCol` in `keys` from the parquet table at
     * `dir`. Returns how many of the table's files were rewritten —
@@ -64,6 +69,14 @@ object TargetedDelete {
       .write.mode("overwrite").parquet(staging.toString)
     val hitRows = spark.read.parquet(hit.toIndexedSeq: _*).count()
     val kept = spark.read.parquet(staging.toString).count()
+
+    // Manifest of the files being replaced, written only after the
+    // staged write completed: its presence certifies the staging as a
+    // complete, publishable unit, and records exactly which originals
+    // must go — graft.ops.Recovery.completeErase can finish the swap
+    // from ANY crash point after this line.
+    val out = fs.create(new Path(staging, manifestName), true)
+    try out.write(hit.mkString("\n").getBytes("UTF-8")) finally out.close()
 
     // Swap: drop the hit files, move staged part-files in. Part-file
     // names are job-unique (UUID suffix), so no rename collides.
