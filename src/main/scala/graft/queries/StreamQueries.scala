@@ -122,5 +122,50 @@ object StreamQueries {
         |         AS cents_sum
         |FROM events GROUP BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(q124, q125)
+  /** q134 — STREAMING UPSERT PIPELINE, the production composition the
+    * [[StreamingLoad]] scaladoc promises: watermarked dedup ingest →
+    * per-micro-batch MERGE (anti-join survivors ∪ batch, keyed on
+    * event_id) → versioned snapshot publish ([[graft.ops.Snapshots]]),
+    * so every micro-batch commits atomically and history stays
+    * time-travelable. The target is pre-seeded with STALE rows (every
+    * 100th event, cents zeroed) that the stream must overwrite — the
+    * oracle equals the fresh events exactly, so a surviving stale row
+    * (broken update path) or a duplicate (broken merge key) fails the
+    * hash. */
+  val q134 = Q("q134_stream_upsert",
+    (s, d) => {
+      val (src, base) = stage(s, d, "q134")
+      val tgtBase = s"$base/target"
+      val fresh = (df: DataFrame) => df.select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      // stale seed the upsert must replace
+      graft.ops.Snapshots.publish(s, tgtBase,
+        fresh(graft.tables.Catalog.events(s, d))
+          .filter(col("event_id") % 100 === 0)
+          .withColumn("cents", lit(0L)))
+      val stream = eventStream(s, src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+      val q = fresh(stream).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cur = graft.ops.Snapshots.asOf(s, tgtBase)
+          val merged = cur.join(batch.select(col("event_id")), Seq("event_id"),
+              "left_anti")
+            .unionByName(batch)
+          graft.ops.Snapshots.publish(s, tgtBase, merged)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.ops.Snapshots.asOf(s, tgtBase)
+    },
+    Some(
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events""".stripMargin))
+
+  val all: Seq[Q] = Seq(q124, q125, q134)
 }
