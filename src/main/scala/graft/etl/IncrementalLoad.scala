@@ -115,6 +115,9 @@ object IncrementalLoad {
     fs.delete(retired, true)
     if (fs.exists(targetP)) fs.rename(targetP, retired)
     fs.rename(staging, targetP) // publish; staging gone (S8)
+    // the marker rode the rename into the target — it certified the
+    // STAGING, so drop it now that the publish is the commit
+    fs.delete(new Path(targetP, markerName), false)
     fs.delete(retired, true)
   }
 
