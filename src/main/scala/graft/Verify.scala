@@ -6,11 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional 3rd arg (dev loop only): comma-separated name substrings
+    // optional 3rd arg (dev loop only): comma-separated query ids or
+    // full names — exact match, so "q12" does NOT also select q120-q129
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(',').toSeq) else None
     def selected(name: String): Boolean =
-      only.forall(_.exists(name.contains))
+      only.forall(_.exists(s => name == s || name.startsWith(s + "_")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -87,23 +87,11 @@ object IncrementalLoad {
   val markerName = "_graft_publish"
 
   private[graft] def writeMarker(fs: FileSystem, staging: Path,
-      content: String): Unit = {
-    val out = fs.create(new Path(staging, markerName), true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
+      content: String): Unit =
+    graft.ops.CertFile.write(fs, new Path(staging, markerName), content)
 
-  private[graft] def readMarker(fs: FileSystem, staging: Path): Option[String] = {
-    val p = new Path(staging, markerName)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(new String(bytes, "UTF-8"))
-      } finally in.close()
-    }
-  }
+  private[graft] def readMarker(fs: FileSystem, staging: Path): Option[String] =
+    graft.ops.CertFile.read(fs, new Path(staging, markerName))
 
   /** FULL publish tail: retire the old target, promote the staged
     * snapshot, drop the retired copy. Idempotent given a complete
@@ -192,6 +180,11 @@ object IncrementalLoad {
     * timestamp column of the fact. */
   def run(spark: SparkSession, params: Params,
       fresh: String => DataFrame, cdcCol: String): Result = {
+    // Self-healing entry: a rerun after a crashed publish must not
+    // compute its offset from (or stage over) a half-swapped target —
+    // roll the previous attempt forward or back FIRST. No-op (and
+    // cheap: a directory listing) on healthy targets.
+    graft.ops.Recovery.recoverIncrementalTarget(spark, params.targetPath)
     val target = readIfExists(spark, params.targetPath)
 
     // offset scalar (ref :10-20): FULL_LOAD → minimum_date; delta →

@@ -50,17 +50,21 @@ object Recovery {
 
     // 1. Per-partition retire dirs from a crashed delta swap. The swap
     //    order (retire dest, move staged in, drop retire) means: if the
-    //    destination exists the swap completed — drop the retire; if
-    //    its staged replacement still exists the re-publish below will
-    //    land it — drop the retire; only when BOTH are gone is the
-    //    retire the last copy — restore it.
+    //    destination exists the swap completed — drop the retire; if a
+    //    CERTIFIED staging still holds the replacement the re-publish
+    //    below will land it — drop the retire; otherwise the retire is
+    //    the last copy — restore it. The certification check matters:
+    //    a MARKERLESS staging containing the partition is an
+    //    incomplete write that step 3 will delete, so treating it as a
+    //    replacement would drop the partition's only surviving copy.
     if (fs.exists(targetP)) fs.listStatus(targetP).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(".") && n.endsWith(".retire")) {
         val part = n.stripPrefix(".").stripSuffix(".retire")
         val dest = new Path(targetP, part)
         val stagedSrc = new Path(staging, part)
-        if (fs.exists(dest) || fs.exists(stagedSrc)) {
+        if (fs.exists(dest) ||
+            (marker.isDefined && fs.exists(stagedSrc))) {
           fs.delete(st.getPath, true)
           log += s"dropped superseded retire $n"
         } else {
@@ -113,28 +117,27 @@ object Recovery {
     if (!fs.exists(staging)) return Seq.empty
     val manifest = new Path(staging, TargetedDelete.manifestName)
     val log = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (!fs.exists(manifest)) {
-      fs.delete(staging, true)
-      log += "dropped incomplete .erase_staging (no manifest)"
-    } else {
-      val in = fs.open(manifest)
-      val hit = try {
-        val bytes = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
-        in.readFully(bytes)
-        new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
-      } finally in.close()
-      hit.foreach { f =>
-        val p = new Path(new java.net.URI(f))
-        if (fs.exists(p)) { fs.delete(p, false); log += s"dropped hit file ${p.getName}" }
-      }
-      fs.listStatus(staging).iterator
-        .filterNot(_.getPath.getName.startsWith("_"))
-        .foreach { f =>
-          fs.rename(f.getPath, new Path(dir, f.getPath.getName))
-          log += s"moved in staged ${f.getPath.getName}"
+    CertFile.read(fs, manifest) match {
+      case None =>
+        fs.delete(staging, true)
+        log += "dropped incomplete .erase_staging (no manifest)"
+      case Some(m) =>
+        val hit = m.split("\n").filter(_.nonEmpty)
+        hit.foreach { f =>
+          val p = new Path(new java.net.URI(f))
+          if (fs.exists(p)) {
+            fs.delete(p, false)
+            log += s"dropped hit file ${p.getName}"
+          }
         }
-      fs.delete(staging, true)
-      log += "completed erase from staging"
+        fs.listStatus(staging).iterator
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            fs.rename(f.getPath, new Path(dir, f.getPath.getName))
+            log += s"moved in staged ${f.getPath.getName}"
+          }
+        fs.delete(staging, true)
+        log += "completed erase from staging"
     }
     log.toSeq
   }

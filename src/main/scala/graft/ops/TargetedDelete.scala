@@ -41,13 +41,20 @@ object TargetedDelete {
     * the number the layout is supposed to keep small. */
   def erase(spark: SparkSession, dir: String, keyCol: String,
       keys: Seq[Long]): EraseStats = {
+    // Self-healing entry: a crashed previous erase may have deleted
+    // hit files whose survivors still sit in staging — finish that
+    // swap before scanning, or the stats pass would read a table with
+    // rows missing. No-op on healthy tables.
+    Recovery.completeErase(spark, dir)
     // Zone maps: production maintains these incrementally next to the
     // table; this bootstrap scan builds them in one pass (footer-only
     // with a real table format).
     val stats = DataSkipping.buildStats(spark, dir, keyCol)
       .select(col("file"), col("min_v").cast("long"), col("max_v").cast("long"))
       .collect()
-    val hit = stats.filter(r =>
+    // NULL zone-map bounds = the file's key column is entirely NULL —
+    // it cannot contain a tombstoned key, so it is never a hit
+    val hit = stats.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
         keys.exists(k => k >= r.getLong(1) && k <= r.getLong(2)))
       .map(_.getString(0))
 
@@ -64,8 +71,11 @@ object TargetedDelete {
     // lists are small by nature; a large one would become a broadcast
     // anti join on a tombstone table). The two counts are footer-only
     // (parquet count(*) pushdown) — the rewrite is the only data job.
+    // NULL-safe survivor predicate: `NOT key IN (…)` is NULL for
+    // NULL keys, which would silently erase every NULL-key row in a
+    // hit file — rows with no key are never tombstone matches, keep them
     spark.read.parquet(hit.toIndexedSeq: _*)
-      .filter(!col(keyCol).isin(keys: _*))
+      .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
       .write.mode("overwrite").parquet(staging.toString)
     val hitRows = spark.read.parquet(hit.toIndexedSeq: _*).count()
     val kept = spark.read.parquet(staging.toString).count()
@@ -75,8 +85,7 @@ object TargetedDelete {
     // complete, publishable unit, and records exactly which originals
     // must go — graft.ops.Recovery.completeErase can finish the swap
     // from ANY crash point after this line.
-    val out = fs.create(new Path(staging, manifestName), true)
-    try out.write(hit.mkString("\n").getBytes("UTF-8")) finally out.close()
+    CertFile.write(fs, new Path(staging, manifestName), hit.mkString("\n"))
 
     // Swap: drop the hit files, move staged part-files in. Part-file
     // names are job-unique (UUID suffix), so no rename collides.

@@ -37,7 +37,11 @@ object TimeSeries {
     * result is engine- and order-independent. The frame is collected
     * as an array and folded with higher-order functions: no self-join
     * fan-out, O(lookback) state per row. `order` columns must make the
-    * per-key order total. Appends `ewma_num` / `ewma_den`. */
+    * per-key order total, and `value` must be NON-NULL: collect_list
+    * silently drops NULLs from the frame, which would shift every
+    * dyadic weight relative to the documented trailing-points
+    * semantics — coalesce or filter NULLs out first. Appends
+    * `ewma_num` / `ewma_den`. */
   def ewmaNumDen(df: DataFrame, key: Column, order: Seq[Column],
       value: Column, lookback: Int): DataFrame = {
     require(lookback >= 1 && lookback <= 62,

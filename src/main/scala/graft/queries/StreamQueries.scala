@@ -30,11 +30,8 @@ object StreamQueries {
     (s"$base/src", base)
   }
 
-  private def eventStream(s: SparkSession, srcDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(StreamingLoad.eventsRawSchema).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream(s: SparkSession, srcDir: String): DataFrame =
+    StreamingLoad.eventStream(s, srcDir)
 
   /** q124 — watermarked STREAM-STREAM INTERVAL JOIN: each click joined
     * to the same user's purchases within the following 30 minutes.

@@ -26,13 +26,21 @@ object StreamingLoad {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Streaming read of an events parquet dir with the engine's nanos
+    * handling (the one place the readStream + nanosAsLong +
+    * `ts div 1000` truncation recipe lives — the streaming sibling of
+    * `Catalog.readEvents`; every stream query starts here). */
+  def eventStream(spark: SparkSession, srcDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Stream `srcDir`'s parquet events into `targetPath`, processing all
     * available input (Trigger.AvailableNow), then return. */
   def ingest(spark: SparkSession, srcDir: String, targetPath: String,
       lookback: String = "3 days"): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(eventsRawSchema).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventStream(spark, srcDir)
       .withWatermark("ts", lookback)
       .dropDuplicates("event_id")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),

@@ -59,4 +59,25 @@ class TargetedDeleteSpec extends SparkSuite {
     val st = TargetedDelete.erase(spark, base, "user_id", Seq(-1L))
     assert(st.filesRewritten == 0 && st.rowsDeleted == 0)
   }
+
+  test("NULL-key rows survive an erase; an all-NULL file never crashes the stats pass") {
+    import SparkSpec.spark.implicits._
+    val dir = "/tmp/graft_erase/spec/nullable_keys"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // file 1: mixed keys incl. NULLs; file 2: entirely NULL keys
+    Seq((Some(1L), "a"), (Some(7L), "b"), (None, "c"), (None, "d"))
+      .toDF("user_id", "v").coalesce(1).write.parquet(dir)
+    Seq((Option.empty[Long], "e"), (Option.empty[Long], "f"))
+      .toDF("user_id", "v").coalesce(1).write.mode("append").parquet(dir)
+
+    val st = TargetedDelete.erase(spark, dir, "user_id", Seq(7L))
+    assert(st.rowsDeleted == 1, s"only the key-7 row goes: $st")
+    val left = spark.read.parquet(dir).collect()
+      .map(r => (if (r.isNullAt(0)) -99L else r.getLong(0), r.getString(1)))
+      .sortBy(_._2).toSeq
+    assert(left == Seq((1L, "a"), (-99L, "c"), (-99L, "d"),
+      (-99L, "e"), (-99L, "f")).sortBy(_._2))
+  }
 }
