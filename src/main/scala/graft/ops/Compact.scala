@@ -45,16 +45,30 @@ object Compact {
   }
 
   /** Rewrite the parquet dir at `path` into ⌈bytes/targetBytes⌉
-    * balanced files; returns the file count written. */
+    * balanced files; returns the file count written.
+    *
+    * `clusterBy` = the Delta `OPTIMIZE … ZORDER BY` analog: instead of
+    * round-robin balancing, the rewrite range-partitions AND sorts on
+    * the given columns, so every output file owns a tight value range —
+    * restoring the layout [[DataSkipping]]'s zone maps and
+    * [[TargetedDelete]]'s file pruning depend on after appends have
+    * interleaved the key space. Same file-count contract, one extra
+    * sort inside each output task. */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Int = {
+      targetBytes: Long = 128L << 20,
+      clusterBy: Seq[String] = Nil): Int = {
     val parts = math.max(1L,
       (parquetBytes(spark, path) + targetBytes - 1) / targetBytes).toInt
     val fs = fsFor(spark, path)
     val staged = new Path(path + "__compact")
     fs.delete(staged, true)
-    spark.read.parquet(path).repartition(parts)
-      .write.parquet(staged.toString)
+    val src = spark.read.parquet(path)
+    val arranged =
+      if (clusterBy.isEmpty) src.repartition(parts)
+      else src.repartitionByRange(parts,
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+    arranged.write.parquet(staged.toString)
     val target = new Path(path)
     val retired = new Path(path + "__retired")
     fs.delete(retired, true)

@@ -219,4 +219,30 @@ class CompactSpec extends SparkSuite {
     val after = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
     assert(after == before)
   }
+
+  test("clusterBy compaction restores a skippable layout (OPTIMIZE/ZORDER analog)") {
+    val path = "/tmp/graft_compact/events_clustered"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val src = Catalog.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    // round-robin fragmentation: every file spans the full user range,
+    // so zone maps prune nothing
+    src.repartition(8).write.parquet(path)
+    def survivors(): Long = {
+      val stats = graft.ops.DataSkipping.buildStats(spark, path, "user_id")
+      stats.filter(col("max_v") >= 3 && col("min_v") <= 4).count()
+    }
+    assert(survivors() == 8, "unclustered files should all overlap")
+    val before = src.collect().map(_.toString).sorted.toSeq
+    val total = graft.ops.Compact.parquetBytes(spark, path)
+    graft.ops.Compact.compact(spark, path, targetBytes = total / 8 + 1,
+      clusterBy = Seq("user_id"))
+    // a 2-user slice of ~15 users clustered into 8 files → ≤3 overlap
+    assert(survivors() <= 3,
+      s"clustered layout should localize the slice, got ${survivors()}")
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+  }
 }
