@@ -824,8 +824,43 @@ object RelationalQueries {
         |       CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM isl GROUP BY user_id, island""".stripMargin))
 
+  /** q135 — EXACT mergeable distinct counts via BITMAPS: the exact
+    * sibling of q106's HLL roll-up. Per (month, bucket) the customer
+    * keys aggregate into RoaringBitmap-style byte arrays
+    * (bitmap_construct_agg over bitmap_bit_position); monthly distinct
+    * = Σ bitmap_count, and the GLOBAL distinct re-aggregates the SAME
+    * monthly bitmaps with bitmap_or_agg — the fact table is scanned
+    * once ever, the upward roll-up merges kilobytes. Where HLL trades
+    * exactness for fixed size, bitmaps stay exact at
+    * O(key-range/8 bits) per bucket — the right tool when keys are
+    * dense integers (surrogate keys), the wrong one for 64-bit sparse
+    * hashes. The oracle is plain COUNT(DISTINCT) at both levels. */
+  val q135 = Q("q135_bitmap_distinct",
+    (s, d) => {
+      val base = Catalog.orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("scope"),
+        col("o_custkey").as("k"))
+      val bm = base
+        .groupBy(col("scope"), expr("bitmap_bucket_number(k)").as("b"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(k))").as("bmp"))
+      val monthly = bm.groupBy(col("scope"))
+        .agg(sum(expr("bitmap_count(bmp)")).as("n_distinct"))
+      val global = bm.groupBy(col("b"))
+        .agg(expr("bitmap_or_agg(bmp)").as("bmor"))
+        .agg(sum(expr("bitmap_count(bmor)")).as("n_distinct"))
+        .select(lit("TOTAL").as("scope"), col("n_distinct"))
+      monthly.unionAll(global)
+    },
+    Some(
+      """SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS scope,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 'TOTAL', CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |FROM orders""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
-      q111, q112, q116, q126, q130)
+      q111, q112, q116, q126, q130, q135)
 }
