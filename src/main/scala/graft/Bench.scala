@@ -14,6 +14,16 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional profiling controls (the driver passes no args):
+    //   args(0) = comma-separated query ids ("q21,q41") restricting the
+    //   registry; args(1) = timed repeat count per query (report min —
+    //   for isolating variance from cost).
+    val wanted: Option[Set[String]] = args.headOption.filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
+    val repeats = if (args.length > 1) args(1).toInt else 1
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      wanted.forall(w => w.contains(n) || w.contains(n.takeWhile(_ != '_')))
+    }
     val spark = session()
     // STEADY-STATE methodology: one untimed pass over every query first
     // (whole-stage-codegen compilation, JIT, parquet footer reads — all
@@ -28,7 +38,7 @@ object Bench {
       try graft.tables.Catalog(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
     }
     // clearCache runs before EVERY timed query, not once: queries
@@ -36,11 +46,14 @@ object Bench {
     // logical plan, so a later query sharing a plan fragment (e.g. q61
     // reusing q19's signature pipeline) would otherwise read an earlier
     // timed query's materialized cache instead of paying its own.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = selected.map { case (name, fn) =>
+      val t = (1 to repeats).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> t
     }
     // Two output lines. The first ("DETAIL ...") carries full query names
     // for humans and is deliberately NOT bare JSON. The second is the ONE

@@ -225,8 +225,14 @@ object IncrementalLoad {
       lookback.map(_.filter(col(cdcCol) <= offsetTs).drop(partCol))
 
     // INSERT … SELECT (ref :40-314): branch union at `>=` offset.
+    // The @@row_count (ref :317) is collected DURING the staged write
+    // via CollectMetrics (`observe`) — the branch union (the most
+    // expensive dataflow of the protocol: 16 scans, 15 joins, 3 wide
+    // distincts) executes exactly ONCE; the former `freshDf.count()`
+    // was a full second execution of it.
+    val insertedObs = new org.apache.spark.sql.Observation("graft_inserted")
     val freshDf = fresh(offset)
-    val inserted = freshDf.count() // @@row_count (ref :317)
+      .observe(insertedObs, count(lit(1)).as("inserted"))
 
     val next = kept.map(_.unionByName(freshDf)).getOrElse(freshDf)
       .withColumn(partCol, to_date(col(cdcCol)))
@@ -286,6 +292,14 @@ object IncrementalLoad {
       writeMarker(fs, staging,
         (s"DELTA $offsetDayStr" +: stagedNames.toSeq.sorted).mkString("\n"))
       publishDelta(fs, targetP, staging, offsetDayStr, stagedNames)
+    }
+
+    // The staged write is the one action over `next`; the observation
+    // resolved with it (blocks until the write's QueryExecution fires
+    // its listener — already done by the time the rename-publish ran).
+    val inserted: Long = insertedObs.get("inserted") match {
+      case n: java.lang.Long => n.longValue()
+      case n: java.lang.Number => n.longValue()
     }
 
     // audit append (ref :331-341).

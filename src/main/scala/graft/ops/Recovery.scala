@@ -104,6 +104,19 @@ object Recovery {
         fs.delete(staging, true)
         log += "dropped incomplete __staging (no marker)"
     }
+
+    // 4. A crash between the FULL publish's staging→target rename and
+    //    its marker delete strands the marker INSIDE the target (the
+    //    rename carried it along; staging is gone so no step above
+    //    looks at it). Benign to readers (underscore-prefixed) but not
+    //    byte-clean — finish the interrupted delete here.
+    if (!fs.exists(staging)) {
+      val strandedMarker = new Path(targetP, IncrementalLoad.markerName)
+      if (fs.exists(strandedMarker)) {
+        fs.delete(strandedMarker, false)
+        log += "dropped stale publish marker inside target"
+      }
+    }
     log.toSeq
   }
 
@@ -131,7 +144,10 @@ object Recovery {
           }
         }
         fs.listStatus(staging).iterator
-          .filterNot(_.getPath.getName.startsWith("_"))
+          // "_" = manifest/markers; "." = CertFile temp from a crashed
+          // atomic write — neither is staged data
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith("."))
           .foreach { f =>
             fs.rename(f.getPath, new Path(dir, f.getPath.getName))
             log += s"moved in staged ${f.getPath.getName}"

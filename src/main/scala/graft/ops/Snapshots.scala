@@ -50,13 +50,26 @@ object Snapshots {
 
   /** Write `df` as the next version; returns the new version number.
     * The staged write + rename is the commit point. */
-  def publish(spark: SparkSession, base: String, df: DataFrame): Int = {
+  def publish(spark: SparkSession, base: String, df: DataFrame): Int =
+    publishAs(spark, base, df,
+      versionsOf(fsFor(spark, base), base).lastOption.getOrElse(0) + 1)
+
+  /** Publish `df` at an EXPLICIT version — the commit tail of
+    * [[publish]], separated so the lost-race path (version taken
+    * between the listing and the rename) is directly exercisable. */
+  private[graft] def publishAs(spark: SparkSession, base: String,
+      df: DataFrame, next: Int): Int = {
     val fs = fsFor(spark, base)
-    val next = versionsOf(fs, base).lastOption.getOrElse(0) + 1
     val staging = new Path(base, s".v=${next}__staging")
     fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
     val dest = new Path(base, s"v=$next")
+    // Hadoop rename into an EXISTING directory nests the source inside
+    // it — a lost publish race (next-version is computed by listing)
+    // would otherwise "succeed" while the new data lands invisible
+    // under dest as a dot-prefixed child. Fail loudly instead.
+    require(!fs.exists(dest),
+      s"v=$next already exists — concurrent publish lost the race")
     require(fs.rename(staging, dest), s"commit rename failed for v=$next")
     next
   }

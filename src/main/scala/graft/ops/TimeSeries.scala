@@ -45,21 +45,36 @@ object TimeSeries {
   def ewmaNumDen(df: DataFrame, key: Column, order: Seq[Column],
       value: Column, lookback: Int): DataFrame = {
     require(lookback >= 1 && lookback <= 62,
-      "lookback must keep 2^(lookback-1) in a bigint")
+      "lookback must keep the weight total 2^lookback - 1 in a bigint")
     val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(-(lookback - 1), 0)
     val top = lookback - 1
+    // The numerator folds in DECIMAL(38,0): x * 2^61 silently wraps a
+    // bigint (non-ANSI) for |x| as small as ~4 at the top weight, with
+    // no error. 38 digits hold any frame this operator admits
+    // (lookback ≤ 62 ⇒ weighted sum < 2^63 · max|x|, and the checked
+    // narrowing below raises if the EXACT value exits bigint range —
+    // wraparound becomes a loud error, never a wrong answer).
     df.withColumn("__ewma_arr", collect_list(value).over(w))
-      .withColumn("ewma_num",
+      .withColumn("__ewma_num_dec",
         expr(s"""aggregate(
                 |  transform(__ewma_arr, (x, i) ->
-                |    x * shiftleft(1L, $top - (size(__ewma_arr) - 1 - i))),
-                |  0L, (a, v) -> a + v)""".stripMargin))
+                |    CAST(x AS DECIMAL(38,0)) *
+                |      CAST(shiftleft(1L, $top - (size(__ewma_arr) - 1 - i))
+                |           AS DECIMAL(38,0))),
+                |  CAST(0 AS DECIMAL(38,0)), (a, v) -> a + v)""".stripMargin))
+      .withColumn("ewma_num",
+        expr("""CASE WHEN __ewma_num_dec BETWEEN -9223372036854775808
+                |         AND 9223372036854775807
+                |  THEN CAST(__ewma_num_dec AS BIGINT)
+                |  ELSE raise_error(concat('ewma_num overflows bigint: ',
+                |         CAST(__ewma_num_dec AS STRING)))
+                |END""".stripMargin))
       .withColumn("ewma_den",
         expr(s"""aggregate(
                 |  transform(__ewma_arr, (x, i) ->
                 |    shiftleft(1L, $top - (size(__ewma_arr) - 1 - i))),
                 |  0L, (a, v) -> a + v)""".stripMargin))
-      .drop("__ewma_arr")
+      .drop("__ewma_arr", "__ewma_num_dec")
   }
 }

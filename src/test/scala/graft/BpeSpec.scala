@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bpe
+
+/** The pinned-merge-table BPE tokenizer: hand-computed encodings, the
+  * character-conservation invariant, and the greedy-leftmost semantics
+  * of overlapping merges. */
+class BpeSpec extends SparkSuite {
+
+  private def toks(s: String): Seq[String] = {
+    import SparkSpec.spark.implicits._
+    Seq(s).toDF("text")
+      .select(Bpe.tokens(col("text")).as("t"))
+      .first().getSeq[String](0)
+  }
+
+  test("merges apply in priority order (hand-computed encodings)") {
+    // t+h → th, th+e → the: one token
+    assert(toks("The") == Seq("the"))
+    // (h,i) outranks (w,h): w,h,i,c,h → w,hi,c,h
+    assert(toks("which") == Seq("w", "hi", "c", "h"))
+    // "that": t,h,a,t → th,a,t → (a,t) → th,at; (th,at) is last → that
+    assert(toks("that") == Seq("that"))
+    // unknown word falls back to characters (minus fired merges)
+    assert(toks("xyzzy") == Seq("x", "y", "z", "z", "y"))
+  }
+
+  test("greedy leftmost on overlapping pairs: no shared characters") {
+    // (a,n) on "anan": a,n,a,n → an,an (both fire — marker wrapping
+    // means adjacent occurrences share no string bytes)
+    assert(toks("ananas").take(2) == Seq("an", "an"))
+  }
+
+  test("character conservation: tokens re-concatenate to the normalized text") {
+    val docs = graft.tables.Catalog.documents(spark, sf).limit(200)
+    val bad = docs.select(
+      concat_ws("", Bpe.tokens(col("text"))).as("rejoined"),
+      regexp_replace(graft.ops.TextAnalysis.normalizeText(col("text")),
+        " ", "").as("squeezed"))
+      .filter(col("rejoined") =!= col("squeezed"))
+    assert(bad.count() == 0)
+  }
+
+  test("tokenCount equals the exploded token count") {
+    val docs = graft.tables.Catalog.documents(spark, sf).limit(200)
+    val bad = docs.select(
+      Bpe.tokenCount(col("text")).as("n"),
+      size(Bpe.tokens(col("text"))).as("m"))
+      .filter(col("n") =!= col("m"))
+    assert(bad.count() == 0)
+  }
+}

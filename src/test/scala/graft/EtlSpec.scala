@@ -95,6 +95,30 @@ class IncrementalLoadSpec extends SparkSuite {
       .first().getAs[Long]("deleted_count") == r2.deleted)
   }
 
+  test("fresh branch union executes exactly once per run (A4 via observe)") {
+    wipe()
+    // A per-row accumulator inside the fresh dataflow: if the protocol
+    // still counted @@row_count with a separate `.count()` action, the
+    // union would evaluate twice and the accumulator would read ~2×
+    // the inserted count. (Test-only UDF; main stays UDF-free.)
+    val acc = spark.sparkContext.longAccumulator("fresh_rows_seen")
+    val tick = org.apache.spark.sql.functions.udf { (_: Long) =>
+      acc.add(1L); true
+    }
+    def freshCounted(offset: String): DataFrame =
+      fact(None)(offset).filter(tick(col("event_id")))
+    val r1 = IncrementalLoad.run(spark, params("FULL_LOAD", "obs"),
+      freshCounted, "cdc_ts")
+    assert(r1.inserted > 0)
+    assert(acc.value == r1.inserted,
+      s"full load evaluated the fresh union ${acc.value}/${r1.inserted} times")
+    acc.reset()
+    val r2 = IncrementalLoad.run(spark, params("DELTA", "obs"),
+      freshCounted, "cdc_ts")
+    assert(acc.value == r2.inserted,
+      s"delta evaluated the fresh union ${acc.value}/${r2.inserted} times")
+  }
+
   test("full protocol over the real 25-col fact pins §7.4.5 comparators") {
     wipe()
     // the reference's fresh branches filter on cdc >= offset (P4); apply

@@ -71,6 +71,39 @@ class RecoverySpec extends SparkSuite {
     assert(rows(s"$base/t2") == want && !fs.exists(staging))
   }
 
+  test("torn cert file reads as ABSENT; staging with one rolls back") {
+    wipe()
+    IncrementalLoad.run(spark, params("FULL_LOAD", "t6"), fact, "cdc_ts")
+    val want = rows(s"$base/t6")
+    val staging = new Path(s"$base/t6__staging")
+    fs.mkdirs(staging)
+    // manufacture a torn marker: bytes written directly, no terminator
+    // (as if the process died mid-write on a store without atomic
+    // rename) — recovery must treat it as no-marker and roll BACK,
+    // never roll forward on a truncated partition list
+    val out = fs.create(new Path(staging, IncrementalLoad.markerName), true)
+    try out.write("DELTA 2024-01-15\ncdc_day=2024-01-1".getBytes("UTF-8"))
+    finally out.close()
+    assert(IncrementalLoad.readMarker(fs, staging).isEmpty)
+    val log = Recovery.recoverIncrementalTarget(spark, s"$base/t6")
+    assert(log.contains("dropped incomplete __staging (no marker)"))
+    assert(rows(s"$base/t6") == want && !fs.exists(staging))
+  }
+
+  test("stale publish marker inside the target is swept on recovery") {
+    wipe()
+    IncrementalLoad.run(spark, params("FULL_LOAD", "t7"), fact, "cdc_ts")
+    val want = rows(s"$base/t7")
+    // crash point: staging renamed into the target (marker rode along),
+    // process died before the marker delete — staging no longer exists
+    val stranded = new Path(s"$base/t7", IncrementalLoad.markerName)
+    graft.ops.CertFile.write(fs, stranded, "FULL")
+    val log = Recovery.recoverIncrementalTarget(spark, s"$base/t7")
+    assert(log == Seq("dropped stale publish marker inside target"))
+    assert(!fs.exists(stranded) && rows(s"$base/t7") == want)
+    assert(Recovery.recoverIncrementalTarget(spark, s"$base/t7").isEmpty)
+  }
+
   test("incremental: crash mid-DELTA swap (partition retired, staged not moved) rolls forward") {
     wipe()
     IncrementalLoad.run(spark, params("FULL_LOAD", "t3"), fact, "cdc_ts")

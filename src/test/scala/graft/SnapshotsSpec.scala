@@ -39,6 +39,23 @@ class SnapshotsSpec extends SparkSuite {
     }
   }
 
+  test("a lost publish race fails loudly instead of nesting invisibly") {
+    reset()
+    val o = Catalog.orders(spark, sf).select(col("o_orderkey"))
+    Snapshots.publish(spark, base, o.limit(3))
+    // two publishers both listed {v=1} and computed next=2; the winner
+    // commits v=2 first — the loser's rename into the EXISTING dir
+    // would nest its staging inside (Hadoop semantics) and vanish
+    // silently
+    assert(Snapshots.publishAs(spark, base, o.limit(3), 2) == 2)
+    intercept[IllegalArgumentException] {
+      Snapshots.publishAs(spark, base, o.limit(7), 2)
+    }
+    // the winner's data is untouched and still the current version
+    assert(Snapshots.versions(spark, base) == Seq(1, 2))
+    assert(Snapshots.asOf(spark, base, 2).count() == 3)
+  }
+
   test("a stranded staging dir is invisible to readers and overwritten on retry") {
     reset()
     val o = Catalog.orders(spark, sf).select(col("o_orderkey"))
