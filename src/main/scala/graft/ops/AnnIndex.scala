@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTENT IVF (ANN) INDEX with delta maintenance — similarity
+  * search's analog of the stored dedup index: the trained quantizer
+  * (centroids) and the cell assignments are MATERIALIZED once, probe
+  * queries read them back, and append batches are assigned to the
+  * stored centroids with ONE zero-shuffle projection — no retraining
+  * per query, no retraining per append (retrain on drift is a
+  * maintenance decision, like compaction).
+  *
+  * Layout under `path`:
+  * {{{
+  *   centroids/   (cid, p, c)    k×dim rows — the trained quantizer
+  *   assign/      (vec_id, cid)  one row per indexed vector
+  * }}}
+  *
+  * Scale shape (100 TB): `build` is [[KMeans]]'s bounded Lloyd loop
+  * (centroids collect k×dim values to the driver between passes —
+  * tiny); `appendDelta` touches ONLY the delta (literal-centroid
+  * projection, then an append write); `search` reads k×dim centroid
+  * rows plus the assignment join — exact work is bounded by the probed
+  * cells, the corpus is never scanned whole. Probing uses the STORED
+  * centroids directly (a real IVF's behavior), not per-query
+  * recomputed cell means.
+  */
+object AnnIndex {
+
+  private def centPath(path: String) = s"$path/centroids"
+  private def asgPath(path: String) = s"$path/assign"
+
+  /** Lloyd training that also returns the FINAL centroids (the ones
+    * the returned assignment was computed against) — [[KMeans.assign]]
+    * keeps them internal. */
+  private def train(vecs: DataFrame, k: Long, iters: Int)
+      : (Seq[(Long, Seq[Long])], DataFrame) = {
+    require(iters >= 1)
+    var cent = KMeans.collectCentroids(
+      vecs.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), posexplode(col("iv")))
+        .select(col("cid"), col("pos").as("p"), col("col").as("c")))
+    require(cent.nonEmpty, s"no seed vectors with vec_id < $k")
+    var asg = KMeans.assignToCentroids(vecs, cent)
+    for (_ <- 2 to iters) {
+      cent = KMeans.collectCentroids(
+        vecs.join(asg.select("vec_id", "cid"), "vec_id")
+          .select(col("cid"), posexplode(col("iv")))
+          .groupBy(col("cid"), col("pos").as("p"))
+          .agg(round(sum(col("col")).cast("double") / count(lit(1)))
+            .cast("bigint").as("c")))
+      asg = KMeans.assignToCentroids(vecs, cent)
+    }
+    (cent, asg)
+  }
+
+  /** Train on `vecs` (the history corpus) and materialize the index.
+    * `vecs` = (vec_id, iv) with iv an integer-scaled vector. */
+  def build(spark: SparkSession, vecs: DataFrame, k: Long, iters: Int,
+      path: String): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    val (cent, asg) = train(vecs, k, iters)
+    spark.createDataFrame(cent.flatMap { case (cid, carr) =>
+      carr.zipWithIndex.map { case (c, p) => (cid, p.toLong, c) }
+    }).toDF("cid", "p", "c").repartition(1)
+      .write.parquet(centPath(path))
+    asg.select(col("vec_id"), col("cid")).write.parquet(asgPath(path))
+  }
+
+  /** The stored quantizer, back as driver-side literal arrays. */
+  def readCentroids(spark: SparkSession, path: String)
+      : Seq[(Long, Seq[Long])] =
+    KMeans.collectCentroids(spark.read.parquet(centPath(path)))
+
+  /** Assign a delta batch to the STORED centroids (zero-shuffle literal
+    * projection — provably no retraining: the quantizer is a read) and
+    * append the new assignments to the index. */
+  def appendDelta(spark: SparkSession, path: String,
+      deltaVecs: DataFrame): Unit = {
+    val cent = readCentroids(spark, path)
+    KMeans.assignToCentroids(deltaVecs, cent)
+      .select(col("vec_id"), col("cid"))
+      .write.mode("append").parquet(asgPath(path))
+  }
+
+  /** IVF probe against the stored index: score the k stored centroids
+    * against the query vector (k driver literals, one 1-row broadcast),
+    * keep the best `probes` cells, exact-cosine rerank ONLY the
+    * vectors assigned to those cells. `vecs` supplies the vector
+    * payloads (the index stores only cell membership). */
+  def search(spark: SparkSession, path: String, vecs: DataFrame,
+      queryVecId: Long, probes: Int, topK: Int): DataFrame = {
+    val cent = readCentroids(spark, path)
+    val assign = spark.read.parquet(asgPath(path))
+      .select(col("vec_id"), col("cid"))
+    val qrow = vecs.filter(col("vec_id") === queryVecId)
+      .select(col("iv").as("qiv"),
+        Similarity.norm2(col("iv")).cast("double").as("qnrm"))
+    val centDf = spark.createDataFrame(cent).toDF("cid", "cvec")
+    val cells = centDf.crossJoin(broadcast(qrow))
+      .select(col("cid"),
+        Similarity.cosineFrom(col("cvec"), col("qiv"),
+          Similarity.norm2(col("cvec")).cast("double"), col("qnrm"))
+          .as("cscore"))
+      .orderBy(col("cscore").desc, col("cid")).limit(probes)
+      .select(col("cid"))
+    vecs.join(assign, "vec_id")
+      .join(broadcast(cells), "cid")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("cid"),
+        Similarity.cosineFrom(col("iv"), col("qiv"),
+          Similarity.norm2(col("iv")).cast("double"), col("qnrm"))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+  }
+}

@@ -30,32 +30,45 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** (cid, p, c) rows → ordered per-centroid arrays on the driver —
+    * the one sanctioned k×dim materialization (see scaladoc above). */
+  def collectCentroids(df: DataFrame): Seq[(Long, Seq[Long])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("cid"), col("p").cast("int"), col("c"))
+      .as[(Long, Int, Long)].collect().toSeq
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3)) }
+      .sortBy(_._1)
+  }
+
+  /** One zero-shuffle assignment pass against FIXED centroids (driver
+    * literals): per row, k exact zip_with distances + one array_min
+    * argmin, ties to smallest cid. Public so a PERSISTED quantizer
+    * ([[AnnIndex]]) can assign delta batches without retraining. */
+  def assignToCentroids(vecs: DataFrame,
+      cent: Seq[(Long, Seq[Long])]): DataFrame = {
+    val cands = array(cent.map { case (cid, carr) =>
+      struct(
+        aggregate(
+          zip_with(col("iv"), typedlit(carr), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)
+    vecs.select(col("vec_id"), array_min(cands).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+  }
+
   /** (vec_id, cid, d2) after `iters` assignment passes (d2 = exact
     * squared integer distance to the winning centroid). */
   def assign(vecs: DataFrame, k: Long, iters: Int): DataFrame = {
     require(iters >= 1)
-    val spark = vecs.sparkSession
-    import spark.implicits._
 
-    // (cid, p, c) rows → ordered per-centroid arrays on the driver
     def collectCent(df: DataFrame): Seq[(Long, Seq[Long])] =
-      df.select(col("cid"), col("p").cast("int"), col("c"))
-        .as[(Long, Int, Long)].collect().toSeq
-        .groupBy(_._1).toSeq
-        .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3)) }
-        .sortBy(_._1)
+      collectCentroids(df)
 
-    def assignTo(cent: Seq[(Long, Seq[Long])]): DataFrame = {
-      val cands = array(cent.map { case (cid, carr) =>
-        struct(
-          aggregate(
-            zip_with(col("iv"), typedlit(carr), (x, c) => (x - c) * (x - c)),
-            lit(0L), (acc, v) => acc + v).as("d2"),
-          lit(cid).as("cid"))
-      }: _*)
-      vecs.select(col("vec_id"), array_min(cands).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
-    }
+    def assignTo(cent: Seq[(Long, Seq[Long])]): DataFrame =
+      assignToCentroids(vecs, cent)
 
     var cent = collectCent(vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), posexplode(col("iv")))

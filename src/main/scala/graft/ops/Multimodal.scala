@@ -79,17 +79,65 @@ object Multimodal {
     } catch { case _: java.io.IOException => None }
   }
 
-  /** One decode batch: image kinds through the real codec (true
-    * width/height; frame_sample carries the true dims), everything
-    * else — and unparseable image payloads — through the stub. */
+  /** REAL audio (WAV) decode — a pure-JVM RIFF/WAVE header walk, no
+    * codec libs: validates the RIFF+WAVE magic, then scans chunks for
+    * `fmt ` (channels, sample rate, bits/sample) and `data` (payload
+    * size), from which the true duration follows:
+    * dataBytes / (rate · channels · bits/8). PCM only (audioFormat 1);
+    * anything else — and any non-WAV payload — returns None so callers
+    * fall back to the stub. */
+  def decodeWav(content: Array[Byte]): Option[(Int, Int, Long)] = {
+    def le16(i: Int) = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long =
+      (content(i) & 0xffL) | ((content(i + 1) & 0xffL) << 8) |
+        ((content(i + 2) & 0xffL) << 16) | ((content(i + 3) & 0xffL) << 24)
+    def tag(i: Int) = new String(content, i, 4, "US-ASCII")
+    if (content.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var dataBytes: Option[Long] = None
+      while (i + 8 <= content.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+        val id = tag(i)
+        val sz = le32(i + 4)
+        if (id == "fmt " && i + 24 <= content.length && le16(i + 8) == 1)
+          fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+        if (id == "data") dataBytes = Some(sz)
+        // corrupt size (negative/oversized) would stall or run the
+        // cursor backwards — bail out of the walk instead
+        if (sz < 0 || sz > content.length) i = content.length
+        else i += 8 + sz.toInt + (sz.toInt & 1) // chunks 2-byte aligned
+      }
+      for {
+        (channels, rate, bits) <- fmt
+        data <- dataBytes
+        if channels > 0 && rate > 0 && bits > 0
+      } yield (rate, channels,
+        data * 1000L / (rate.toLong * channels * (bits / 8).max(1)))
+    }
+  }
+
+  /** One decode batch: image kinds through the real image codec (true
+    * width/height; frame_sample carries the true dims), audio kinds
+    * through the WAV header parse (width = sample rate, height =
+    * channels, frame_sample = "RATEhz CHch MSms"), everything else —
+    * and unparseable payloads — through the stub. */
   def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { m =>
       val fallback = stubDecode(Seq(m)).head
-      if (m.kind != "image") fallback
-      else decodeImage(m.content) match {
-        case Some((w, h)) =>
-          fallback.copy(width = w, height = h, frame_sample = s"${w}x$h")
-        case None => fallback
+      m.kind match {
+        case "image" => decodeImage(m.content) match {
+          case Some((w, h)) =>
+            fallback.copy(width = w, height = h, frame_sample = s"${w}x$h")
+          case None => fallback
+        }
+        case "audio" => decodeWav(m.content) match {
+          case Some((rate, channels, ms)) =>
+            fallback.copy(width = rate, height = channels,
+              frame_sample = s"${rate}hz ${channels}ch ${ms}ms")
+          case None => fallback
+        }
+        case _ => fallback
       }
     }
 

@@ -573,6 +573,37 @@ object EtlQueries {
           |FROM lineitem""".stripMargin))
   }
 
+  /** q139 — SQL FRONT DOOR for the flagship fact build: the reference's
+    * audience drives its engine with SQL text
+    * (ref `Incremental_load_fact_item_status.sql:40-314`), so the
+    * three branches are registered as NAMED VIEWS and the fact union is
+    * issued as a `spark.sql` statement — explicit 25-column projection,
+    * positional UNION ALL, exactly the reference's statement shape.
+    * Same oracle as q11: hash-green proves the SQL entry point and the
+    * Scala API produce byte-identical facts. (Catalyst plans the view
+    * bodies identically to q11's DataFrames — views are logical-plan
+    * aliases, so this adds API surface, not a second engine path.) */
+  val q139 = {
+    val cols = graft.etl.Fact.columns.mkString(",\n  ")
+    Q("q139_sql_fact_frontdoor",
+      (s, d) => {
+        graft.tables.Catalog.registerViews(s, d)
+        ItemStatus.build(s, d, itemStatusOffset)
+          .createOrReplaceTempView("fact_branch_item_status")
+        AggChina.build(s, d, chinaOffset)
+          .createOrReplaceTempView("fact_branch_agg_china")
+        Tomford.build(s, d, tomfordOffset)
+          .createOrReplaceTempView("fact_branch_tomford")
+        s.sql(
+          s"""SELECT $cols FROM fact_branch_item_status
+             |UNION ALL
+             |SELECT $cols FROM fact_branch_agg_china
+             |UNION ALL
+             |SELECT $cols FROM fact_branch_tomford""".stripMargin)
+      },
+      Some(s"($b1Sql)\nUNION ALL\n($b2Sql)\nUNION ALL\n($b3Sql)"))
+  }
+
   val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108, q113, q117,
-    q128, q131)
+    q128, q131, q139)
 }

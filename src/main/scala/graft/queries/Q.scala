@@ -17,3 +17,26 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
+
+object Q {
+
+  /** Queries whose `run` is not a pure dataflow: they exercise a write
+    * protocol (staged publish, streaming checkpoint, file maintenance)
+    * against scratch directories and are rerun-safe but EXPENSIVE to
+    * repeat — [[graft.Bench]] warms them by planning only (their timed
+    * run pays the real side effects exactly once per bench), and times
+    * them with a single run instead of min-of-N. Kept here, next to
+    * [[Q]], so the registry and this set evolve together; a spec
+    * asserts every name below exists in the registry. */
+  val sideEffecting: Set[String] = Set(
+    "q12_incremental_load", "q13_audit_log", // staged-swap publish
+    "q26_streaming_ingest", "q124_stream_stream_join", // checkpoints
+    "q125_stream_window_agg", "q134_stream_upsert",
+    "q33_csv_roundtrip", "q38_json_roundtrip", "q39_orc_roundtrip",
+    "q69_schema_evolution", // format round-trips rewrite scratch files
+    "q71_incremental_agg", "q96_incremental_dedup_index", // state v1→v2
+    "q94_dynamic_partition_pruning", "q115_data_skipping",
+    "q127_targeted_delete", "q132_time_travel",
+    "q131_observed_metrics", // observed full-table copy
+    "q138_persistent_ann_index") // builds + appends the stored index
+}

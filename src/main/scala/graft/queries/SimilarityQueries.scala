@@ -619,5 +619,88 @@ object SimilarityQueries {
       })
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102)
+  /** q138 — PERSISTENT ANN INDEX with delta maintenance
+    * ([[graft.ops.AnnIndex]]): similarity search's analog of q96's
+    * stored dedup index. The quantizer trains ONCE on the history
+    * corpus and is materialized (centroids + cell assignments); the
+    * delta batch is assigned to the STORED centroids with one
+    * zero-shuffle literal projection and appended; the probe query
+    * reads the stored index — it provably retrains nothing
+    * (ScaleSpec pins the plan shape). The oracle replays the same
+    * pipeline declaratively: train on history, assign all against the
+    * trained centroids, probe + exact rerank — hash-green proves the
+    * store/append/probe decomposition loses nothing vs the monolithic
+    * computation. */
+  val q138 = {
+    val k = 8
+    val deltaMod = 500L
+    val deltaFrom = 400L
+    Q("q138_persistent_ann_index",
+      (s, d) => {
+        val tag = java.nio.file.Paths.get(d).getFileName.toString
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val idx = s"/tmp/graft_ann_index/$tag"
+        val vecs = intVecs(s, d).select(col("vec_id"), col("iv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val isDelta = (col("vec_id") % deltaMod) >= deltaFrom
+        // 1. history: the stored index previous runs left behind
+        graft.ops.AnnIndex.build(s, vecs.filter(!isDelta), k, iters = 2, idx)
+        // 2. the append batch: assigned to stored centroids, no retrain
+        graft.ops.AnnIndex.appendDelta(s, idx, vecs.filter(isDelta))
+        // 3. the probe: stored centroids + stored assignments only
+        graft.ops.AnnIndex.search(s, idx, vecs, queryVecId, probes, topK)
+      },
+      Some(
+        s"""WITH iv AS ($intVecsSql),
+           |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+           |dims AS (SELECT vec_id, p, iv[p] AS x FROM iv, pos),
+           |hist AS (SELECT * FROM dims WHERE vec_id % $deltaMod < $deltaFrom),
+           |seeds AS (SELECT vec_id AS cid, p, x AS c FROM hist
+           |          WHERE vec_id < $k),
+           |dist1 AS (SELECT d.vec_id, s.cid,
+           |            sum((d.x - s.c) * (d.x - s.c)) AS d2
+           |          FROM hist d JOIN seeds s USING (p) GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY d2, cid) AS rn
+           |         FROM dist1) WHERE rn = 1),
+           |c1 AS (SELECT a.cid, d.p,
+           |         CAST(round(CAST(sum(d.x) AS DOUBLE) / count(*)) AS BIGINT)
+           |           AS c
+           |       FROM hist d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+           |distAll AS (SELECT d.vec_id, c.cid,
+           |              sum((d.x - c.c) * (d.x - c.c)) AS d2
+           |            FROM dims d JOIN c1 c USING (p) GROUP BY 1, 2),
+           |asg AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |            row_number() OVER (PARTITION BY vec_id
+           |                               ORDER BY d2, cid) AS rn
+           |          FROM distAll) WHERE rn = 1),
+           |qd AS (SELECT p, x AS qx FROM dims WHERE vec_id = $queryVecId),
+           |qn AS (SELECT sum(qx * qx) AS qnrm FROM qd),
+           |cnrm AS (SELECT cid, sum(c * c) AS cnrm FROM c1 GROUP BY 1),
+           |cdot AS (SELECT c.cid, sum(c.c * qd.qx) AS cdot
+           |         FROM c1 c JOIN qd ON c.p = qd.p GROUP BY 1),
+           |cells AS (SELECT cid FROM (
+           |            SELECT d.cid,
+           |              CAST(d.cdot AS DOUBLE) /
+           |                sqrt(CAST(n.cnrm AS DOUBLE) * CAST(q.qnrm AS DOUBLE))
+           |                AS cscore
+           |            FROM cdot d JOIN cnrm n USING (cid), qn q
+           |            ORDER BY cscore DESC, cid LIMIT $probes)),
+           |norms AS (SELECT vec_id, sum(x * x) AS nrm FROM dims GROUP BY 1),
+           |dt AS (SELECT d.vec_id, sum(d.x * qd.qx) AS dot
+           |       FROM dims d JOIN qd ON d.p = qd.p
+           |       WHERE d.vec_id <> $queryVecId GROUP BY 1)
+           |SELECT a.vec_id, a.cid,
+           |  CAST(t.dot AS DOUBLE) /
+           |    sqrt(CAST(n.nrm AS DOUBLE) * CAST(q.qnrm AS DOUBLE)) AS cosine
+           |FROM asg a JOIN cells USING (cid)
+           |  JOIN dt t ON t.vec_id = a.vec_id
+           |  JOIN norms n ON n.vec_id = a.vec_id, qn q
+           |ORDER BY cosine DESC, a.vec_id LIMIT $topK""".stripMargin))
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138)
 }

@@ -245,6 +245,37 @@ class MultimodalSpec extends SparkSuite {
     assert(f(3L).width == png.length % 640) // stub path for non-image
   }
 
+  test("audio kind decodes REAL WAV payloads: rate/channels/duration") {
+    import SparkSpec.spark.implicits._
+    // genuine in-memory PCM WAV via the JDK's own writer
+    def wav(rate: Int, channels: Int, seconds: Double): Array[Byte] = {
+      val frames = (rate * seconds).toInt
+      val data = Array.tabulate(frames * channels * 2)(i => (i * 7).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16,
+        channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val mono = wav(8000, 1, 0.5); val stereo = wav(44100, 2, 0.25)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", mono, mono.length.toLong),
+      Multimodal.MediaRow(2L, "audio", stereo, stereo.length.toLong),
+      // image kind with a WAV payload still goes through the stub
+      Multimodal.MediaRow(3L, "image", mono, mono.length.toLong)).toDS()
+    val f = Multimodal.decodeFeatures(spark, media.toDF())
+      .collect().map(r => r.media_id -> r).toMap
+    assert(f(1L).width == 8000 && f(1L).height == 1)
+    assert(f(1L).frame_sample == "8000hz 1ch 500ms")
+    assert(f(2L).width == 44100 && f(2L).height == 2)
+    assert(f(2L).frame_sample.endsWith("ms") &&
+      f(2L).frame_sample.startsWith("44100hz 2ch"))
+    assert(f(3L).width == mono.length % 640) // stub path for non-audio
+  }
+
   test("repartitionForMedia bounds partition payload") {
     val media = Multimodal.mediaFromDocuments(Catalog.documents(spark, sf))
     val re = Multimodal.repartitionForMedia(media, totalBytes = 1L << 30,

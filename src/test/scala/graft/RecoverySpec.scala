@@ -158,8 +158,8 @@ class RecoverySpec extends SparkSuite {
     spark.read.parquet(hit.toIndexedSeq: _*)
       .filter(!col("user_id").isin(7L))
       .write.parquet(staging.toString)
-    val out = fs.create(new Path(staging, TargetedDelete.manifestName), true)
-    try out.write(hit.mkString("\n").getBytes("UTF-8")) finally out.close()
+    graft.ops.CertFile.write(fs,
+      new Path(staging, TargetedDelete.manifestName), hit.mkString("\n"))
     hit.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
 
     val log = Recovery.completeErase(spark, dir)

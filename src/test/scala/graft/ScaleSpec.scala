@@ -130,4 +130,18 @@ class ScaleSpec extends SparkSuite {
       .contains("graft_dedup_index"),
       "incremental run must read the persisted signature index")
   }
+
+  test("q138 probe reads the stored ANN index and retrains nothing") {
+    val out = graft.queries.SimilarityQueries.q138.run(spark, sf)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // cell membership must come from the MATERIALIZED index...
+    assert(plan.contains("graft_ann_index"),
+      s"probe must read the persisted assignments:\n$plan")
+    // ...and the probe plan must not contain the training/update shape
+    // (Lloyd passes explode (vec, dim) rows and re-aggregate by
+    // (cid, pos); the probe is zip_with projections + joins only)
+    assert(!plan.contains("posexplode"),
+      s"probe plan contains a dim-explode — it is retraining:\n$plan")
+  }
 }
