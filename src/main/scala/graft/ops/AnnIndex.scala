@@ -87,6 +87,33 @@ object AnnIndex {
       .write.mode("append").parquet(asgPath(path))
   }
 
+  /** Cell-occupancy skew of the stored index: the largest cell's share
+    * of all indexed vectors. Appends assign to FROZEN centroids, so a
+    * drifting corpus degrades into a few overfull cells — probes then
+    * rerank ever-larger candidate sets and the index stops paying for
+    * itself. One small aggregation over the (vec_id, cid) assignment
+    * relation. */
+  def maxCellShare(spark: SparkSession, path: String): Double = {
+    val row = spark.read.parquet(asgPath(path))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double").as("mx"),
+        sum(col("n")).cast("double").as("tot"))
+      .first()
+    row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** Drift maintenance: retrain + rebuild the index from the CURRENT
+    * corpus iff the largest cell holds more than `maxShare` of it
+    * (the compaction decision of the ANN world — an explicit, bounded
+    * maintenance action, never implicit per-query work). Returns true
+    * when a rebuild happened. */
+  def maintain(spark: SparkSession, path: String, vecs: DataFrame,
+      k: Long, iters: Int, maxShare: Double): Boolean = {
+    val skewed = maxCellShare(spark, path) > maxShare
+    if (skewed) build(spark, vecs, k, iters, path)
+    skewed
+  }
+
   /** IVF probe against the stored index: score the k stored centroids
     * against the query vector (k driver literals, one 1-row broadcast),
     * keep the best `probes` cells, exact-cosine rerank ONLY the

@@ -488,6 +488,38 @@ object CorpusQueries {
         |FROM e JOIN dim USING (user_id)
         |GROUP BY 1""".stripMargin))
 
+  /** q140 — BPE-BUDGETED SEQUENCE PACKING: q79's head-to-tail layout
+    * re-cut over REAL subword counts ([[graft.ops.Bpe]], the pinned
+    * merge table) instead of whitespace words — context windows are
+    * budgeted in model-tokenizer tokens, so this is the packing a
+    * training writer actually runs. Same keyed-window scale shape as
+    * q79 (per-shard pack, exact div/%); the token counting itself is a
+    * narrow map-side rewrite, so the only shuffle is still the one
+    * keyed window. */
+  val q140 = {
+    val bpeSql = graft.ops.Bpe.tokenCountSql(TextQueries.normSql)
+    Q("q140_bpe_packing",
+      (s, d) => graft.ops.Packing.pack(
+        Catalog.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.ops.Bpe.tokenCount(col("text")).cast("bigint")
+              .as("n_bpe")),
+        "source", "doc_id", "n_bpe", 512),
+      Some(
+        s"""SELECT doc_id, source, n_bpe,
+           |  CAST(start_off // 512 AS BIGINT) AS seq_id,
+           |  CAST(start_off % 512 AS BIGINT) AS seq_off
+           |FROM (
+           |  SELECT doc_id, source, n_bpe,
+           |    COALESCE(SUM(n_bpe)
+           |      OVER (PARTITION BY source ORDER BY doc_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS start_off
+           |  FROM (SELECT doc_id, source,
+           |          CAST($bpeSql AS BIGINT) AS n_bpe
+           |        FROM documents))""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91, q93,
-    q99, q100)
+    q99, q100, q140)
 }

@@ -235,5 +235,44 @@ object PipelineQueries {
          |WHERE rk <= 32""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(q41, q42, q46, q47, q77, q123)
+  /** q141 — TOKEN-BUDGET MIXTURE ACCOUNTING: q47's deterministic
+    * quota-hash mixture, re-answered in the unit users budget by — the
+    * BPE token YIELD each source contributes after sampling (mixture
+    * weights are specified in tokens, not documents; a source of long
+    * docs at quota 20 can out-contribute one of short docs at 80).
+    * Same no-shuffle-no-rand sampling (salted hash vs per-source
+    * quota), one map-side subword count, one keyed aggregation. */
+  val q141 = {
+    val bpeSql = graft.ops.Bpe.tokenCountSql(TextQueries.normSql)
+    Q("q141_token_budget_mixture",
+      (s, d) => {
+        val quota = element_at(
+          array(lit(20L), lit(50L), lit(80L)),
+          (col("source_num") % 3 + 1).cast("int"))
+        val keepHash = TextAnalysis.hash60(
+          concat(lit("mix|"), col("doc_id").cast("string"))) % 100
+        Catalog.documents(s, d)
+          .withColumn("source_num",
+            regexp_replace(col("source"), "[^0-9]", "").cast("bigint"))
+          .withColumn("quota", quota)
+          .filter(keepHash < col("quota"))
+          .groupBy(col("source"), col("quota"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(graft.ops.Bpe.tokenCount(col("text")).cast("bigint"))
+              .as("bpe_tokens"))
+      },
+      Some {
+        val h = "CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+        val q = """[20, 50, 80][CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g')
+          |         AS BIGINT) % 3 + 1 AS INT)]""".stripMargin
+        s"""SELECT source, CAST($q AS BIGINT) AS quota,
+           |       count(*) AS n_kept,
+           |       CAST(sum(CAST($bpeSql AS BIGINT)) AS BIGINT) AS bpe_tokens
+           |FROM documents
+           |WHERE $h < $q
+           |GROUP BY 1, 2""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q46, q47, q77, q123, q141)
 }
