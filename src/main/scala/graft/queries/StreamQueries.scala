@@ -33,6 +33,22 @@ object StreamQueries {
   private def eventStream(s: SparkSession, srcDir: String): DataFrame =
     StreamingLoad.eventStream(s, srcDir)
 
+  /** Run `body` (a streaming query start→awaitTermination) with the
+    * state partitioning pinned to `n`: `spark.sql.shuffle.partitions`
+    * at stream START fixes the number of state stores for the query's
+    * LIFETIME (it is a checkpoint property, not a per-batch one), so
+    * streaming state partitioning is its own tuning decision, separate
+    * from the batch shuffle width — a handful of state stores per
+    * executor core is the production shape; 32 stores over one
+    * micro-batch is pure checkpoint-I/O overhead. Restores the batch
+    * setting afterwards. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** q124 — watermarked STREAM-STREAM INTERVAL JOIN: each click joined
     * to the same user's purchases within the following 30 minutes.
     * State stays bounded because BOTH sides carry a watermark and the
@@ -60,14 +76,16 @@ object StreamQueries {
           col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           col("click_ts"), col("purchase_ts"), col("purchase_cents"))
-      val q = joined.writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(s"$base/out"); ()
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = joined.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$base/out"); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$base/out")
     },
     Some(
@@ -100,15 +118,17 @@ object StreamQueries {
           sum(round(col("value") * 100).cast("bigint")).as("cents_sum"))
         .select(col("window.start").as("day_start"), col("event_type"),
           col("n"), col("cents_sum"))
-      val q = agg.writeStream
-        .trigger(Trigger.AvailableNow())
-        .outputMode("complete")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(s"$base/out"); ()
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(s"$base/out"); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$base/out")
     },
     Some(
@@ -144,19 +164,21 @@ object StreamQueries {
       val stream = eventStream(s, src)
         .withWatermark("ts", "1 hour")
         .dropDuplicates("event_id")
-      val q = fresh(stream).writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val cur = graft.ops.Snapshots.asOf(s, tgtBase)
-          val merged = cur.join(batch.select(col("event_id")), Seq("event_id"),
-              "left_anti")
-            .unionByName(batch)
-          graft.ops.Snapshots.publish(s, tgtBase, merged)
-          ()
-        }
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = fresh(stream).writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val cur = graft.ops.Snapshots.asOf(s, tgtBase)
+            val merged = cur.join(batch.select(col("event_id")), Seq("event_id"),
+                "left_anti")
+              .unionByName(batch)
+            graft.ops.Snapshots.publish(s, tgtBase, merged)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
       graft.ops.Snapshots.asOf(s, tgtBase)
     },
     Some(

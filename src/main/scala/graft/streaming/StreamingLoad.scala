@@ -45,13 +45,23 @@ object StreamingLoad {
       .dropDuplicates("event_id")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
-    val q = stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"${targetPath}__checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(targetPath); ()
-      }
-      .start()
-    q.awaitTermination()
+    // State partitioning is a stream-lifetime property (fixed into the
+    // checkpoint at first start), tuned separately from the batch
+    // shuffle width: a handful of dedup state stores per executor core
+    // is the production shape; inheriting a wide batch setting just
+    // multiplies checkpoint I/O per micro-batch.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"${targetPath}__checkpoint")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(targetPath); ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
   }
 }
