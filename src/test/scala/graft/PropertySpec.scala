@@ -244,4 +244,46 @@ class PropertySpec extends SparkSuite {
         s1 == s2
     })
   }
+
+  /** Direct Scala implementation of the SAME merge algorithm (Sennrich
+    * ordered passes, greedy leftmost within each pass) — the columnar
+    * marker-rewrite formulation must agree with it on arbitrary text. */
+  private def bpeDirect(text: String): Seq[String] = {
+    val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .replaceAll("\\s+", " ")
+    if (norm.isEmpty) return Seq.empty
+    norm.split(" ").toSeq.flatMap { word =>
+      var toks = word.map(_.toString).toVector
+      for ((a, b) <- graft.ops.Bpe.merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2 // greedy leftmost, no overlap
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+  }
+
+  test("BPE columnar rewrite equals the direct merge fold on arbitrary text") {
+    val textGen = Gen.listOfN(6,
+      Gen.oneOf(Gen.alphaLowerStr.map(_.take(8)),
+        Gen.oneOf("the", "that", "which", "anana", "thethe", "ing", "",
+          "Mixed CASE!", "42nd street")))
+      .map(_.mkString(" "))
+    check("bpe", Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          graft.ops.Bpe.tokens(col("text")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+        .toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        got(i.toLong) == bpeDirect(t).toList
+      }
+    })
+  }
 }
