@@ -32,6 +32,33 @@ class AnnIndexSpec extends SparkSuite {
       expect.except(got).count() == 0)
   }
 
+  test("streaming maintenance reaches batch-append parity and survives restart") {
+    val base = "/tmp/graft_ann_spec/stream"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val idxS = s"$base/idx"
+    val hist = vecs.filter(col("vec_id") < 400)
+    val delta = vecs.filter(col("vec_id") >= 400)
+    AnnIndex.build(spark, hist, k = 8, iters = 2, idxS)
+    // the "arriving" embeddings: delta rows staged as a stream source
+    Catalog.embeddings(spark, sf).filter(col("vec_id") >= 400)
+      .write.parquet(s"$base/src")
+    graft.streaming.StreamingAnn.maintain(spark, s"$base/src", idxS)
+    // parity: streamed assignments == the batch literal projection
+    val got = spark.read.parquet(s"$idxS/assign")
+      .filter(col("vec_id") >= 400)
+    val expect = KMeans.assignToCentroids(delta,
+      AnnIndex.readCentroids(spark, idxS))
+      .select(col("vec_id"), col("cid"))
+    assert(got.except(expect).count() == 0 &&
+      expect.except(got).count() == 0)
+    // restart with no new files: checkpoint prevents double-append
+    graft.streaming.StreamingAnn.maintain(spark, s"$base/src", idxS)
+    assert(spark.read.parquet(s"$idxS/assign").count() ==
+      hist.count() + delta.count())
+  }
+
   test("maintain(): rebuilds on skew, no-op when balanced") {
     AnnIndex.build(spark, vecs, k = 8, iters = 2, idx)
     val before = AnnIndex.readCentroids(spark, idx)
