@@ -520,6 +520,62 @@ object CorpusQueries {
            |        FROM documents))""".stripMargin))
   }
 
+  /** q142 — TOKEN-WINDOW CHUNKING: packing's complement — docs LONGER
+    * than the context budget split into overlapping 64-token windows
+    * (stride 48, overlap 16), the standard RAG/pretraining chunker.
+    * Entirely array-side per doc: tokenize once ([[graft.ops.Bpe]]),
+    * derive the chunk count arithmetically, explode chunk indices,
+    * slice the token array — a narrow map-side explode bounded by
+    * ⌈n/stride⌉ rows per doc, no shuffle at all (the ONLY wide op in
+    * the plan is none — chunk identity is (doc_id, chunk_id)). Each
+    * chunk carries its token offset, its true length, and a 60-bit
+    * fingerprint of the joined tokens — the key chunk-level dedup and
+    * retrieval indexes both build on. */
+  val q142 = {
+    val chunk = 64
+    val overlap = 16
+    val stride = chunk - overlap
+    Q("q142_token_chunking",
+      (s, d) => Catalog.documents(s, d)
+        .select(col("doc_id"), graft.ops.Bpe.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("bigint"))
+        .filter(col("n") > 0)
+        .withColumn("c",
+          expr(s"(greatest(n - $overlap, 1L) + ${stride - 1}) div $stride"))
+        .withColumn("chunk_id",
+          explode(sequence(lit(0L), col("c") - 1)))
+        .withColumn("start_tok", col("chunk_id") * stride)
+        .withColumn("chunk_toks",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunk)))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("chunk_toks")).cast("bigint").as("n_chunk_tokens"),
+          hash60(array_join(col("chunk_toks"), " ")).as("chunk_fp")),
+      Some {
+        val enc = graft.ops.Bpe.encodeSql(TextQueries.normSql)
+        s"""WITH enc AS (SELECT doc_id, replace($enc, ' ', '') AS s2
+           |             FROM documents),
+           |tok AS (SELECT doc_id,
+           |          list_filter(string_split(trim(s2, chr(1)||chr(2)),
+           |            chr(2)||chr(1)), t -> t <> '') AS toks
+           |        FROM enc),
+           |sized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+           |          FROM tok WHERE len(toks) > 0),
+           |chunks AS (SELECT doc_id, toks, n,
+           |             (greatest(n - $overlap, 1) + ${stride - 1}) // $stride
+           |               AS c
+           |           FROM sized)
+           |SELECT doc_id, u.i AS chunk_id, u.i * $stride AS start_tok,
+           |  CAST(len(list_slice(toks, u.i * $stride + 1,
+           |    least(u.i * $stride + $chunk, n))) AS BIGINT)
+           |    AS n_chunk_tokens,
+           |  CAST(('0x' || substr(md5(array_to_string(
+           |    list_slice(toks, u.i * $stride + 1,
+           |      least(u.i * $stride + $chunk, n)), ' ')), 1, 15)) AS BIGINT)
+           |    AS chunk_fp
+           |FROM chunks, unnest(generate_series(0, c - 1)) u(i)""".stripMargin
+      })
+  }
+
   val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91, q93,
-    q99, q100, q140)
+    q99, q100, q140, q142)
 }
