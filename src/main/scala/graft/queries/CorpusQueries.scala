@@ -576,6 +576,34 @@ object CorpusQueries {
       })
   }
 
+  /** q143 — CHUNK-LEVEL CROSS-DOC DEDUP: q142's fingerprints rolled up
+    * to the near-verbatim-span report — which 64-token windows recur
+    * across DIFFERENT documents, how often, and who owns the canonical
+    * copy (min doc_id). The q63 paragraph-dedup shape at tokenizer
+    * granularity: one groupBy on the 60-bit fp (map-side combinable —
+    * duplicated chunks collapse per partition before the exchange),
+    * never a chunk×chunk join. Only full-width chunks participate
+    * (tail fragments of different lengths would never match anyway and
+    * their exclusion makes the report size-stable). */
+  val q143 = {
+    val chunk = 64
+    Q("q143_chunk_dedup",
+      (s, d) => q142.run(s, d)
+        .filter(col("n_chunk_tokens") === chunk)
+        .groupBy(col("chunk_fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("canonical_doc"))
+        .filter(col("n_docs") > 1),
+      q142.oracle.map(sql =>
+        s"""WITH chunks AS ($sql)
+           |SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |       count(*) AS n_occurrences,
+           |       min(doc_id) AS canonical_doc
+           |FROM chunks WHERE n_chunk_tokens = $chunk
+           |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91, q93,
-    q99, q100, q140, q142)
+    q99, q100, q140, q142, q143)
 }
