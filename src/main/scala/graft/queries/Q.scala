@@ -38,5 +38,6 @@ object Q {
     "q94_dynamic_partition_pruning", "q115_data_skipping",
     "q127_targeted_delete", "q132_time_travel",
     "q131_observed_metrics", // observed full-table copy
-    "q138_persistent_ann_index") // builds + appends the stored index
+    "q138_persistent_ann_index", // builds + appends the stored index
+    "q145_xml_roundtrip") // rewrites the XML scratch copy
 }

@@ -859,8 +859,55 @@ object RelationalQueries {
         |SELECT 'TOTAL', CAST(count(DISTINCT o_custkey) AS BIGINT)
         |FROM orders""".stripMargin))
 
+  /** q144 — VARIANT semi-structured extraction (Spark 4's native
+    * answer to schemaless JSON columns): `parse_json` shreds the props
+    * string into the binary VARIANT encoding ONCE, then typed
+    * `try_variant_get` paths read it without re-parsing — the
+    * engine-current replacement for q34's per-access get_json_object
+    * string parse (at 100 TB the parse happens once per row instead of
+    * once per extracted field, and the binary form column-prunes).
+    * Same aggregate contract as q34, so the oracle is the identical
+    * JSON SQL — hash-green proves the VARIANT path loses nothing. */
+  val q144 = Q("q144_variant_extract",
+    (s, d) => Catalog.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k",
+        expr("try_variant_get(v, '$.k', 'bigint')"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k")),
+    Some(
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin))
+
+  /** q145 — XML round trip (Spark 4 ships the XML source natively —
+    * rowTag read/write, schema projection): the remaining
+    * interchange-format sink beyond CSV/JSON/ORC/parquet. Same
+    * identity-projection verification as q38/q39: hash-green proves
+    * the write → read cycle preserves every row and type. */
+  val q145 = Q("q145_xml_roundtrip",
+    (s, d) => {
+      val out = s"/tmp/graft_xml/${java.nio.file.Paths.get(d).getFileName}/nation_xml"
+      Catalog.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1).write.mode("overwrite")
+        .format("xml").option("rootTag", "nations").option("rowTag", "nation")
+        .save(out)
+      s.read.format("xml").option("rowTag", "nation").load(out)
+        .select(col("n_nationkey").cast("bigint"), col("n_name"),
+          col("n_regionkey").cast("bigint"))
+    },
+    Some(
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
-      q111, q112, q116, q126, q130, q135)
+      q111, q112, q116, q126, q130, q135, q144, q145)
 }
