@@ -906,8 +906,68 @@ object RelationalQueries {
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin))
 
+  /** q146 — LATERAL correlated subquery (SQL top-n-per-group): for
+    * each nation, the 3 highest-balance customers via a per-row
+    * LATERAL derived table — the relational spelling of
+    * [[graft.plans.TopKPerGroup]], issued through the SQL front door.
+    * Catalyst decorrelates the lateral into a ranked window (no
+    * per-nation re-execution), so the plan is the same keyed
+    * window/top-k shape as q70 — the feature under test is the SQL
+    * surface, not a new physical path. */
+  val q146 = Q("q146_lateral_topn",
+    (s, d) => {
+      Catalog.nation(s, d).createOrReplaceTempView("nation_v")
+      Catalog.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.acct_cents
+          |FROM nation_v n,
+          |LATERAL (SELECT c.c_custkey,
+          |           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_cents
+          |         FROM customer_v c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY acct_cents DESC, c.c_custkey LIMIT 3) t""".stripMargin)
+    },
+    Some(
+      """SELECT n.n_name, t.c_custkey, t.acct_cents
+        |FROM nation n,
+        |LATERAL (SELECT c.c_custkey,
+        |           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acct_cents
+        |         FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY acct_cents DESC, c.c_custkey LIMIT 3) t""".stripMargin))
+
+  /** q147 — COLLATION-AWARE comparison (Spark 4 string collations):
+    * a case-insensitive market-segment match expressed by comparing
+    * under the UTF8_LCASE collation — the engine-native form of the
+    * lower()-both-sides idiom (J13's shape). The collated comparison
+    * stays codegen'd and sargable; the oracle spells the same
+    * predicate with lower(), proving the collation semantics match the
+    * portable formulation. */
+  val q147 = Q("q147_collated_join",
+    (s, d) => {
+      // lowercase dimension vs uppercase fact values — the collated
+      // equi-join matches them without rewriting either side
+      val dim = s.createDataFrame(Seq(
+        ("building", 1L), ("automobile", 2L), ("machinery", 3L)))
+        .toDF("seg_name", "seg_id")
+      Catalog.customer(s, d)
+        .join(dim, collate(col("c_mktsegment"), "UTF8_LCASE") ===
+          collate(col("seg_name"), "UTF8_LCASE"))
+        .groupBy(col("seg_id"),
+          col("c_mktsegment").cast("string").as("segment"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(
+      """SELECT d.seg_id, c.c_mktsegment AS segment, count(*) AS n
+        |FROM customer c
+        |JOIN (VALUES ('building', CAST(1 AS BIGINT)),
+        |             ('automobile', CAST(2 AS BIGINT)),
+        |             ('machinery', CAST(3 AS BIGINT))) d(seg_name, seg_id)
+        |  ON lower(c.c_mktsegment) = lower(d.seg_name)
+        |GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
-      q111, q112, q116, q126, q130, q135, q144, q145)
+      q111, q112, q116, q126, q130, q135, q144, q145, q146, q147)
 }
