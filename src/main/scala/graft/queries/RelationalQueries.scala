@@ -966,8 +966,35 @@ object RelationalQueries {
         |  ON lower(c.c_mktsegment) = lower(d.seg_name)
         |GROUP BY 1, 2""".stripMargin))
 
+  /** q148 — RECURSIVE CTE (Spark 4 ships WITH RECURSIVE natively): an
+    * ancestry walk up a derived referral chain (parent = custkey/2),
+    * emitting each customer's depth to the root — the iterate-until-
+    * fixpoint shape expressed relationally, where q61's connected
+    * components hand-rolls the loop in Scala for cyclic inputs.
+    * Recursion depth is O(log maxkey) — bounded, acyclic by
+    * construction (the chain strictly decreases), well inside Spark's
+    * recursion limit. DuckDB runs the identical recursive SQL. */
+  val q148 = Q("q148_recursive_cte",
+    (s, d) => {
+      Catalog.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """WITH RECURSIVE up(custkey, anc, depth) AS (
+          |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer_v
+          |  UNION ALL
+          |  SELECT custkey, anc div 2, depth + 1 FROM up WHERE anc > 0)
+          |SELECT custkey, max(depth) AS depth_to_root
+          |FROM up GROUP BY custkey""".stripMargin)
+    },
+    Some(
+      """WITH RECURSIVE up(custkey, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT custkey, anc // 2, depth + 1 FROM up WHERE anc > 0)
+        |SELECT custkey, max(depth) AS depth_to_root
+        |FROM up GROUP BY custkey""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
-      q111, q112, q116, q126, q130, q135, q144, q145, q146, q147)
+      q111, q112, q116, q126, q130, q135, q144, q145, q146, q147, q148)
 }
