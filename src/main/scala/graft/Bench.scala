@@ -17,22 +17,25 @@ object Bench {
     * prefix, 2-decimal seconds — every byte counts. BenchLineSpec pins
     * the rendered size against the registry growing past the tail. */
   def compactLine(results: Seq[(String, Double)], sfDir: String): String = {
-    // 2-decimal (10 ms) values with trailing zeros trimmed ("0.50" →
-    // 0.5, "15.00" → 15) — still valid JSON numbers, ~10% fewer bytes
-    def r2(v: Double): String = {
-      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-        .toString
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".")
-        .reverse
+    // sub-second values at 10 ms resolution, ≥1 s values at 100 ms,
+    // trailing zeros trimmed — still valid JSON numbers. The DETAIL
+    // line keeps full ms precision for humans; this line exists to fit
+    // the tail. (Methodology: steady_state min-of-2 — PERF.md.)
+    def trim(s: String): String =
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
-    }
+    def rq(v: Double): String = trim(
+      BigDecimal(v).setScale(if (v < 1) 2 else 1,
+        BigDecimal.RoundingMode.HALF_UP).toString)
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + rq(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"steady_state","queries":$qs,"sf":"$sfDir"}"""
+    val sfShort = new java.io.File(sfDir).getName
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
   }
 
   def main(args: Array[String]): Unit = {

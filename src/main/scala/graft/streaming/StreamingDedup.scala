@@ -60,6 +60,53 @@ object StreamingDedup {
       .filter(col("bh").isNotNull) // docs shorter than n shingle to nothing
   }
 
+  /** The per-bucket canonical logic as a Spark 4 [[StatefulProcessor]]
+    * (the `transformWithState` API — typed named state handles on the
+    * RocksDB store, the successor to flatMapGroupsWithState): one
+    * ValueState[Long] per band bucket holding the canonical (minimum)
+    * doc_id, identical emission semantics to [[streamingCandidates]].
+    * TTLConfig.NONE because bucket canonicals must outlive any window
+    * (they ARE the index); a production variant with churn would TTL
+    * them to the dedup horizon. */
+  private class CanonicalBucketProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, BandHit, Candidate] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    @transient private var canonical: ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      canonical = getHandle.getValueState[Long]("canonical",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[BandHit],
+        timerValues: TimerValues): Iterator[Candidate] = {
+      var can = if (canonical.exists()) canonical.get() else Long.MaxValue
+      val out = scala.collection.mutable.ListBuffer.empty[Candidate]
+      rows.map(_.doc_id).toSeq.sorted.foreach { d =>
+        if (can < d) out += Candidate(can, d)
+        if (d < can) can = d
+      }
+      canonical.update(can)
+      out.iterator
+    }
+  }
+
+  /** [[streamingCandidates]] re-expressed on `transformWithState` —
+    * same outputs (StreamingDedupSpec proves parity), but state lives
+    * in named typed handles on the RocksDB provider, which is what
+    * unlocks TTL, timers, and multiple state variables per key at
+    * scale. Caller must have the RocksDB state store provider set
+    * (`spark.sql.streaming.stateStore.providerClass`) — the API
+    * requires it. */
+  def streamingCandidatesTws(spark: SparkSession, docs: Dataset[Doc],
+      shingleN: Int): Dataset[Candidate] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    bandHits(docs.toDF(), shingleN).as[BandHit]
+      .groupByKey(_.bh)
+      .transformWithState(new CanonicalBucketProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** The streaming pipeline: docs → band hits → per-bucket canonical
     * state → (canonical, newcomer) candidates. Emits each newcomer at
     * most once per band bucket; downstream exact-verify/dedup is the

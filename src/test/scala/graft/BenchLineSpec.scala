@@ -9,9 +9,9 @@ class BenchLineSpec extends SparkSuite {
 
   test("compact bench line stays under the driver's stdout tail") {
     // worst-case rendering: every query at untrimmable 2-digit seconds
-    // (a uniform-99.99s bench is already a driver timeout — any real
+    // (a uniform-99.9s bench is already a driver timeout — any real
     // line is shorter)
-    val worst = SparkEntry.registry.map(q => q.name -> 99.994)
+    val worst = SparkEntry.registry.map(q => q.name -> 99.94)
     val line = Bench.compactLine(worst, "/root/testdata/sf0.1")
     assert(line.length < 1900,
       s"bench line is ${line.length} bytes at ${worst.size} queries — " +

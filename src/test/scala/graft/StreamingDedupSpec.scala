@@ -52,6 +52,46 @@ class StreamingDedupSpec extends SparkSuite {
     assert(injected.subsetOf(streamed.map(_._2)))
   }
 
+  test("transformWithState variant emits identical candidates (RocksDB store)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the new API requires the RocksDB provider; scope it to this query
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Doc]
+      val q = StreamingDedup.streamingCandidatesTws(spark, input.toDS(), 3)
+        .writeStream.format("memory").queryName("sdedup_tws")
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = corpus.splitAt(corpus.size / 2)
+        input.addData(b1); q.processAllAvailable()
+        input.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      val tws = spark.table("sdedup_tws")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      // exact parity with the flatMapGroupsWithState pipeline: same
+      // buckets, same canonical rule, same batch split → same pairs
+      val input2 = MemoryStream[Doc]
+      val q2 = StreamingDedup.streamingCandidates(spark, input2.toDS(), 3)
+        .writeStream.format("memory").queryName("sdedup_fmg")
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = corpus.splitAt(corpus.size / 2)
+        input2.addData(b1); q2.processAllAvailable()
+        input2.addData(b2); q2.processAllAvailable()
+      } finally q2.stop()
+      val fmg = spark.table("sdedup_fmg")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(tws == fmg, s"tws-only: ${tws -- fmg}; fmg-only: ${fmg -- tws}")
+      assert(tws.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streamed band hits are bit-identical to the batch derivation") {
     val df = corpus.toDF("doc_id", "text")
     val arraySide = StreamingDedup.bandHits(df, 3)
