@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic byte-pair-encoding tokenizer with a PINNED merge
@@ -83,6 +83,56 @@ object Bpe {
     // strip the outer markers, split on the inter-token boundary E+B
     filter(split(regexp_replace(enc, "^" + B + "|" + E + "$", ""), E + B),
       t => t =!= "")
+  }
+
+  /** Encode against an EXPLICIT merge list (training uses the partial
+    * lists; [[encode]] is this at `merges`). */
+  private def encodeWith(normText: Column,
+      ms: Seq[(String, String)]): Column = {
+    val wrapped = regexp_replace(normText, "([^ ])", B + "$1" + E)
+    ms.foldLeft(wrapped) { case (c, (a, b)) =>
+      replace(c, lit(B + a + E + B + b + E), lit(B + a + b + E))
+    }
+  }
+
+  /** TRAIN a merge table from a corpus — the Sennrich learning loop in
+    * `k` bounded passes: each pass re-encodes the corpus under the
+    * merges learned so far (narrow map-side rewrite), explodes
+    * adjacent symbol pairs, counts them (ONE map-side-combinable
+    * groupBy — the only shuffle per pass), and the driver keeps the
+    * most frequent pair (ties to lexicographically smallest — fully
+    * deterministic, no RNG). k passes = k shuffles over symbol-pair
+    * rows, never corpus²; the collected state per pass is ONE row.
+    * Returns (left, right, pair_count) in learned order — feed it to
+    * [[encodeWith]]-shaped appliers or pin it as the static table. */
+  def train(docs: DataFrame, textCol: String, k: Int)
+      : Seq[(String, String, Long)] = {
+    require(k >= 1 && k <= 200, "bounded training: 1..200 merges")
+    val norm = TextAnalysis.normalizeText(col(textCol))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to k) {
+      val enc = encodeWith(norm, learned.toSeq.map(m => (m._1, m._2)))
+      // per word: symbol array; adjacent pairs via zip_with against the
+      // tail slice (the q80 bigram idiom) — all array-side
+      val pairs = docs.select(
+          explode(split(enc, " ")).as("w"))
+        .select(split(regexp_replace(col("w"), "^" + B + "|" + E + "$", ""),
+          E + B).as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(zip_with(
+          col("syms"),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(1))),
+          (a, b) => when(b.isNotNull, struct(a.as("l"), b.as("r")))))
+          .as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) return learned.toSeq
+      val r = top.head
+      learned += ((r.getString(0), r.getString(1), r.getLong(2)))
+    }
+    learned.toSeq
   }
 
   // ---- oracle SQL generation (same declarations, DuckDB dialect) ----

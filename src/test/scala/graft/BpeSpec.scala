@@ -43,6 +43,33 @@ class BpeSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("train() learns the hand-computable merges of a tiny corpus") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq("ab ab ab", "abc").toDF("text")
+    // pass 1: (a,b) appears 4 times — learned first; pass 2: the merged
+    // corpus is [ab][ab][ab] / [ab][c], so (ab,c) x1; then no pairs
+    // remain and training stops early regardless of k
+    val learned = Bpe.train(docs, "text", k = 5)
+    assert(learned == Seq(("a", "b", 4L), ("ab", "c", 1L)))
+  }
+
+  test("train() is deterministic and its merges compress the corpus") {
+    val docs = graft.tables.Catalog.documents(spark, sf).limit(150)
+    val a = Bpe.train(docs, "text", k = 8)
+    val b = Bpe.train(docs, "text", k = 8)
+    assert(a == b && a.size == 8)
+    assert(a.forall(_._3 > 0))
+    // distinct merges, and every learned rule fires on the corpus it
+    // was learned from: token count strictly drops vs characters
+    assert(a.map(m => (m._1, m._2)).distinct.size == 8)
+    val counts = docs.select(
+      sum(Bpe.tokenCount(col("text"))).cast("long").as("bpe"),
+      sum(length(regexp_replace(
+        graft.ops.TextAnalysis.normalizeText(col("text")), " ", "")))
+        .cast("long").as("chars")).first()
+    assert(counts.getLong(0) < counts.getLong(1))
+  }
+
   test("tokenCount equals the exploded token count") {
     val docs = graft.tables.Catalog.documents(spark, sf).limit(200)
     val bad = docs.select(
