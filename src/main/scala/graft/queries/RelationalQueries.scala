@@ -937,34 +937,28 @@ object RelationalQueries {
         |         ORDER BY acct_cents DESC, c.c_custkey LIMIT 3) t""".stripMargin))
 
   /** q147 — COLLATION-AWARE comparison (Spark 4 string collations):
-    * a case-insensitive market-segment match expressed by comparing
-    * under the UTF8_LCASE collation — the engine-native form of the
-    * lower()-both-sides idiom (J13's shape). The collated comparison
-    * stays codegen'd and sargable; the oracle spells the same
-    * predicate with lower(), proving the collation semantics match the
-    * portable formulation. */
-  val q147 = Q("q147_collated_join",
-    (s, d) => {
-      // lowercase dimension vs uppercase fact values — the collated
-      // equi-join matches them without rewriting either side
-      val dim = s.createDataFrame(Seq(
-        ("building", 1L), ("automobile", 2L), ("machinery", 3L)))
-        .toDF("seg_name", "seg_id")
-      Catalog.customer(s, d)
-        .join(dim, collate(col("c_mktsegment"), "UTF8_LCASE") ===
-          collate(col("seg_name"), "UTF8_LCASE"))
-        .groupBy(col("seg_id"),
-          col("c_mktsegment").cast("string").as("segment"))
-        .agg(count(lit(1)).as("n"))
-    },
+    * case-insensitive segment membership expressed by comparing under
+    * the UTF8_LCASE collation — the engine-native form of the
+    * lower()-both-sides idiom. Deliberately a map-side PREDICATE, not
+    * a join key: Spark 4.1 plans collated-key joins as sort-merge
+    * ONLY (hash joins don't support collation-aware equality yet —
+    * verified empirically: even an explicit broadcast hint on a 3-row
+    * dim is ignored and the fact gets sorted), so at scale the
+    * lower()-normalized equi-join (J13, q09's shape) remains the join
+    * formulation and collation belongs in per-row predicates and
+    * ORDER BY, where it stays codegen'd with no plan penalty. The
+    * oracle spells the same predicate with lower(). */
+  val q147 = Q("q147_collated_predicate",
+    (s, d) => Catalog.customer(s, d)
+      .filter(collate(col("c_mktsegment"), "UTF8_LCASE")
+        .isin("building", "automobile", "machinery"))
+      .groupBy(col("c_mktsegment").cast("string").as("segment"))
+      .agg(count(lit(1)).as("n")),
     Some(
-      """SELECT d.seg_id, c.c_mktsegment AS segment, count(*) AS n
-        |FROM customer c
-        |JOIN (VALUES ('building', CAST(1 AS BIGINT)),
-        |             ('automobile', CAST(2 AS BIGINT)),
-        |             ('machinery', CAST(3 AS BIGINT))) d(seg_name, seg_id)
-        |  ON lower(c.c_mktsegment) = lower(d.seg_name)
-        |GROUP BY 1, 2""".stripMargin))
+      """SELECT c_mktsegment AS segment, count(*) AS n
+        |FROM customer
+        |WHERE lower(c_mktsegment) IN ('building', 'automobile', 'machinery')
+        |GROUP BY 1""".stripMargin))
 
   /** q148 — RECURSIVE CTE (Spark 4 ships WITH RECURSIVE natively): an
     * ancestry walk up a derived referral chain (parent = custkey/2),
