@@ -24,8 +24,14 @@ import org.apache.spark.sql.types.IntegerType
   */
 object BandedLevenshteinRule extends Rule[LogicalPlan] {
 
+  /** Small thresholds go to the native allocation-free ASCII-banded
+    * kernel ([[BandedEditDistance]], "within k" = `value <= k`); larger
+    * ones to the builtin banded form ("within k" = `>= 0`). */
   private def banded(l: Expression, r: Expression, k: Int): Expression =
-    GreaterThanOrEqual(Levenshtein(l, r, Some(Literal(k))), Literal(0))
+    if (k <= 16)
+      LessThanOrEqual(BandedEditDistance(l, r, k), Literal(k))
+    else
+      GreaterThanOrEqual(Levenshtein(l, r, Some(Literal(k))), Literal(0))
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {

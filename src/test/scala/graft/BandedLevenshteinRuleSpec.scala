@@ -26,11 +26,12 @@ class BandedLevenshteinRuleSpec extends SparkSuite {
   // plan can be inspected
   private def cust = graft.tables.Catalog.customer(spark, sf)
 
-  test("rewrites lev <= k to the banded >= 0 form") {
+  test("rewrites lev <= k to the native banded form") {
     withRule {
       val q = cust.filter(levenshtein(col("c_name"), col("c_mktsegment")) <= 2)
       val optimized = q.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("Some(2)) >= 0"), optimized)
+      assert(optimized.contains("banded_edit_distance(c_name"), optimized)
+      assert(optimized.contains(", 2) <= 2"), optimized)
     }
   }
 
@@ -49,7 +50,7 @@ class BandedLevenshteinRuleSpec extends SparkSuite {
     withRule {
       val lt = cust.filter(levenshtein(col("c_name"), col("c_mktsegment")) < 3)
         .queryExecution.optimizedPlan.toString
-      assert(lt.contains("Some(2)) >= 0"), lt)
+      assert(lt.contains(", 2) <= 2"), lt)
       val already = cust
         .filter(levenshtein(col("c_name"), col("c_mktsegment"), 5) >= 0)
         .queryExecution.optimizedPlan.toString
