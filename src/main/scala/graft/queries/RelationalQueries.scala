@@ -987,8 +987,50 @@ object RelationalQueries {
         |SELECT custkey, max(depth) AS depth_to_root
         |FROM up GROUP BY custkey""".stripMargin))
 
+  /** q149 — TYPED COGROUP reconciliation: per-order comparison of the
+    * order header's total against the sum of its line items, written
+    * as `KeyValueGroupedDataset.cogroup` — the typed two-sided
+    * per-key API (the Dataset face of a co-partitioned merge; both
+    * sides shuffle once on the key and each key's row groups meet in
+    * ONE function call, the shape custom per-key business logic takes
+    * when it genuinely can't be a join+agg). The arithmetic stays in
+    * exact cents; the oracle is the equivalent outer join + group —
+    * hash-green proves the imperative per-key path computes exactly
+    * what the relational one does. */
+  val q149 = Q("q149_cogroup_reconcile",
+    (s, d) => {
+      import s.implicits._
+      val orders = Catalog.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("o_cents"))
+        .as[(Long, Long)]
+      val items = Catalog.lineitem(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+        .as[(Long, Long)]
+      orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) {
+        (k, os, ls) =>
+          val oList = os.toList
+          if (oList.isEmpty) Iterator.empty // FK orphan — no header
+          else {
+            var n = 0L; var sum = 0L
+            ls.foreach { l => n += 1; sum += l._2 }
+            Iterator((k, oList.head._2, sum, n))
+          }
+      }.toDF("o_orderkey", "o_cents", "item_cents", "n_items")
+    },
+    Some(
+      """SELECT o.o_orderkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+        |       CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100)
+        |         AS BIGINT)), 0) AS BIGINT) AS item_cents,
+        |       CAST(count(l.l_orderkey) AS BIGINT) AS n_items
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
-      q111, q112, q116, q126, q130, q135, q144, q145, q146, q147, q148)
+      q111, q112, q116, q126, q130, q135, q144, q145, q146, q147, q148,
+      q149)
 }
