@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,15 +13,30 @@ object Bench {
     spark
   }
 
+  /** Per-query diagnostics harvested from the timed run (best-effort):
+    * shuffle bytes written by the returned plan, driver-JVM GC delta
+    * across the query's runs. In local mode the "driver" GC is the
+    * whole JVM, executors included — exactly the noise signal a
+    * container-inflation episode needs. */
+  final case class RunStats(shuffleMb: Long, gcMs: Long)
+
   /** The ONE parseable line the driver ingests (it keeps only the last
-    * ~2000 chars of stdout): query names reduced to their numeric
-    * prefix, 2-decimal seconds — every byte counts. BenchLineSpec pins
-    * the rendered size against the registry growing past the tail. */
-  def compactLine(results: Seq[(String, Double)], sfDir: String): String = {
-    // sub-second values at 10 ms resolution, ≥1 s values at 100 ms,
-    // trailing zeros trimmed — still valid JSON numbers. The DETAIL
-    // line keeps full ms precision for humans; this line exists to fit
-    // the tail. (Methodology: steady_state min-of-2 — PERF.md.)
+    * ~2000 chars of stdout). At 149+ queries a full qNN→seconds object
+    * no longer fits, so the line is layered (BenchLineSpec pins the
+    * rendered size):
+    *  - "queries": ONLY the heavy hitters (≥0.95 s, top 24 by time) at
+    *    the r1–r6 rendering — the entries a round-over-round comparison
+    *    actually tabulates, kept name-keyed for continuity;
+    *  - "qcs": EVERY query's time as integer centiseconds, one
+    *    comma-separated string, in name-sorted registry order (the same
+    *    order CORRECTNESS files list) — full fidelity at ~4 bytes/query;
+    *  - "top": the 5 most expensive queries' diagnostics
+    *    {cs, shuffle MB, GC ms} so a container-noise episode is
+    *    diagnosable from the driver artifact alone (VERDICT r6 #8).
+    * The DETAIL stdout line above it keeps full names + ms precision
+    * for humans. */
+  def compactLine(results: Seq[(String, Double)], sfDir: String,
+      stats: Map[String, RunStats] = Map.empty): String = {
     def trim(s: String): String =
       if (s.contains('.'))
         s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
@@ -30,12 +46,39 @@ object Bench {
         BigDecimal.RoundingMode.HALF_UP).toString)
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + rq(v)
+    def cs(v: Double): String = math.round(v * 100).toString
+    val heavy = results.filter(_._2 >= 0.95).sortBy(-_._2).take(24)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rq(v) }
+      .mkString("{", ",", "}")
+    val qcs = results.map { case (_, v) => cs(v) }.mkString(",")
+    val top = results.sortBy(-_._2).take(5).map { case (k, v) =>
+      val st = stats.getOrElse(k, RunStats(0L, 0L))
+      "\"" + k.takeWhile(_ != '_') +
+        s"""":{"cs":${cs(v)},"shmb":${st.shuffleMb},"gc":${st.gcMs}}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfShort = new java.io.File(sfDir).getName
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
+      s""""queries":$heavy,"qcs":"$qcs","top":$top,""" +
+      s""""note":"queries=those >=0.95s; qcs=centisec per query in name-sorted registry order (CORRECTNESS order); top={cs,shuffle MB,driver GC ms}","sf":"$sfShort"}"""
+  }
+
+  /** Whole-JVM shuffle-write accounting via stage-completed events —
+    * actions like count() build their own QueryExecution, so plan-level
+    * SQLMetrics on the returned DataFrame never see the executed run;
+    * the listener sees every stage regardless of which plan ran it. */
+  private final class ShuffleListener extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  private def gcMsNow(): Long = {
+    var s = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach(b => s += math.max(b.getCollectionTime, 0L))
+    s
   }
 
   def main(args: Array[String]): Unit = {
@@ -59,11 +102,14 @@ object Bench {
     // regime a long-lived cluster runs in — not process bootstrap.
     //
     // Side-effecting queries (streaming checkpoints, staged-swap
-    // publishes, file maintenance — Q.sideEffecting) are warmed by
-    // PLANNING only: executing them here would run every heavy
-    // protocol twice per bench (doubling wall-clock and polluting the
-    // page cache under the timed pass) to save a few hundred ms of
-    // codegen on queries whose cost is protocol I/O, not codegen.
+    // publishes, file maintenance — Q.sideEffecting) are SKIPPED in
+    // the warmup entirely: their run closures execute the protocol
+    // eagerly (q12 runs the full load, q26 blocks on the stream,
+    // q138 builds the index) before any DataFrame exists, so even
+    // "planning-only" warmup would run every heavy protocol twice per
+    // bench. Their timed run is the only execution; the few hundred
+    // ms of cold codegen it includes is part of the protocol's real
+    // cost anyway (dominated by I/O, not codegen).
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.tables.Catalog.tableNames.foreach { t =>
       try graft.tables.Catalog(spark, sfDir, t).count()
@@ -71,9 +117,7 @@ object Bench {
     }
     selected.foreach { case (name, fn) =>
       try {
-        if (queries.Q.sideEffecting(name)) fn(spark, sfDir).queryExecution.executedPlan
-        else fn(spark, sfDir).count()
-        ()
+        if (!queries.Q.sideEffecting(name)) { fn(spark, sfDir).count(); () }
       } catch { case _: Throwable => () }
     }
     // Timed pass. clearCache runs before EVERY run, not once: queries
@@ -88,16 +132,29 @@ object Bench {
     // Spark's ContextCleaner reap accumulated broadcasts and shuffle
     // files (they are weak-reference-cleaned, and 135 queries' worth
     // of uncollected driver state otherwise taxes the later queries).
+    val shuffle = new ShuffleListener
+    spark.sparkContext.addSparkListener(shuffle)
+    def shuffleNow(): Long = {
+      try org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+      catch { case _: Throwable => () }
+      shuffle.bytes.get()
+    }
+    val stats = scala.collection.mutable.Map.empty[String, RunStats]
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
       if (i % 25 == 24) System.gc()
       val runs = forcedRepeats.getOrElse(
         if (queries.Q.sideEffecting(name)) 1 else 2)
+      val gc0 = gcMsNow()
+      val sh0 = shuffleNow()
       val t = (1 to runs).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
+      // deltas cover ALL the query's runs (min-of-2 shuffles twice) —
+      // a noise diagnostic, not a per-run measurement
+      stats(name) = RunStats((shuffleNow() - sh0) >> 20, gcMsNow() - gc0)
       name -> t
     }
     // Two output lines: "DETAIL ..." carries full names for humans and
@@ -107,7 +164,7 @@ object Bench {
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"DETAIL $detail")
-    println(compactLine(results, sfDir))
+    println(compactLine(results, sfDir, stats.toMap))
     spark.stop()
   }
 }

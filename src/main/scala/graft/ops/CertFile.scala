@@ -21,6 +21,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    treats a file without it as ABSENT, so even on a store with
   *    non-atomic rename a torn file demotes to "no cert" (rollback),
   *    never to "complete cert with missing entries".
+  *
+  * FORMAT BREAK: terminator validation means cert files written by the
+  * pre-terminator format read as absent — a staging certified under the
+  * old format would demote to rollback on first recovery after upgrade.
+  * Acceptable here because certs live only in regenerated scratch dirs;
+  * a deployment with durable old-format markers must re-certify (rerun
+  * the publish) before upgrading, or temporarily accept terminator-less
+  * files during a migration window. Note also the delete-then-rename in
+  * [[write]] opens a brief no-cert window when OVERWRITING an existing
+  * cert — safe for our one-shot certs (never overwritten after publish),
+  * load-bearing to fix if that ever changes.
   */
 private[graft] object CertFile {
 

@@ -111,9 +111,12 @@ object Multimodal {
       for {
         (channels, rate, bits) <- fmt
         data <- dataBytes
-        if channels > 0 && rate > 0 && bits > 0
+        // sub-byte PCM (bits < 8) would need packed-sample math the
+        // duration formula below doesn't do — reject to the stub path
+        // rather than yield a plausible-but-wrong duration
+        if channels > 0 && rate > 0 && bits >= 8
       } yield (rate, channels,
-        data * 1000L / (rate.toLong * channels * (bits / 8).max(1)))
+        data * 1000L / (rate.toLong * channels * (bits / 8)))
     }
   }
 

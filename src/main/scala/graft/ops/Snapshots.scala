@@ -71,7 +71,25 @@ object Snapshots {
     require(!fs.exists(dest),
       s"v=$next already exists — concurrent publish lost the race")
     require(fs.rename(staging, dest), s"commit rename failed for v=$next")
+    verifyCommit(fs, dest, staging.getName, next)
     next
+  }
+
+  /** The exists() check in [[publishAs]] is check-then-act: two
+    * publishers can both pass it, and the loser's rename into the
+    * now-existing dir nests its staging silently. The RENAME is the
+    * real commit test: a won race leaves dest's files at the top
+    * level; a lost race leaves the staging dir nested under dest.
+    * Detect, withdraw the nested data (the winner's files are
+    * untouched beside it), and fail. */
+  private[graft] def verifyCommit(fs: org.apache.hadoop.fs.FileSystem,
+      dest: Path, stagingName: String, next: Int): Unit = {
+    val nested = new Path(dest, stagingName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      throw new IllegalStateException(
+        s"v=$next lost a concurrent publish race — staged data withdrawn")
+    }
   }
 
   /** Time-travel read: the table as of `version` (default: current). */

@@ -10,13 +10,37 @@ class BenchLineSpec extends SparkSuite {
   test("compact bench line stays under the driver's stdout tail") {
     // worst-case rendering: every query at untrimmable 2-digit seconds
     // (a uniform-99.9s bench is already a driver timeout — any real
-    // line is shorter)
+    // line is shorter); "queries" caps at 24 entries so the line no
+    // longer grows with the number of HEAVY queries, only ~5 B/query
+    // via "qcs"
+    val stats = SparkEntry.registry.map(q =>
+      q.name -> Bench.RunStats(99999L, 999999L)).toMap
     val worst = SparkEntry.registry.map(q => q.name -> 99.94)
-    val line = Bench.compactLine(worst, "/root/testdata/sf0.1")
+    val line = Bench.compactLine(worst, "/root/testdata/sf0.1", stats)
     assert(line.length < 1900,
       s"bench line is ${line.length} bytes at ${worst.size} queries — " +
         "the driver tail keeps ~2000; shorten the rendering before " +
         "registering more queries")
+    // VERDICT r6 #6: ≥600 B of headroom at a 165-query registry under
+    // realistic times (sub-second typical, a handful of heavies)
+    val grown = (1 to 165).map(i => f"q$i%03d_sim" ->
+      (if (i % 12 == 0) 2.43 else 0.43))
+    val grownLine = Bench.compactLine(grown, "/root/testdata/sf0.1", stats)
+    assert(grownLine.length <= 1300,
+      s"realistic 165-query line is ${grownLine.length} bytes — " +
+        "need >=600 B headroom under the ~2000-char tail")
+  }
+
+  test("compact line carries full per-query fidelity via qcs") {
+    val results = Seq("q01_a" -> 0.251, "q02_b" -> 2.034, "q03_c" -> 0.004)
+    val line = Bench.compactLine(results, "/root/testdata/sf0.1",
+      Map("q02_b" -> Bench.RunStats(123L, 456L)))
+    // name-sorted registry order, centiseconds, zero stays zero
+    assert(line.contains("\"qcs\":\"25,203,0\""))
+    // only the >=0.95s query makes the name-keyed object
+    assert(line.contains("\"queries\":{\"q02\":2}"))
+    // diagnostics ride on the top-5
+    assert(line.contains("\"q02\":{\"cs\":203,\"shmb\":123,\"gc\":456}"))
   }
 
   test("every sideEffecting name exists in the registry") {

@@ -276,6 +276,23 @@ class MultimodalSpec extends SparkSuite {
     assert(f(3L).width == mono.length % 640) // stub path for non-audio
   }
 
+  test("sub-byte PCM WAV (bits<8) rejects to the stub, not a wrong duration") {
+    // hand-built header: the JDK writer can't emit 4-bit PCM
+    def wav4bit(bits: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def ascii(s: String) = bos.write(s.getBytes("US-ASCII"))
+      def le32(v: Int) = (0 to 3).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      def le16(v: Int) = (0 to 1).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      ascii("RIFF"); le32(36 + 64); ascii("WAVE")
+      ascii("fmt "); le32(16); le16(1 /*PCM*/); le16(1 /*ch*/)
+      le32(8000); le32(8000 * bits / 8); le16(bits / 8); le16(bits)
+      ascii("data"); le32(64); bos.write(new Array[Byte](64))
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeWav(wav4bit(4)).isEmpty)
+    assert(Multimodal.decodeWav(wav4bit(8)) == Some((8000, 1, 8L)))
+  }
+
   test("repartitionForMedia bounds partition payload") {
     val media = Multimodal.mediaFromDocuments(Catalog.documents(spark, sf))
     val re = Multimodal.repartitionForMedia(media, totalBytes = 1L << 30,

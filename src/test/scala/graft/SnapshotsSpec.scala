@@ -56,6 +56,27 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.asOf(spark, base, 2).count() == 3)
   }
 
+  test("a race lost INSIDE the check-then-act window is caught post-rename") {
+    reset()
+    val o = Catalog.orders(spark, sf).select(col("o_orderkey"))
+    Snapshots.publish(spark, base, o.limit(3)) // v=1
+    Snapshots.publish(spark, base, o.limit(3)) // v=2, the race winner
+    // Simulate the loser whose exists() check passed BEFORE the winner
+    // renamed: its rename into the now-existing v=2 nests the staging
+    // (Hadoop semantics). Reproduce that end state directly, then run
+    // the post-rename commit test.
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(base, "v=2")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dest, ".v=2__staging"))
+    intercept[IllegalStateException] {
+      Snapshots.verifyCommit(fs, dest, ".v=2__staging", 2)
+    }
+    // the loser's nested data was withdrawn; the winner's is intact
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest, ".v=2__staging")))
+    assert(Snapshots.asOf(spark, base, 2).count() == 3)
+  }
+
   test("a stranded staging dir is invisible to readers and overwritten on retry") {
     reset()
     val o = Catalog.orders(spark, sf).select(col("o_orderkey"))
