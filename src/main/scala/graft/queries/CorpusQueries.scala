@@ -497,7 +497,6 @@ object CorpusQueries {
     * narrow map-side rewrite, so the only shuffle is still the one
     * keyed window. */
   val q140 = {
-    val bpeSql = graft.ops.Bpe.tokenCountSql(TextQueries.normSql)
     Q("q140_bpe_packing",
       (s, d) => graft.ops.Packing.pack(
         Catalog.documents(s, d)
@@ -506,7 +505,8 @@ object CorpusQueries {
               .as("n_bpe")),
         "source", "doc_id", "n_bpe", 512),
       Some(
-        s"""SELECT doc_id, source, n_bpe,
+        s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)}
+           |SELECT doc_id, source, n_bpe,
            |  CAST(start_off // 512 AS BIGINT) AS seq_id,
            |  CAST(start_off % 512 AS BIGINT) AS seq_off
            |FROM (
@@ -515,14 +515,16 @@ object CorpusQueries {
            |      OVER (PARTITION BY source ORDER BY doc_id
            |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            |      0) AS start_off
-           |  FROM (SELECT doc_id, source,
-           |          CAST($bpeSql AS BIGINT) AS n_bpe
-           |        FROM documents))""".stripMargin))
+           |  FROM (SELECT d.doc_id, d.source, dt.n_bpe
+           |        FROM documents d JOIN dt ON d.doc_id = dt.doc_id))""".stripMargin))
   }
 
   /** q142 — TOKEN-WINDOW CHUNKING: packing's complement — docs LONGER
-    * than the context budget split into overlapping 64-token windows
-    * (stride 48, overlap 16), the standard RAG/pretraining chunker.
+    * than the context budget split into overlapping 16-token windows
+    * (stride 12, overlap 4), the standard RAG/pretraining chunker.
+    * Chunk width is tokenizer-relative: under the pinned 1k-rule
+    * phrase-merging table a document is ~6–60 tokens, so 16 tokens is
+    * the multi-chunk regime 64 was under the earlier word-level table.
     * Entirely array-side per doc: tokenize once ([[graft.ops.Bpe]]),
     * derive the chunk count arithmetically, explode chunk indices,
     * slice the token array — a narrow map-side explode bounded by
@@ -532,8 +534,8 @@ object CorpusQueries {
     * fingerprint of the joined tokens — the key chunk-level dedup and
     * retrieval indexes both build on. */
   val q142 = {
-    val chunk = 64
-    val overlap = 16
+    val chunk = 16
+    val overlap = 4
     val stride = chunk - overlap
     Q("q142_token_chunking",
       (s, d) => Catalog.documents(s, d)
@@ -551,15 +553,9 @@ object CorpusQueries {
           size(col("chunk_toks")).cast("bigint").as("n_chunk_tokens"),
           hash60(array_join(col("chunk_toks"), " ")).as("chunk_fp")),
       Some {
-        val enc = graft.ops.Bpe.encodeSql(TextQueries.normSql)
-        s"""WITH enc AS (SELECT doc_id, replace($enc, ' ', '') AS s2
-           |             FROM documents),
-           |tok AS (SELECT doc_id,
-           |          list_filter(string_split(trim(s2, chr(1)||chr(2)),
-           |            chr(2)||chr(1)), t -> t <> '') AS toks
-           |        FROM enc),
+        s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)},
            |sized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
-           |          FROM tok WHERE len(toks) > 0),
+           |          FROM dt WHERE len(toks) > 0),
            |chunks AS (SELECT doc_id, toks, n,
            |             (greatest(n - $overlap, 1) + ${stride - 1}) // $stride
            |               AS c
@@ -577,7 +573,7 @@ object CorpusQueries {
   }
 
   /** q143 — CHUNK-LEVEL CROSS-DOC DEDUP: q142's fingerprints rolled up
-    * to the near-verbatim-span report — which 64-token windows recur
+    * to the near-verbatim-span report — which 16-token windows recur
     * across DIFFERENT documents, how often, and who owns the canonical
     * copy (min doc_id). The q63 paragraph-dedup shape at tokenizer
     * granularity: one groupBy on the 60-bit fp (map-side combinable —
@@ -586,7 +582,7 @@ object CorpusQueries {
     * (tail fragments of different lengths would never match anyway and
     * their exclusion makes the report size-stable). */
   val q143 = {
-    val chunk = 64
+    val chunk = 16
     Q("q143_chunk_dedup",
       (s, d) => q142.run(s, d)
         .filter(col("n_chunk_tokens") === chunk)

@@ -243,7 +243,6 @@ object PipelineQueries {
     * Same no-shuffle-no-rand sampling (salted hash vs per-source
     * quota), one map-side subword count, one keyed aggregation. */
   val q141 = {
-    val bpeSql = graft.ops.Bpe.tokenCountSql(TextQueries.normSql)
     Q("q141_token_budget_mixture",
       (s, d) => {
         val quota = element_at(
@@ -265,10 +264,11 @@ object PipelineQueries {
         val h = "CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
         val q = """[20, 50, 80][CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g')
           |         AS BIGINT) % 3 + 1 AS INT)]""".stripMargin
-        s"""SELECT source, CAST($q AS BIGINT) AS quota,
+        s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)}
+           |SELECT source, CAST($q AS BIGINT) AS quota,
            |       count(*) AS n_kept,
-           |       CAST(sum(CAST($bpeSql AS BIGINT)) AS BIGINT) AS bpe_tokens
-           |FROM documents
+           |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens
+           |FROM documents JOIN dt USING (doc_id)
            |WHERE $h < $q
            |GROUP BY 1, 2""".stripMargin
       })

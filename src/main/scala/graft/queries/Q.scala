@@ -39,5 +39,6 @@ object Q {
     "q127_targeted_delete", "q132_time_travel",
     "q131_observed_metrics", // observed full-table copy
     "q138_persistent_ann_index", // builds + appends the stored index
-    "q145_xml_roundtrip") // rewrites the XML scratch copy
+    "q145_xml_roundtrip", // rewrites the XML scratch copy
+    "q150_ann_recall") // builds its own stored index to audit
 }

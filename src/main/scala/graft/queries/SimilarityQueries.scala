@@ -702,5 +702,151 @@ object SimilarityQueries {
            |ORDER BY cosine DESC, a.vec_id LIMIT $topK""".stripMargin))
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138)
+  /** q150 — ANN RECALL@K: the measured accuracy dial for the stored
+    * IVF index — exact integer overlap between q138's stored-index
+    * probe and the brute-force top-k, per query vector and per
+    * k ∈ {1, 10}. A 100 TB approximate operator you can't measure the
+    * accuracy of is a dial nobody can safely turn: this query IS the
+    * measurement, and because overlap counts are exact integers the
+    * DuckDB oracle replays it bit-for-bit (train → assign → probe →
+    * rerank → rank-join → count), hash-green. Scale shape: the brute
+    * pass is the q23 broadcast scan, the probe pass is the q138
+    * bounded-cell rerank, and the overlap join touches ≤ topK rows per
+    * query — recall evaluation costs one brute query per SAMPLED query
+    * vector, the standard recall-audit protocol. */
+  val q150 = {
+    val k = 8
+    val deltaMod = 500L
+    val deltaFrom = 400L
+    val qids = Seq(0L, 7L, 42L)
+    val ks = Seq(1, 10)
+    Q("q150_ann_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tag = java.nio.file.Paths.get(d).getFileName.toString
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val idx = s"/tmp/graft_ann_recall/$tag"
+        val vecs = intVecs(s, d).select(col("vec_id"), col("iv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val isDelta = (col("vec_id") % deltaMod) >= deltaFrom
+        graft.ops.AnnIndex.build(s, vecs.filter(!isDelta), k, iters = 2, idx)
+        graft.ops.AnnIndex.appendDelta(s, idx, vecs.filter(isDelta))
+        val e = vecs.withColumn("nrm",
+          Similarity.norm2(col("iv")).cast("double"))
+        val rankW = Window.orderBy(col("cosine").desc, col("vec_id"))
+        val matched = qids.map { qid =>
+          val approx = graft.ops.AnnIndex
+            .search(s, idx, vecs, qid, probes, topK)
+            .withColumn("arn", row_number().over(rankW))
+            .select(col("vec_id"), col("arn"))
+          val q = e.filter(col("vec_id") === qid)
+            .select(col("iv").as("qiv"), col("nrm").as("qnrm"))
+          val brute = e.filter(col("vec_id") =!= qid)
+            .crossJoin(broadcast(q))
+            .select(col("vec_id"),
+              Similarity.cosineFrom(col("iv"), col("qiv"),
+                col("nrm"), col("qnrm")).as("cosine"))
+            .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+            .withColumn("brn", row_number().over(rankW))
+            .select(col("vec_id"), col("brn"))
+          approx.join(brute, "vec_id")
+            .select(lit(qid).as("query_id"), col("arn"), col("brn"))
+        }.reduce(_ unionByName _)
+        import s.implicits._
+        val grid = qids.toDF("query_id")
+          .crossJoin(ks.toDF("k"))
+        val counts = matched.crossJoin(ks.toDF("k"))
+          .filter(col("arn") <= col("k") && col("brn") <= col("k"))
+          .groupBy(col("query_id"), col("k"))
+          .agg(count(lit(1)).as("n_overlap"))
+        grid.join(counts, Seq("query_id", "k"), "left")
+          .select(col("query_id"), col("k").cast("bigint").as("k"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      },
+      Some {
+        val perQid = qids.map { qid =>
+          s"""qd_$qid AS (SELECT p, x AS qx FROM dims WHERE vec_id = $qid),
+             |qn_$qid AS (SELECT sum(qx * qx) AS qnrm FROM qd_$qid),
+             |cdot_$qid AS (SELECT c.cid, sum(c.c * q.qx) AS cdot
+             |              FROM c1 c JOIN qd_$qid q ON c.p = q.p GROUP BY 1),
+             |cells_$qid AS (SELECT cid FROM (
+             |    SELECT d.cid, CAST(d.cdot AS DOUBLE) /
+             |        sqrt(CAST(n.cnrm AS DOUBLE) * CAST(q.qnrm AS DOUBLE))
+             |        AS cscore
+             |    FROM cdot_$qid d JOIN cnrm n USING (cid), qn_$qid q
+             |    ORDER BY cscore DESC, cid LIMIT $probes)),
+             |dt_$qid AS (SELECT d.vec_id, sum(d.x * q.qx) AS dot
+             |            FROM dims d JOIN qd_$qid q ON d.p = q.p
+             |            WHERE d.vec_id <> $qid GROUP BY 1),
+             |ax_$qid AS (SELECT vec_id,
+             |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS arn
+             |  FROM (
+             |    SELECT a.vec_id, CAST(t.dot AS DOUBLE) /
+             |        sqrt(CAST(n.nrm AS DOUBLE) * CAST(q.qnrm AS DOUBLE))
+             |        AS cosine
+             |    FROM asg a JOIN cells_$qid USING (cid)
+             |      JOIN dt_$qid t ON t.vec_id = a.vec_id
+             |      JOIN norms n ON n.vec_id = a.vec_id, qn_$qid q
+             |    ORDER BY cosine DESC, a.vec_id LIMIT $topK)),
+             |bx_$qid AS (SELECT vec_id,
+             |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS brn
+             |  FROM (
+             |    SELECT t.vec_id, CAST(t.dot AS DOUBLE) /
+             |        sqrt(CAST(n.nrm AS DOUBLE) * CAST(q.qnrm AS DOUBLE))
+             |        AS cosine
+             |    FROM dt_$qid t JOIN norms n USING (vec_id), qn_$qid q
+             |    ORDER BY cosine DESC, t.vec_id LIMIT $topK)),
+             |m_$qid AS (SELECT $qid AS query_id, a.vec_id, a.arn, b.brn
+             |           FROM ax_$qid a JOIN bx_$qid b USING (vec_id))"""
+            .stripMargin
+        }.mkString(",\n")
+        val unions = qids.map(q => s"SELECT * FROM m_$q")
+          .mkString(" UNION ALL ")
+        val gridQ = qids.map(q => s"($q)").mkString(", ")
+        val gridK = ks.map(kk => s"($kk)").mkString(", ")
+        s"""WITH iv AS ($intVecsSql),
+           |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+           |dims AS (SELECT vec_id, p, iv[p] AS x FROM iv, pos),
+           |hist AS (SELECT * FROM dims WHERE vec_id % $deltaMod < $deltaFrom),
+           |seeds AS (SELECT vec_id AS cid, p, x AS c FROM hist
+           |          WHERE vec_id < $k),
+           |dist1 AS (SELECT d.vec_id, s.cid,
+           |            sum((d.x - s.c) * (d.x - s.c)) AS d2
+           |          FROM hist d JOIN seeds s USING (p) GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY d2, cid) AS rn
+           |         FROM dist1) WHERE rn = 1),
+           |c1 AS (SELECT a.cid, d.p,
+           |         CAST(round(CAST(sum(d.x) AS DOUBLE) / count(*)) AS BIGINT)
+           |           AS c
+           |       FROM hist d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+           |distAll AS (SELECT d.vec_id, c.cid,
+           |              sum((d.x - c.c) * (d.x - c.c)) AS d2
+           |            FROM dims d JOIN c1 c USING (p) GROUP BY 1, 2),
+           |asg AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |            row_number() OVER (PARTITION BY vec_id
+           |                               ORDER BY d2, cid) AS rn
+           |          FROM distAll) WHERE rn = 1),
+           |cnrm AS (SELECT cid, sum(c * c) AS cnrm FROM c1 GROUP BY 1),
+           |norms AS (SELECT vec_id, sum(x * x) AS nrm FROM dims GROUP BY 1),
+           |$perQid,
+           |matched AS ($unions),
+           |grid AS (SELECT q.query_id, kk.k
+           |         FROM (VALUES $gridQ) q(query_id), (VALUES $gridK) kk(k))
+           |SELECT CAST(g.query_id AS BIGINT) AS query_id,
+           |  CAST(g.k AS BIGINT) AS k,
+           |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_overlap
+           |FROM grid g LEFT JOIN (
+           |  SELECT query_id, kk.k, count(*) AS n
+           |  FROM matched, (VALUES $gridK) kk(k)
+           |  WHERE arn <= kk.k AND brn <= kk.k GROUP BY 1, 2) c
+           |  ON g.query_id = c.query_id AND g.k = c.k""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] =
+    Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150)
 }

@@ -411,23 +411,25 @@ object TextQueries {
         |    AS oov_ppm
         |FROM j GROUP BY 1""".stripMargin))
 
-  /** q136 — BPE SUBWORD TOKEN ACCOUNTING: per-doc token count under the
-    * pinned 40-rule merge table ([[graft.ops.Bpe]]) — the number a
-    * training pipeline actually budgets by (context packing, mixture
-    * quotas), where q14's whitespace count is only a proxy. The oracle
-    * replays the IDENTICAL merge table as generated nested replace()s:
-    * one declaration, two engines. Narrow map-side transform — at
-    * 100 TB this runs at scan speed, column-pruned to (doc_id, text). */
+  /** q136 — BPE SUBWORD TOKEN ACCOUNTING: per-doc token count under
+    * the pinned 1024-rule LEARNED merge table ([[graft.ops.Bpe]]) —
+    * the number a training pipeline actually budgets by (context
+    * packing, mixture quotas), where q14's whitespace count is only a
+    * proxy. The oracle replays the IDENTICAL table as a batched
+    * nested-replace CTE chain over DISTINCT words: one declaration,
+    * two engines. Narrow map-side transform — at 100 TB this runs at
+    * scan speed, column-pruned to (doc_id, text), each task's Zipf-hot
+    * vocabulary encoding once via the expression's word memo. */
   val q136 = Q("q136_bpe_tokens",
     (s, d) => Catalog.documents(s, d).select(
       col("doc_id"),
       graft.ops.Bpe.tokenCount(col("text")).cast("bigint").as("n_bpe"),
       length(normalizeText(col("text"))).cast("bigint").as("n_norm_chars")),
     Some(
-      s"""SELECT doc_id,
-         |  CAST(${graft.ops.Bpe.tokenCountSql(normSql)} AS BIGINT) AS n_bpe,
+      s"""WITH ${graft.ops.Bpe.docTokenCtes(normSql)}
+         |SELECT doc_id, n_bpe,
          |  CAST(length($normSql) AS BIGINT) AS n_norm_chars
-         |FROM documents""".stripMargin))
+         |FROM documents JOIN dt USING (doc_id)""".stripMargin))
 
   /** q137 — BPE VOCABULARY USAGE: explode the subword stream, count
     * each token's corpus frequency, keep the top 50 (count desc, token
@@ -440,15 +442,11 @@ object TextQueries {
       .select(explode(graft.ops.Bpe.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(50),
-    Some {
-      val enc = graft.ops.Bpe.encodeSql(normSql)
-      s"""WITH enc AS (SELECT replace($enc, ' ', '') AS s2 FROM documents),
-         |tok AS (SELECT u.tok FROM (
-         |    SELECT string_split(trim(s2, chr(1)||chr(2)), chr(2)||chr(1))
-         |           AS toks FROM enc) t, unnest(t.toks) u(tok))
-         |SELECT tok AS token, count(*) AS n FROM tok WHERE tok <> ''
-         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin
-    })
+    Some(
+      s"""WITH ${graft.ops.Bpe.docTokenCtes(normSql)},
+         |occ AS (SELECT u.tok FROM dt, unnest(dt.toks) u(tok))
+         |SELECT tok AS token, count(*) AS n FROM occ
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin))
 
   val all: Seq[Q] =
     Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137)

@@ -4,15 +4,19 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.Bpe
 
-/** The pinned-merge-table BPE tokenizer: hand-computed encodings, the
-  * character-conservation invariant, and the greedy-leftmost semantics
-  * of overlapping merges. */
+/** The BPE tokenizer: hand-computed encodings under the seed table,
+  * the character-conservation invariant, greedy-leftmost semantics of
+  * overlapping merges, and the iterative-encoder ↔ nested-replace
+  * parity on the full pinned learned table. */
 class BpeSpec extends SparkSuite {
 
+  /** Encode under the hand-written 40-rule SEED table (hand-computable;
+    * it has no space-crossing rules, so single words behave exactly as
+    * classic word-level BPE). */
   private def toks(s: String): Seq[String] = {
     import SparkSpec.spark.implicits._
     Seq(s).toDF("text")
-      .select(Bpe.tokens(col("text")).as("t"))
+      .select(Bpe.tokensWith(col("text"), Bpe.seedMerges).as("t"))
       .first().getSeq[String](0)
   }
 
@@ -25,11 +29,14 @@ class BpeSpec extends SparkSuite {
     assert(toks("that") == Seq("that"))
     // unknown word falls back to characters (minus fired merges)
     assert(toks("xyzzy") == Seq("x", "y", "z", "z", "y"))
+    // space is an ordinary symbol: no seed rule merges across it, so
+    // an unmerged boundary surfaces as a lone-space token
+    assert(toks("to be") == Seq("to", " ", "be"))
   }
 
   test("greedy leftmost on overlapping pairs: no shared characters") {
-    // (a,n) on "anan": a,n,a,n → an,an (both fire — marker wrapping
-    // means adjacent occurrences share no string bytes)
+    // (a,n) on "anan": a,n,a,n → an,an (both fire — adjacent
+    // occurrences share no symbols)
     assert(toks("ananas").take(2) == Seq("an", "an"))
   }
 
@@ -37,20 +44,39 @@ class BpeSpec extends SparkSuite {
     val docs = graft.tables.Catalog.documents(spark, sf).limit(200)
     val bad = docs.select(
       concat_ws("", Bpe.tokens(col("text"))).as("rejoined"),
-      regexp_replace(graft.ops.TextAnalysis.normalizeText(col("text")),
-        " ", "").as("squeezed"))
-      .filter(col("rejoined") =!= col("squeezed"))
+      graft.ops.TextAnalysis.normalizeText(col("text")).as("norm"))
+      .filter(col("rejoined") =!= col("norm"))
+    assert(bad.count() == 0)
+  }
+
+  test("iterative encoder equals the nested-replace formulation on a " +
+      "192-rule prefix of the pinned table") {
+    // a PREFIX of a well-formed table is itself well-formed, so parity
+    // must hold rule-for-rule; the nested formulation cannot run the
+    // full 1k-rule table at all (the Column tree overflows the stack —
+    // the exact ceiling the iterative encoder exists to remove). Full-
+    // table equivalence is covered by PropertySpec's driver-side
+    // sequential fold.
+    val prefix = Bpe.merges.take(192)
+    val docs = graft.tables.Catalog.documents(spark, sf).limit(60)
+    val norm = graft.ops.TextAnalysis.normalizeText(col("text"))
+    val bad = docs.select(
+      Bpe.encodeWith(norm, prefix).as("fast"),
+      Bpe.encodeNested(norm, prefix).as("nested"))
+      .filter(col("fast") =!= col("nested"))
     assert(bad.count() == 0)
   }
 
   test("train() learns the hand-computable merges of a tiny corpus") {
     import SparkSpec.spark.implicits._
-    val docs = Seq("ab ab ab", "abc").toDF("text")
-    // pass 1: (a,b) appears 4 times — learned first; pass 2: the merged
-    // corpus is [ab][ab][ab] / [ab][c], so (ab,c) x1; then no pairs
-    // remain and training stops early regardless of k
+    val docs = Seq("abab", "abc").toDF("text")
+    // pass 1: (a,b) appears 3 times — learned first; pass 2: the corpus
+    // is [ab][ab] / [ab][c], tie at 1 breaks lexicographically to
+    // (ab,ab); pass 3: [abab] / [ab][c] leaves only (ab,c); then no
+    // pairs remain and training stops early regardless of k
     val learned = Bpe.train(docs, "text", k = 5)
-    assert(learned == Seq(("a", "b", 4L), ("ab", "c", 1L)))
+    assert(learned ==
+      Seq(("a", "b", 3L), ("ab", "ab", 1L), ("ab", "c", 1L)))
   }
 
   test("train() is deterministic and its merges compress the corpus") {
@@ -61,11 +87,12 @@ class BpeSpec extends SparkSuite {
     assert(a.forall(_._3 > 0))
     // distinct merges, and every learned rule fires on the corpus it
     // was learned from: token count strictly drops vs characters
+    // (every normalized char, spaces included, starts as one symbol)
     assert(a.map(m => (m._1, m._2)).distinct.size == 8)
     val counts = docs.select(
-      sum(Bpe.tokenCount(col("text"))).cast("long").as("bpe"),
-      sum(length(regexp_replace(
-        graft.ops.TextAnalysis.normalizeText(col("text")), " ", "")))
+      sum(Bpe.tokenCountWith(col("text"), a.map(m => (m._1, m._2))))
+        .cast("long").as("bpe"),
+      sum(length(graft.ops.TextAnalysis.normalizeText(col("text"))))
         .cast("long").as("chars")).first()
     assert(counts.getLong(0) < counts.getLong(1))
   }

@@ -245,27 +245,29 @@ class PropertySpec extends SparkSuite {
     })
   }
 
-  /** Direct Scala implementation of the SAME merge algorithm (Sennrich
-    * ordered passes, greedy leftmost within each pass) — the columnar
-    * marker-rewrite formulation must agree with it on arbitrary text. */
+  /** Direct Scala implementation of SEQUENTIAL rule application (each
+    * rule once, in priority order, greedy leftmost within each pass,
+    * over the whole normalized text — space is an ordinary symbol).
+    * The iterative lowest-rank encoder must agree with it on arbitrary
+    * text because the pinned learned table is well-formed (distinct
+    * products, operands from strictly earlier rules — see
+    * [[graft.functions.BpeEncode]]). */
   private def bpeDirect(text: String): Seq[String] = {
     val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
       .replaceAll("\\s+", " ")
     if (norm.isEmpty) return Seq.empty
-    norm.split(" ").toSeq.flatMap { word =>
-      var toks = word.map(_.toString).toVector
-      for ((a, b) <- graft.ops.Bpe.merges) {
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < toks.length) {
-          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
-            out += (a + b); i += 2 // greedy leftmost, no overlap
-          } else { out += toks(i); i += 1 }
-        }
-        toks = out.result()
+    var toks = norm.map(_.toString).toVector
+    for ((a, b) <- graft.ops.Bpe.merges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2 // greedy leftmost, no overlap
+        } else { out += toks(i); i += 1 }
       }
-      toks
+      toks = out.result()
     }
+    toks
   }
 
   test("BPE columnar rewrite equals the direct merge fold on arbitrary text") {
