@@ -604,6 +604,58 @@ object EtlQueries {
       Some(s"($b1Sql)\nUNION ALL\n($b2Sql)\nUNION ALL\n($b3Sql)"))
   }
 
+  /** q151 — SQL FRONT DOOR for MERGE: q108's CDC batch driven through a
+    * real `MERGE INTO … WHEN MATCHED/NOT MATCHED` STATEMENT
+    * ([[graft.ops.SqlMutations.merge]] — parsed by Catalyst's own
+    * parser, lowered to the same one-join-plus-insert-union shape
+    * q108 hand-builds), because the reference's audience operates in
+    * SQL text (ref `Incremental_load_fact_item_status.sql:29-34`).
+    * Same oracle as q108: hash-green proves statement text and Scala
+    * protocol produce byte-identical merges. The target carries
+    * `row_status` so MERGE can mark update provenance the way q108's
+    * dataflow does (MERGE cannot invent columns). */
+  val q151 = Q("q151_sql_merge_frontdoor",
+    (s, d) => {
+      val base = graft.tables.Catalog.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("bigint").as("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"),
+          col("c_mktsegment"))
+      base.withColumn("row_status", lit("kept"))
+        .createOrReplaceTempView("merge_target")
+      // ONE CDC relation: the q108 batch as a single MERGE source —
+      // D/U ops carry the new balance, I ops carry the insert payload
+      val matched = base.filter(col("c_custkey") % 10 <= 1)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, "D").otherwise("U").as("op"),
+          (col("bal_cents") + 12345L).as("new_bal_cents"),
+          lit(null).cast("string").as("c_name"),
+          lit(null).cast("bigint").as("c_nationkey"),
+          lit(null).cast("bigint").as("bal_cents"),
+          lit(null).cast("string").as("c_mktsegment"))
+      val inserts = base.filter(col("c_custkey") % 10 === 2)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("I").as("op"),
+          lit(null).cast("bigint").as("new_bal_cents"),
+          concat(lit("NewCustomer#"), col("c_custkey").cast("string"))
+            .as("c_name"),
+          col("c_nationkey"), col("bal_cents"), col("c_mktsegment"))
+      matched.unionByName(inserts)
+        .createOrReplaceTempView("merge_changes")
+      graft.ops.SqlMutations.merge(s,
+        """MERGE INTO merge_target t USING merge_changes s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET
+          |  bal_cents = s.new_bal_cents, row_status = 'updated'
+          |WHEN NOT MATCHED THEN INSERT
+          |  (c_custkey, c_name, c_nationkey, bal_cents, c_mktsegment,
+          |   row_status)
+          |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.bal_cents,
+          |          s.c_mktsegment, 'inserted')""".stripMargin)
+    },
+    q108.oracle)
+
   val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108, q113, q117,
-    q128, q131, q139)
+    q128, q131, q139, q151)
 }

@@ -338,5 +338,29 @@ object LoadQueries {
         |            AS BIGINT)
         |FROM orders""".stripMargin))
 
-  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127, q132)
+  /** q152 — SQL FRONT DOOR for the targeted delete: q127's GDPR erase
+    * driven by a real `DELETE FROM … WHERE key IN (…)` STATEMENT
+    * ([[graft.ops.SqlMutations.delete]] — Catalyst-parsed, routed to
+    * the zone-map-pruned [[graft.ops.TargetedDelete]] file surgery).
+    * Same oracle as q127: hash-green proves the statement text and the
+    * Scala protocol leave byte-identical tables. */
+  val q152 = Q("q152_sql_delete_frontdoor",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_erase_sql/$tag/events_by_user"
+      Catalog.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), round(col("value") * 100).cast("bigint")
+            .as("cents"))
+        .repartitionByRange(8, col("user_id"))
+        .write.mode("overwrite").parquet(base)
+      graft.ops.SqlMutations.delete(s,
+        "DELETE FROM events_by_user WHERE user_id IN (7, 42, 99)",
+        Map("events_by_user" -> base))
+      s.read.parquet(base)
+    },
+    q127.oracle)
+
+  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127, q132, q152)
 }

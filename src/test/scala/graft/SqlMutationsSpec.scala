@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SqlMutations
+
+/** The SQL front door for mutations: MERGE lowering semantics
+  * (first-applicable WHEN chains, conditional inserts, keep-by-default)
+  * and DELETE routing to the targeted-erase protocol. */
+class SqlMutationsSpec extends SparkSuite {
+
+  import SparkSpec.spark.implicits._
+
+  private def target() = Seq(
+    (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+    .toDF("k", "name", "v")
+
+  test("MERGE: conditional delete, conditional+unconditional update, insert") {
+    target().createOrReplaceTempView("t_tgt")
+    Seq((1L, "D", 0L), (2L, "U", 99L), (3L, "U", 77L), (9L, "I", 55L))
+      .toDF("k", "op", "nv").createOrReplaceTempView("t_src")
+    val out = SqlMutations.merge(spark,
+      """MERGE INTO t_tgt t USING t_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.nv > 80 THEN UPDATE SET v = s.nv, name = 'big'
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, name, v)
+        |  VALUES (s.k, 'new', s.nv)""".stripMargin)
+      .orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      // 1 deleted; 2 hits the nv>80 clause FIRST (name rewritten);
+      // 3 falls to the unconditional update; 4 unmatched → kept;
+      // 9 inserted
+      (2L, "big", 99L), (3L, "c", 77L), (4L, "d", 40L), (9L, "new", 55L)))
+  }
+
+  test("MERGE: matched row with no applicable clause is kept unchanged") {
+    target().createOrReplaceTempView("t_tgt")
+    Seq((2L, "X", 1L)).toDF("k", "op", "nv")
+      .createOrReplaceTempView("t_src")
+    val out = SqlMutations.merge(spark,
+      """MERGE INTO t_tgt t USING t_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE""".stripMargin)
+    assert(out.count() == 4)
+    assert(out.filter(col("k") === 2 && col("v") === 20).count() == 1)
+  }
+
+  test("MERGE: conditional inserts are first-applicable, not cumulative") {
+    target().limit(0).createOrReplaceTempView("t_tgt")
+    Seq((8L, "I", 5L), (9L, "I", 50L)).toDF("k", "op", "nv")
+      .createOrReplaceTempView("t_src")
+    val out = SqlMutations.merge(spark,
+      """MERGE INTO t_tgt t USING t_src s ON t.k = s.k
+        |WHEN NOT MATCHED AND s.nv >= 10 THEN INSERT (k, name, v)
+        |  VALUES (s.k, 'big', s.nv)
+        |WHEN NOT MATCHED THEN INSERT (k, name, v)
+        |  VALUES (s.k, 'small', s.nv)""".stripMargin)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((8L, "small"), (9L, "big")))
+  }
+
+  test("MERGE: unsupported shapes are rejected, never silently wrong") {
+    target().createOrReplaceTempView("t_tgt")
+    target().createOrReplaceTempView("t_src2")
+    intercept[IllegalArgumentException] {
+      SqlMutations.merge(spark,
+        """MERGE INTO t_tgt t USING t_src2 s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      SqlMutations.merge(spark, "SELECT 1")
+    }
+  }
+
+  test("DELETE: routes key tombstones to the file surgery; rejects " +
+      "non-tombstone predicates") {
+    val dir = "/tmp/graft_test_sql_delete"
+    Seq((1L, 10L), (2L, 20L), (7L, 70L), (9L, 90L)).toDF("user_id", "v")
+      .repartitionByRange(2, col("user_id"))
+      .write.mode("overwrite").parquet(dir)
+    val stats = SqlMutations.delete(spark,
+      "DELETE FROM ev WHERE user_id IN (2, 7)", Map("ev" -> dir))
+    assert(stats.rowsDeleted == 2)
+    assert(spark.read.parquet(dir).select("user_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 9L))
+    intercept[IllegalArgumentException] {
+      SqlMutations.delete(spark,
+        "DELETE FROM ev WHERE user_id > 5", Map("ev" -> dir))
+    }
+  }
+}
