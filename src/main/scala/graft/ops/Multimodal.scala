@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
   * (the Scala-native analog of `mapInPandas` — a typed Dataset
   * `mapPartitions` with explicit batch shape).
   *
-  * The image path DECODES FOR REAL: [[decodeImage]] is pure-JVM
-  * `javax.imageio` (PNG/BMP/GIF readers ship in every JRE), so an
-  * `image`-kind row whose payload is an actual image gets its TRUE
-  * width/height. Audio/video codecs aren't in this environment, so those
-  * kinds — and image payloads ImageIO can't parse — fall back to
-  * [[stubDecode]]'s deterministic fakes (byte length, md5 digest, fake
-  * dimensions, token-stride frame sample). Everything around the codec —
-  * binary schema, partition sizing, batch iteration, typed output
-  * encoding — is the real production shape: swap the remaining stub kinds
+  * All three modalities parse FOR REAL: [[decodeImage]] is pure-JVM
+  * `javax.imageio` (PNG/BMP/GIF readers ship in every JRE),
+  * [[decodeWav]] walks RIFF/WAVE chunks (rate, channels, duration), and
+  * [[decodeMp4]] walks ISO-BMFF boxes (track dims, duration). Frame
+  * PIXEL decode for audio/video would need codec libs this environment
+  * lacks — but the container/structural metadata above is what a
+  * pipeline filters and budgets by. Payloads the parsers can't read
+  * fall back to [[stubDecode]]'s deterministic fakes (byte length, md5
+  * digest, fake dimensions, token-stride frame sample). Everything
+  * around the codec — binary schema, partition sizing, batch iteration,
+  * typed output encoding — is the real production shape: swap the stub
   * for a JNI/codec call and nothing else changes.
   *
   * Scale: media rows are large (MBs); `repartitionForMedia` targets a
@@ -120,6 +122,96 @@ object Multimodal {
     }
   }
 
+  /** REAL video (MP4/ISO-BMFF) container parse — a pure-JVM box walk,
+    * no codec libs: boxes are [size:4 BE][type:4][payload] (size 1 →
+    * 64-bit largesize follows; size 0 → to end of enclosing box). The
+    * walk requires an `ftyp` leading box, then descends `moov` →
+    * `mvhd` (timescale + duration → true duration in ms) and `moov` →
+    * `trak` → `tkhd` (presentation width/height as 16.16 fixed-point;
+    * the first track with nonzero dims wins — audio tracks carry 0×0).
+    * Frame DECODING needs a codec; the container's structural metadata
+    * — the part a 100 TB pipeline filters and budgets by — does not.
+    * Returns (width, height, durationMs); None for anything that is
+    * not a well-formed MP4, so callers fall back to the stub. */
+  def decodeMp4(content: Array[Byte]): Option[(Int, Int, Long)] = {
+    def be16(i: Int) = ((content(i) & 0xff) << 8) | (content(i + 1) & 0xff)
+    def be32(i: Int): Long =
+      ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
+        ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int) = new String(content, i, 4, "US-ASCII")
+
+    /** (payloadStart, payloadEnd, boxEnd) of the box at `i`, bounded by
+      * `end`; None when sizes are corrupt. */
+    def box(i: Int, end: Int): Option[(Int, Int, Int)] = {
+      if (i + 8 > end) return None
+      val sz = be32(i)
+      val (payload, boxEnd) =
+        if (sz == 1L && i + 16 <= end) (i + 16L, i + be64(i + 8))
+        else if (sz == 0L) (i + 8L, end.toLong)
+        else (i + 8L, i + sz)
+      if (sz != 0L && sz != 1L && sz < 8) None
+      else if (boxEnd > end || payload > boxEnd) None
+      else Some((payload.toInt, boxEnd.toInt, boxEnd.toInt))
+    }
+
+    /** first child box with `name` inside [from, end). */
+    def find(name: String, from: Int, end: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= end) {
+        box(i, end) match {
+          case Some((p, pe, be)) =>
+            if (tag(i + 4) == name) return Some((p, pe))
+            i = be
+          case None => return None
+        }
+      }
+      None
+    }
+
+    if (content.length < 16 || tag(4) != "ftyp") return None
+    val end = content.length
+    for {
+      (moovP, moovE) <- find("moov", 0, end)
+      (mvhdP, _) <- find("mvhd", moovP, moovE)
+      durationMs <- {
+        val v = content(mvhdP) & 0xff
+        if (v == 0 && mvhdP + 24 <= moovE) {
+          val timescale = be32(mvhdP + 12)
+          if (timescale > 0) Some(be32(mvhdP + 16) * 1000L / timescale)
+          else None
+        } else if (v == 1 && mvhdP + 32 <= moovE) {
+          val timescale = be32(mvhdP + 20)
+          if (timescale > 0) Some(be64(mvhdP + 24) * 1000L / timescale)
+          else None
+        } else None
+      }
+      dims <- {
+        // scan traks for the first with nonzero tkhd dims
+        var i = moovP
+        var found: Option[(Int, Int)] = None
+        while (found.isEmpty && i + 8 <= moovE) {
+          box(i, moovE) match {
+            case Some((p, pe, be)) =>
+              if (tag(i + 4) == "trak")
+                find("tkhd", p, pe).foreach { case (tp, tpe) =>
+                  val v = content(tp) & 0xff
+                  val off = tp + (if (v == 1) 88 else 76)
+                  if (off + 8 <= tpe) {
+                    val w = be16(off).toInt // 16.16 fixed → integer part
+                    val h = be16(off + 4).toInt
+                    if (w > 0 && h > 0) found = Some((w, h))
+                  }
+                }
+              i = be
+            case None => i = moovE
+          }
+        }
+        found
+      }
+    } yield (dims._1, dims._2, durationMs)
+  }
+
   /** One decode batch: image kinds through the real image codec (true
     * width/height; frame_sample carries the true dims), audio kinds
     * through the WAV header parse (width = sample rate, height =
@@ -138,6 +230,12 @@ object Multimodal {
           case Some((rate, channels, ms)) =>
             fallback.copy(width = rate, height = channels,
               frame_sample = s"${rate}hz ${channels}ch ${ms}ms")
+          case None => fallback
+        }
+        case "video" => decodeMp4(m.content) match {
+          case Some((w, h, ms)) =>
+            fallback.copy(width = w, height = h,
+              frame_sample = s"${w}x$h ${ms}ms")
           case None => fallback
         }
         case _ => fallback

@@ -109,4 +109,81 @@ object Sessionize {
     states.toSeq.flatMap { case (u, ss) =>
       ss.map(s => Session(u, s.idx, s.start, s.last, s.n, s.cents))
     }
+
+  /** The per-user session logic as a Spark 4 [[StatefulProcessor]]
+    * (the `transformWithState` API — typed named state handles on the
+    * RocksDB store, the successor to flatMapGroupsWithState, which the
+    * engine is sunsetting): ONE ValueState[SessionState] holds the open
+    * session (the fMGWS list never exceeds one element — its tail is
+    * always Nil — so the state narrows to the value it really was), and
+    * the idle flush uses a REAL processing-time timer (registered per
+    * input batch, previous timer deleted — the sliding-deadline
+    * semantics `GroupState.setTimeoutDuration` gave). Emission order,
+    * gap rule (strict `> gapMicros`), cents arithmetic, and session
+    * indexing are identical to [[streamingSessions]];
+    * StreamingSessionizeSpec proves batch parity on this variant. */
+  private class SessionProcessor(timeoutMs: Option[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo,
+      OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var open: ValueState[SessionState] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, evs: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Session] = {
+      var cur: Option[SessionState] = if (open.exists()) Some(open.get()) else None
+      val out = scala.collection.mutable.ListBuffer[Session]()
+      evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        val cents = math.round(e.value * 100)
+        cur match {
+          case Some(s) if e.ts - s.last <= gapMicros =>
+            cur = Some(s.copy(last = e.ts, n = s.n + 1,
+              cents = s.cents + cents))
+          case Some(s) =>
+            out += Session(user, s.idx, s.start, s.last, s.n, s.cents)
+            cur = Some(SessionState(e.ts, e.ts, 1, cents, s.idx + 1))
+          case None =>
+            cur = Some(SessionState(e.ts, e.ts, 1, cents, 1))
+        }
+      }
+      cur.foreach(open.update)
+      timeoutMs.foreach { ms =>
+        getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(
+          timerValues.getCurrentProcessingTimeInMs() + ms)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      // no events for a full timeout of wall clock: close the session
+      val flushed = if (open.exists()) {
+        val s = open.get()
+        Iterator.single(Session(user, s.idx, s.start, s.last, s.n, s.cents))
+      } else Iterator.empty
+      open.clear()
+      flushed
+    }
+  }
+
+  /** [[streamingSessions]] re-expressed on `transformWithState` — same
+    * outputs, state in named typed handles on the RocksDB provider
+    * (caller must set `spark.sql.streaming.stateStore.providerClass`).
+    * `timeoutMs = None` runs TimeMode.None (no timers — required for
+    * `processAllAvailable` test drivers, same caveat as the fMGWS
+    * variant); `Some(ms)` runs processing-time timers that flush a
+    * user's final session after `ms` idle wall-clock. */
+  def streamingSessionsTws(spark: SparkSession, events: Dataset[Ev],
+      timeoutMs: Option[Long] = Some(gapMicros / 1000))
+      : Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (timeoutMs.isDefined) TimeMode.ProcessingTime()
+      else TimeMode.None()
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(timeoutMs), mode,
+        OutputMode.Append())
+  }
 }

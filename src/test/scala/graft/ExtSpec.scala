@@ -293,6 +293,48 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeWav(wav4bit(8)) == Some((8000, 1, 8L)))
   }
 
+  test("video kind parses REAL MP4 containers: dims/duration") {
+    import SparkSpec.spark.implicits._
+    // hand-built ISO-BMFF: ftyp + moov(mvhd v0 + audio trak(0x0) +
+    // video trak(tkhd 320x240)) — box sizes computed bottom-up
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def boxOf(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ name.getBytes("US-ASCII") ++ payload
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      // v0: ver/flags + ctime/mtime/trackid/reserved/duration + 8
+      // reserved + layer/altgroup/volume/reserved + 36 matrix, then
+      // width/height as 16.16 fixed point
+      val pre = new Array[Byte](76)
+      boxOf("tkhd", pre ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    }
+    def mvhd(timescale: Long, duration: Long): Array[Byte] = {
+      val pre = new Array[Byte](12) // ver/flags + ctime + mtime
+      boxOf("mvhd", pre ++ be32(timescale) ++ be32(duration) ++
+        new Array[Byte](80))
+    }
+    val moov = boxOf("moov",
+      mvhd(600, 4500) ++ // 7.5 s at timescale 600
+        boxOf("trak", tkhd(0, 0)) ++ // audio track: no dims
+        boxOf("trak", tkhd(320, 240)))
+    val mp4 = boxOf("ftyp", "isom0000".getBytes("US-ASCII")) ++ moov
+    assert(Multimodal.decodeMp4(mp4) == Some((320, 240, 7500L)))
+    // truncated/garbage payloads reject to the stub, never crash
+    assert(Multimodal.decodeMp4(mp4.take(20)).isEmpty)
+    assert(Multimodal.decodeMp4("not an mp4 at all".getBytes).isEmpty)
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", mp4, mp4.length.toLong),
+      Multimodal.MediaRow(2L, "video", "plain text".getBytes,
+        10L)).toDS()
+    val f = Multimodal.decodeFeatures(spark, media.toDF())
+      .collect().map(r => r.media_id -> r).toMap
+    assert(f(1L).width == 320 && f(1L).height == 240)
+    assert(f(1L).frame_sample == "320x240 7500ms")
+    assert(f(2L).width == 10 % 640) // stub path for non-MP4 payload
+  }
+
   test("repartitionForMedia bounds partition payload") {
     val media = Multimodal.mediaFromDocuments(Catalog.documents(spark, sf))
     val re = Multimodal.repartitionForMedia(media, totalBytes = 1L << 30,

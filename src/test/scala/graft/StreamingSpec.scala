@@ -80,6 +80,77 @@ class StreamingSessionizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches the batch formulation " +
+      "(RocksDB store)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val q = Sessionize.streamingSessionsTws(spark, input.toDS(),
+          timeoutMs = None)
+        .writeStream.format("memory").queryName("sess_tws_out")
+        .outputMode("append").start()
+      try {
+        input.addData(batch1)
+        q.processAllAvailable()
+        input.addData(batch2)
+        q.processAllAvailable()
+        input.addData(sentinels)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("sess_tws_out")
+        .filter(col("session_start") < sentinelTs)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_cents"))
+        .collect().map(_.toString).sorted.toSeq
+      val batchDf = (batch1 ++ batch2).toDF()
+        .withColumn("ts", timestamp_micros(col("ts")))
+      val batched = Sessionize.batch(batchDf)
+        .select(col("user_id"), unix_micros(col("session_start")),
+          unix_micros(col("session_end")), col("n_events"),
+          col("value_cents"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batched)
+      assert(streamed.size == 3)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState timer flushes a user's final session") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val q = Sessionize.streamingSessionsTws(spark, input.toDS(),
+          timeoutMs = Some(300L))
+        .writeStream.format("memory").queryName("sess_tws_timeout_out")
+        .outputMode("append").start()
+      try {
+        input.addData(batch1)
+        val deadline = System.currentTimeMillis() + 30000
+        def flushed(): Long = spark.table("sess_tws_timeout_out").count()
+        while (flushed() < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        val rows = spark.table("sess_tws_timeout_out")
+          .select(col("user_id"), col("n_events"), col("value_cents"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(rows == Set((1L, 2L, 350L), (2L, 1L, 400L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("windowed aggregation with watermark emits exactly the closed windows") {
     import org.apache.spark.sql.functions._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
