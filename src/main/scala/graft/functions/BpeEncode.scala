@@ -58,6 +58,12 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = StringType
   override def prettyName: String = "bpe_encode"
 
+  /** Don't dump the merge table into plan/explain text — the table is
+    * payload, not plan structure (a 100k-rule vocabulary would bloat
+    * every explain to megabytes). */
+  override def toString: String =
+    s"bpe_encode($child, ${merges.length} merges)"
+
   @transient private lazy val table = new BpeEncode.Table(merges)
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =

@@ -847,6 +847,83 @@ object SimilarityQueries {
       })
   }
 
+  /** q153 — RECALL@K FOR THE OTHER APPROXIMATE PATHS: q150 audits the
+    * stored IVF index; this closes the loop for LSH bucketing (q56) and
+    * the trained-quantizer IVF search (q68) — every approximate
+    * similarity path now has a measured accuracy dial against the same
+    * brute-force top-k (q23), as exact integer overlaps per
+    * k ∈ {1, 10}. Composes the EXISTING oracles as CTEs (the q143
+    * pattern), so the audit can never drift from the audited queries.
+    * Pure dataflow — the approximate and brute pipelines run side by
+    * side and meet in a ≤ topK-row rank join. */
+  val q153 = {
+    val ks = Seq(1, 10)
+    Q("q153_ann_recall_paths",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rankW = Window.orderBy(col("cosine").desc, col("vec_id"))
+        def ranked(df: DataFrame, rn: String): DataFrame =
+          df.select(col("vec_id"), col("cosine"))
+            .withColumn(rn, row_number().over(rankW))
+            .select(col("vec_id"), col(rn))
+        val brute = ranked(q23.run(s, d), "brn")
+        val paths = Seq("lsh" -> q56, "ivf_trained" -> q68)
+        import s.implicits._
+        val matched = paths.map { case (p, q) =>
+          ranked(q.run(s, d), "arn").join(brute, "vec_id")
+            .select(lit(p).as("path"), col("arn"), col("brn"))
+        }.reduce(_ unionByName _)
+        val grid = paths.map(_._1).toDF("path").crossJoin(ks.toDF("k"))
+        val counts = matched.crossJoin(ks.toDF("k"))
+          .filter(col("arn") <= col("k") && col("brn") <= col("k"))
+          .groupBy(col("path"), col("k"))
+          .agg(count(lit(1)).as("n_overlap"))
+        grid.join(counts, Seq("path", "k"), "left")
+          .select(col("path"), col("k").cast("bigint").as("k"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      },
+      for {
+        lshSql <- q56.oracle
+        ivfSql <- q68.oracle
+        bruteSql <- q23.oracle
+      } yield {
+        val gridK = ks.map(kk => s"($kk)").mkString(", ")
+        // splice AFTER stripMargin: the embedded oracles contain `||`
+        // at line starts, which a second stripMargin would mutilate
+        s"""WITH approx_lsh AS (__LSH__),
+           |approx_ivf AS (__IVF__),
+           |brute AS (__BRUTE__),
+           |br AS (SELECT vec_id,
+           |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS brn
+           |       FROM brute),
+           |al AS (SELECT vec_id,
+           |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS arn
+           |       FROM approx_lsh),
+           |ai AS (SELECT vec_id,
+           |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS arn
+           |       FROM approx_ivf),
+           |matched AS (
+           |  SELECT 'lsh' AS path, a.arn, b.brn
+           |  FROM al a JOIN br b USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'ivf_trained', a.arn, b.brn
+           |  FROM ai a JOIN br b USING (vec_id)),
+           |grid AS (SELECT p.path, kk.k
+           |         FROM (VALUES ('lsh'), ('ivf_trained')) p(path),
+           |              (VALUES $gridK) kk(k))
+           |SELECT g.path, CAST(g.k AS BIGINT) AS k,
+           |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_overlap
+           |FROM grid g LEFT JOIN (
+           |  SELECT path, kk.k, count(*) AS n
+           |  FROM matched, (VALUES $gridK) kk(k)
+           |  WHERE arn <= kk.k AND brn <= kk.k GROUP BY 1, 2) c
+           |  ON g.path = c.path AND g.k = c.k""".stripMargin
+          .replace("__LSH__", lshSql)
+          .replace("__IVF__", ivfSql)
+          .replace("__BRUTE__", bruteSql)
+      })
+  }
+
   val all: Seq[Q] =
-    Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150)
+    Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153)
 }

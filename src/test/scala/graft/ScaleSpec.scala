@@ -131,6 +131,25 @@ class ScaleSpec extends SparkSuite {
       "incremental run must read the persisted signature index")
   }
 
+  test("BPE encode plan size is O(1) in the merge-table size") {
+    import org.apache.spark.sql.functions._
+    // the nested-replace formulation grew the expression tree linearly
+    // with the table (and overflowed the stack near 1k rules); the
+    // iterative encoder carries the table as ONE reference object, so
+    // the PLAN must not grow when the table does — that is the whole
+    // scale claim. Compare plan text for a 10-rule vs the full pinned
+    // 1k-rule table: identical shape, identical size.
+    val docs = graft.tables.Catalog.documents(spark, sf).limit(10)
+    def planLen(ms: Seq[(String, String)]): Int =
+      docs.select(graft.ops.Bpe.tokenCountWith(col("text"), ms).as("n"))
+        .queryExecution.executedPlan.toString.length
+    val small = planLen(graft.ops.Bpe.merges.take(10))
+    val full = planLen(graft.ops.Bpe.merges)
+    // identical up to the printed rule COUNT ("10" vs "1024" merges)
+    assert(full <= small + 16,
+      s"plan grew with the merge table: $small -> $full chars")
+  }
+
   test("q138 probe reads the stored ANN index and retrains nothing") {
     val out = graft.queries.SimilarityQueries.q138.run(spark, sf)
     out.collect()
