@@ -274,5 +274,56 @@ object PipelineQueries {
       })
   }
 
-  val all: Seq[Q] = Seq(q41, q42, q46, q47, q77, q123, q141)
+  /** q154 — TEMPERATURE-SCALED MIXTURE PLANNER: the standard
+    * multilingual/multi-source rebalancing act (exponent-α sampling of
+    * mBERT/XLM-R: q_i ∝ p_i^α flattens the source distribution so big
+    * sources stop drowning small ones). α = 1/2 keeps every step EXACT
+    * across engines: p_i^½ ∝ sqrt(n_tokens_i) (the common Σn factor
+    * cancels), sqrt is IEEE-correctly-rounded in both engines, and
+    * everything after the one rounding lives in integer arithmetic —
+    * micro-unit weights, an integer-division token quota against a
+    * half-corpus budget, and a ppm sampling rate capped at 1e6
+    * (a small source can be asked for everything it has, never more).
+    * Scale shape: one map-side-combinable groupBy(source) over the
+    * token counts + a 1-row broadcast of the totals — the planner's
+    * output is |sources| rows that drive the q47/q141 hash-samplers. */
+  val q154 = Q("q154_temperature_mixture",
+    (s, d) => {
+      val bySource = Catalog.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ops.Bpe.tokenCount(col("text")).cast("bigint"))
+            .as("n_tokens"))
+        .withColumn("w",
+          round(sqrt(col("n_tokens").cast("double")) * 1000).cast("bigint"))
+      val tot = bySource.agg(sum(col("w")).cast("bigint").as("w_total"),
+        sum(col("n_tokens")).cast("bigint").as("t_total"))
+      bySource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+          expr("CAST(((t_total div 2) * w) div w_total AS BIGINT)")
+            .as("quota_tokens"),
+          expr("""CAST(least(1000000,
+                 |  (1000000 * (((t_total div 2) * w) div w_total))
+                 |    div n_tokens) AS BIGINT)""".stripMargin)
+            .as("rate_ppm"))
+    },
+    Some(
+      s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)},
+         |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(dt.n_bpe) AS BIGINT) AS n_tokens
+         |        FROM documents d JOIN dt USING (doc_id) GROUP BY 1),
+         |w AS (SELECT *,
+         |        CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+         |          AS w
+         |      FROM per),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total,
+         |          CAST(sum(n_tokens) AS BIGINT) AS t_total FROM w)
+         |SELECT source, n_docs, n_tokens, w,
+         |  CAST(((t_total // 2) * w) // w_total AS BIGINT) AS quota_tokens,
+         |  CAST(least(1000000,
+         |    (1000000 * (((t_total // 2) * w) // w_total)) // n_tokens)
+         |    AS BIGINT) AS rate_ppm
+         |FROM w, tot""".stripMargin))
+
+  val all: Seq[Q] = Seq(q41, q42, q46, q47, q77, q123, q141, q154)
 }

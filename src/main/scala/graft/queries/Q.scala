@@ -41,5 +41,6 @@ object Q {
     "q138_persistent_ann_index", // builds + appends the stored index
     "q145_xml_roundtrip", // rewrites the XML scratch copy
     "q150_ann_recall", // builds its own stored index to audit
-    "q152_sql_delete_frontdoor") // rewrites its scratch table via SQL
+    "q152_sql_delete_frontdoor", // rewrites its scratch table via SQL
+    "q156_stream_token_budget") // streaming checkpoint + scratch copy
 }

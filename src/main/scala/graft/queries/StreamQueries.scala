@@ -186,5 +186,50 @@ object StreamQueries {
         |       CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events""".stripMargin))
 
-  val all: Seq[Q] = Seq(q124, q125, q134)
+  /** q156 — STREAMING TOKEN-BUDGET COUNTER: per-source document and
+    * BPE-token totals maintained by the streaming engine over a
+    * document stream — the live dashboard number a training-data
+    * ingest actually watches ("how many tokens has each source
+    * contributed so far"). The codegen'd tokenizer expression runs
+    * UNCHANGED inside the micro-batch pipeline (tokenization is a
+    * narrow map-side transform, so the only stateful operator is the
+    * bounded groupBy(source) — |sources| rows of running state).
+    * Complete mode + foreachBatch overwrite is the q125 serving-table
+    * pattern; with all input processed the counter must equal the
+    * batch roll-up exactly. */
+  val q156 = Q("q156_stream_token_budget",
+    (s, d) => {
+      val base = s"/tmp/graft_stream/q156_${java.nio.file.Paths.get(d).getFileName}"
+      val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      FileUtil.copy(fs, new Path(s"$d/documents.parquet"),
+        fs, new Path(s"$base/src/documents.parquet"), false,
+        s.sparkContext.hadoopConfiguration)
+      val schema = s.read.parquet(s"$base/src").schema
+      val docs = s.readStream.schema(schema).parquet(s"$base/src")
+      val agg = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ops.Bpe.tokenCount(col("text")).cast("bigint"))
+            .as("bpe_tokens"))
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(s"$base/out"); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$base/out")
+    },
+    Some(
+      s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)}
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens
+         |FROM documents JOIN dt USING (doc_id)
+         |GROUP BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(q124, q125, q134, q156)
 }

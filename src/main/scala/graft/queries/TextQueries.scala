@@ -416,10 +416,10 @@ object TextQueries {
     * the number a training pipeline actually budgets by (context
     * packing, mixture quotas), where q14's whitespace count is only a
     * proxy. The oracle replays the IDENTICAL table as a batched
-    * nested-replace CTE chain over DISTINCT words: one declaration,
-    * two engines. Narrow map-side transform — at 100 TB this runs at
-    * scan speed, column-pruned to (doc_id, text), each task's Zipf-hot
-    * vocabulary encoding once via the expression's word memo. */
+    * nested-replace CTE chain per document: one declaration, two
+    * engines. Narrow map-side transform — at 100 TB this runs at scan
+    * speed, column-pruned to (doc_id, text), O(len × merges_fired) per
+    * row independent of vocabulary size. */
   val q136 = Q("q136_bpe_tokens",
     (s, d) => Catalog.documents(s, d).select(
       col("doc_id"),
@@ -448,6 +448,44 @@ object TextQueries {
          |SELECT tok AS token, count(*) AS n FROM occ
          |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin))
 
+  /** q155 — COMPRESSION-RATIO QUALITY SIGNAL: normalized chars per BPE
+    * token, per document, rolled up per source — the classic
+    * "compressibility" quality heuristic (Gopher/C4-family filters):
+    * text the corpus tokenizer compresses POORLY (low chars/token —
+    * rare character soup the merge table has no rules for) is unusual
+    * relative to the training distribution and gets flagged. Exact
+    * arithmetic end to end: the per-doc ratio is an integer ppm
+    * (1e6 · chars ÷ tokens, integer division), the roll-up sums those
+    * exactly, and the low-quality flag is an integer threshold — no
+    * doubles, no accumulation-order hazard. Scale: one narrow map-side
+    * tokenize + one combinable groupBy(source). */
+  val q155 = Q("q155_compression_quality",
+    (s, d) => Catalog.documents(s, d)
+      .select(col("source"),
+        graft.ops.Bpe.tokenCount(col("text")).cast("bigint").as("n_bpe"),
+        length(normalizeText(col("text"))).cast("bigint").as("n_chars"))
+      .filter(col("n_bpe") > 0)
+      .withColumn("ratio_ppm",
+        expr("(1000000 * n_chars) div n_bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ratio_ppm")).cast("bigint").as("sum_ratio_ppm"),
+        sum(when(col("ratio_ppm") < 9000000L, 1L).otherwise(0L))
+          .cast("bigint").as("n_low_quality")),
+    Some(
+      s"""WITH ${graft.ops.Bpe.docTokenCtes(normSql)},
+         |r AS (SELECT d.source,
+         |        (1000000 * CAST(length($normSql) AS BIGINT)) // dt.n_bpe
+         |          AS ratio_ppm
+         |      FROM documents d JOIN dt USING (doc_id)
+         |      WHERE dt.n_bpe > 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ratio_ppm) AS BIGINT) AS sum_ratio_ppm,
+         |  CAST(sum(CASE WHEN ratio_ppm < 9000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_low_quality
+         |FROM r GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137)
+    Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137,
+      q155)
 }
