@@ -600,6 +600,84 @@ object CorpusQueries {
            |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin))
   }
 
+  /** q157 — THE TRAINING-DATA PIPELINE, END TO END: the four stages a
+    * pretraining writer actually chains — quality gate → exact dedup →
+    * mixture sample → sequence pack — composed as ONE dataflow over
+    * the operators this engine already verifies separately
+    * (q155's compressibility signal, q18's fingerprint-canonical
+    * dedup, q141's quota-hash mixture, q140's keyed-window packing).
+    * The point of the query is the COMPOSITION: every stage is a
+    * narrow transform or a keyed/bounded shuffle, so the fused plan is
+    * scan → project → one dedup exchange → filter → one pack window —
+    * no stage forces a second corpus pass, which is what makes the
+    * chain run at 100 TB. Hash-green proves four stages of exact
+    * arithmetic survive composition bit-for-bit. */
+  val q157 = {
+    val budget = 512
+    Q("q157_training_data_pipeline",
+      (s, d) => {
+        val norm = normalizeText(col("text"))
+        val base = Catalog.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.ops.Bpe.tokenCount(col("text")).cast("bigint")
+              .as("n_bpe"),
+            length(norm).cast("bigint").as("n_chars"),
+            hash60(norm).as("fp"))
+        // 1. quality: enough tokens, compresses like corpus text
+        val quality = base
+          .filter(col("n_bpe") >= 8 &&
+            expr("(1000000 * n_chars) div n_bpe") >= 9000000L)
+        // 2. exact dedup: canonical copy = min doc_id per fingerprint
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))
+        val deduped = quality
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        // 3. mixture: the q141 per-source quota, same salted hash
+        val quota = element_at(array(lit(20L), lit(50L), lit(80L)),
+          (regexp_replace(col("source"), "[^0-9]", "").cast("bigint")
+            % 3 + 1).cast("int"))
+        val sampled = deduped
+          .filter(hash60(
+            concat(lit("mix|"), col("doc_id").cast("string"))) % 100
+            < quota)
+          .select(col("doc_id"), col("source"), col("n_bpe"))
+        // 4. pack survivors head-to-tail per source
+        graft.ops.Packing.pack(sampled, "source", "doc_id", "n_bpe",
+          budget)
+      },
+      Some {
+        val h = "CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+        val q = """[20, 50, 80][CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g')
+          |         AS BIGINT) % 3 + 1 AS INT)]""".stripMargin
+        s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)},
+           |base AS (SELECT d.doc_id, d.source, dt.n_bpe,
+           |           CAST(length(${TextQueries.normSql}) AS BIGINT)
+           |             AS n_chars,
+           |           ${TextQueries.hash60Sql(TextQueries.normSql)} AS fp
+           |         FROM documents d JOIN dt USING (doc_id)),
+           |quality AS (SELECT * FROM base
+           |            WHERE n_bpe >= 8
+           |              AND (1000000 * n_chars) // n_bpe >= 9000000),
+           |dd AS (SELECT doc_id, source, n_bpe FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY fp
+           |                                      ORDER BY doc_id) AS rn
+           |         FROM quality) WHERE rn = 1),
+           |sam AS (SELECT doc_id, source, n_bpe FROM dd
+           |        WHERE $h < $q)
+           |SELECT doc_id, source, n_bpe,
+           |  CAST(start_off // $budget AS BIGINT) AS seq_id,
+           |  CAST(start_off % $budget AS BIGINT) AS seq_off
+           |FROM (
+           |  SELECT doc_id, source, n_bpe,
+           |    COALESCE(SUM(n_bpe)
+           |      OVER (PARTITION BY source ORDER BY doc_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS start_off
+           |  FROM sam)""".stripMargin
+      })
+  }
+
   val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91, q93,
-    q99, q100, q140, q142, q143)
+    q99, q100, q140, q142, q143, q157)
 }
