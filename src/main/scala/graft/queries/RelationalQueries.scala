@@ -1028,9 +1028,107 @@ object RelationalQueries {
         |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2""".stripMargin))
 
+  /** q158 — ROLLUP HIERARCHY AGGREGATION: revenue cents at
+    * (region, nation), (region), and grand-total levels in ONE pass —
+    * the reporting-cube shape warehouses run nightly. Spark's
+    * `rollup` plans a single Expand + one aggregation (the subtotal
+    * levels replicate rows map-side, never re-scan); `grouping_id`
+    * disambiguates NULL-as-subtotal from NULL data. Exact cents only.
+    * Names are COALESCEd to sentinels so the hash gate sees identical
+    * strings for subtotal rows in both engines. */
+  val q158 = Q("q158_rollup_revenue",
+    (s, d) => Catalog.customer(s, d)
+      .join(Catalog.nation(s, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Catalog.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(round(col("c_acctbal") * 100).cast("bigint")).as("bal_cents"),
+        grouping_id().cast("bigint").as("gid"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("bal_cents"), col("gid")),
+    Some(
+      """SELECT COALESCE(r.r_name, 'ALL') AS region,
+        |       COALESCE(n.n_name, 'ALL') AS nation,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+        |         AS BIGINT) AS bal_cents,
+        |       CAST(grouping(r.r_name) * 2 + grouping(n.n_name)
+        |         AS BIGINT) AS gid
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)""".stripMargin))
+
+  /** q159 — PIVOT TO WIDE: per-user event counts and purchase cents
+    * spread across the five event types as columns — the
+    * feature-vector/reporting reshape. Spark's `pivot` with an
+    * EXPLICIT value list (never the implicit distinct scan — that is a
+    * whole extra job at 100 TB and a nondeterministic column order)
+    * plans as one map-side-combinable aggregation with conditional
+    * aggregates; the oracle is the equivalent explicit CASE roll-up —
+    * wide reshapes stay one pass in both engines. */
+  val q159 = Q("q159_pivot_events",
+    (s, d) => Catalog.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").cast("bigint").as("n_click"),
+        col("error").cast("bigint").as("n_error"),
+        col("purchase").cast("bigint").as("n_purchase"),
+        col("signup").cast("bigint").as("n_signup"),
+        col("view").cast("bigint").as("n_view")),
+    Some(
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view
+        |FROM events GROUP BY 1""".stripMargin))
+
+  /** q160 — RANGE-FRAME SLIDING WINDOW: each event's trailing
+    * 15-minute activity (count + cents) for the SAME user — a
+    * value-range frame (`RANGE BETWEEN`), not a row-count frame: the
+    * frame is defined by timestamp distance, so burst density is what
+    * the number measures. One keyed window on (user, time order) over
+    * integer micros — exact, and the partition-and-sort-once shape at
+    * scale. */
+  val q160 = Q("q160_range_frame_activity",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-15L * 60 * 1000000, 0L)
+      Catalog.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(w).as("n_15m"),
+          sum(col("cents")).over(w).as("cents_15m"))
+    },
+    Some(
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_15m,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+        |    AS BIGINT) AS cents_15m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |             RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)
+        |""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q34, q35, q37, q38, q39, q40,
       q54, q64, q65, q69, q72, q73, q74, q76, q92, q95, q105, q106, q107,
       q111, q112, q116, q126, q130, q135, q144, q145, q146, q147, q148,
-      q149)
+      q149, q158, q159, q160)
 }
