@@ -67,6 +67,65 @@ class BpeSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("encoder handles a 5000-rule vocabulary: sequential-fold parity " +
+      "and character conservation") {
+    import SparkSpec.spark.implicits._
+    // a WELL-FORMED synthetic table far past the pinned 1024 rules:
+    // seed 676 bigram rules (aa..zz), then chain products with single
+    // chars round-robin — every operand is a single char or an earlier
+    // product, products are distinct by construction. The nested
+    // formulation could never run this (it overflows near 1k); the
+    // iterative encoder must keep exact sequential semantics at any
+    // table size — this is the 32k-100k-vocab scale claim in miniature.
+    val letters = ('a' to 'z').map(_.toString)
+    val bigrams = for (a <- letters; b <- letters) yield (a, b)
+    val chained = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var prev = bigrams.map { case (a, b) => a + b }
+    var li = 0
+    while (chained.size + bigrams.size < 5000) {
+      val next = prev.map { p =>
+        val c = letters(li % 26)
+        chained += ((p, c))
+        p + c
+      }
+      li += 1
+      prev = next.take(300) // bound growth, keep 5k total
+    }
+    val table = (bigrams ++ chained).toSeq
+    assert(table.size >= 5000)
+
+    def sequentialFold(text: String): Seq[String] = {
+      var toks = text.map(_.toString).toVector
+      for ((a, b) <- table) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    val texts = Seq("the quick brown fox", "aaaaaaaab", "zzzyyyxxx",
+      "abcabcabcabcabc", "a", "", "aazaazaaz plus words")
+    val norm = texts.map(_.toLowerCase.replaceAll("[^a-z0-9]+", " ")
+      .trim.replaceAll("\\s+", " "))
+    val got = norm.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), Bpe.tokensWith(col("t"), table).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+      .toMap
+    norm.zipWithIndex.foreach { case (t, i) =>
+      val expect =
+        if (t.isEmpty) Nil
+        else sequentialFold(t).toList
+      assert(got(i.toLong) == expect, s"text '$t'")
+      assert(got(i.toLong).mkString("") == t, s"conservation on '$t'")
+    }
+  }
+
   test("train() learns the hand-computable merges of a tiny corpus") {
     import SparkSpec.spark.implicits._
     val docs = Seq("abab", "abc").toDF("text")
