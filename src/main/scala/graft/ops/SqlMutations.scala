@@ -158,6 +158,38 @@ object SqlMutations {
     spark.sql(full)
   }
 
+  /** Execute an `UPDATE <name> SET col = expr, … [WHERE pred]`
+    * statement over a registered temp view, returning the updated
+    * table (the caller owns materialization). Lowers to ONE projection
+    * pass — `CASE WHEN pred THEN expr ELSE col END` per assigned
+    * column — which is how engines without in-place row mutation
+    * execute UPDATE: a rewrite of the affected columns, never a
+    * per-row mutation loop. */
+  def update(spark: SparkSession, sql: String): DataFrame = {
+    val u = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
+      case other => throw new IllegalArgumentException(
+        s"not an UPDATE statement: ${other.getClass.getSimpleName}")
+    }
+    val (tName, tAlias) = nameAndAlias(u.table)
+    val targetCols = spark.table(tName).columns.toSeq
+    val pred = u.condition.map(_.sql).getOrElse("TRUE")
+    val assigned: Map[String, String] = u.assignments.map {
+      case Assignment(k: UnresolvedAttribute, v) => k.nameParts.last -> v.sql
+      case a => throw new IllegalArgumentException(
+        s"unsupported assignment target: ${a.key.getClass.getSimpleName}")
+    }.toMap
+    val projs = targetCols.map { c =>
+      assigned.get(c) match {
+        case Some(v) => s"CASE WHEN $pred THEN $v ELSE $tAlias.$c END AS $c"
+        case None => s"$tAlias.$c"
+      }
+    }
+    spark.sql(
+      s"""SELECT ${projs.mkString(",\n       ")}
+         |FROM $tName AS $tAlias""".stripMargin)
+  }
+
   /** Execute a `DELETE FROM <name> WHERE <key tombstones>` statement,
     * binding `name` to its backing parquet directory via `pathOf`, by
     * routing to the zone-map-pruned [[TargetedDelete.erase]]. */

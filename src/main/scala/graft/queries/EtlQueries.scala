@@ -656,6 +656,33 @@ object EtlQueries {
     },
     q108.oracle)
 
+  /** q161 — SQL FRONT DOOR for UPDATE, completing the mutation-triad
+    * statement surface (q151 MERGE, q152 DELETE): a real
+    * `UPDATE … SET … WHERE` statement over a registered view,
+    * Catalyst-parsed and lowered to the one-pass conditional column
+    * rewrite ([[graft.ops.SqlMutations.update]]) — the way engines
+    * without in-place mutation actually execute it. The debt write-off
+    * here (negative balances floored to zero) is the reference
+    * audience's bread-and-butter correction statement. */
+  val q161 = Q("q161_sql_update_frontdoor",
+    (s, d) => {
+      graft.tables.Catalog.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"),
+          col("c_mktsegment"))
+        .createOrReplaceTempView("update_target")
+      graft.ops.SqlMutations.update(s,
+        "UPDATE update_target t SET bal_cents = 0 WHERE bal_cents < 0")
+    },
+    Some(
+      """SELECT c_custkey, c_name,
+        |  CAST(CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+        |       THEN 0
+        |       ELSE CAST(round(c_acctbal * 100) AS BIGINT) END
+        |    AS BIGINT) AS bal_cents,
+        |  c_mktsegment
+        |FROM customer""".stripMargin))
+
   val all: Seq[Q] = Seq(q08, q09, q10, q11, q48, q71, q108, q113, q117,
-    q128, q131, q139, q151)
+    q128, q131, q139, q151, q161)
 }

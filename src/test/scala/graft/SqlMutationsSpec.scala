@@ -73,6 +73,20 @@ class SqlMutationsSpec extends SparkSuite {
     }
   }
 
+  test("UPDATE: conditional column rewrite, unassigned columns kept") {
+    target().createOrReplaceTempView("t_tgt")
+    val out = SqlMutations.update(spark,
+      "UPDATE t_tgt t SET v = v * 2, name = 'boosted' WHERE k >= 3")
+      .orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "boosted", 60L), (4L, "boosted", 80L)))
+    // no WHERE → every row rewritten
+    val all = SqlMutations.update(spark, "UPDATE t_tgt SET v = 0")
+      .agg(sum(col("v"))).first().getLong(0)
+    assert(all == 0L)
+  }
+
   test("DELETE: routes key tombstones to the file surgery; rejects " +
       "non-tombstone predicates") {
     val dir = "/tmp/graft_test_sql_delete"
