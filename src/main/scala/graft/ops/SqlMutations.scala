@@ -86,7 +86,7 @@ object SqlMutations {
     def assignedSql(assignments: Seq[Assignment], col: String,
         keep: String): String =
       assignments.collectFirst {
-        case Assignment(k: UnresolvedAttribute, v) if k.nameParts.last == col =>
+        case Assignment(k: UnresolvedAttribute, v) if k.nameParts.last.equalsIgnoreCase(col) =>
           v.sql
       }.getOrElse(keep)
     // action index per matched row: -1 keep, i = matched action i fires;
@@ -138,7 +138,7 @@ object SqlMutations {
       val proj = targetCols.map { col =>
         val v = assignments.collectFirst {
           case Assignment(k: UnresolvedAttribute, v)
-              if k.nameParts.last == col => v.sql
+              if k.nameParts.last.equalsIgnoreCase(col) => v.sql
         }.getOrElse(throw new IllegalArgumentException(
           s"INSERT action leaves target column $col unassigned"))
         s"$v AS $col"
@@ -174,13 +174,15 @@ object SqlMutations {
     val (tName, tAlias) = nameAndAlias(u.table)
     val targetCols = spark.table(tName).columns.toSeq
     val pred = u.condition.map(_.sql).getOrElse("TRUE")
+    // lowercase keys: Spark resolution is case-insensitive by default
     val assigned: Map[String, String] = u.assignments.map {
-      case Assignment(k: UnresolvedAttribute, v) => k.nameParts.last -> v.sql
+      case Assignment(k: UnresolvedAttribute, v) =>
+        k.nameParts.last.toLowerCase -> v.sql
       case a => throw new IllegalArgumentException(
         s"unsupported assignment target: ${a.key.getClass.getSimpleName}")
     }.toMap
     val projs = targetCols.map { c =>
-      assigned.get(c) match {
+      assigned.get(c.toLowerCase) match {
         case Some(v) => s"CASE WHEN $pred THEN $v ELSE $tAlias.$c END AS $c"
         case None => s"$tAlias.$c"
       }
