@@ -158,17 +158,18 @@ object Recovery {
     log.toSeq
   }
 
-  /** Drop stranded [[Snapshots]] staging dirs (`.v=N__staging`): a
-    * snapshot publish commits with ONE rename, so any surviving staging
-    * dir means the commit never happened — the version does not exist
-    * and the staged bytes are garbage by definition. */
+  /** Drop stranded [[Snapshots]] staging dirs
+    * (`.v=N__staging__<attempt>`): a snapshot publish commits with ONE
+    * rename, so any surviving staging dir means that attempt's commit
+    * never happened — either the version does not exist (crash before
+    * rename) or another attempt won it — and the staged bytes are
+    * garbage by definition. */
   def cleanSnapshotStaging(spark: SparkSession, base: String): Seq[String] = {
     val fs = fsFor(spark, base)
     val p = new Path(base)
     if (!fs.exists(p)) return Seq.empty
     fs.listStatus(p).iterator
-      .filter(st => st.getPath.getName.startsWith(".v=") &&
-        st.getPath.getName.endsWith("__staging"))
+      .filter(st => st.getPath.getName.matches("\\.v=\\d+__staging.*"))
       .map { st =>
         fs.delete(st.getPath, true)
         s"dropped stranded ${st.getPath.getName}"

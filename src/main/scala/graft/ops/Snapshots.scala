@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * RENAMES it in — readers never observe a partial version, and the
   * current version is defined by directory listing alone (no manifest
   * file to corrupt; the rename is the commit point). A crash before
-  * the rename strands only an invisible `.v=N__staging` dir.
+  * the rename strands only an invisible `.v=N__staging__<attempt>`
+  * dir (unique per publisher; swept by vacuum/Recovery).
   *
   * Scale notes: versions share no storage here (each is a full
   * snapshot) — at 100 TB the incremental protocols are what keep
@@ -56,11 +57,21 @@ object Snapshots {
 
   /** Publish `df` at an EXPLICIT version — the commit tail of
     * [[publish]], separated so the lost-race path (version taken
-    * between the listing and the rename) is directly exercisable. */
+    * between the listing and the rename) is directly exercisable.
+    *
+    * The staging name is UNIQUE PER PUBLISHER (attempt id suffix):
+    * if two racers for v=N shared one staging path, the commit test
+    * in [[verifyCommit]] could swap outcomes — the loser's rename
+    * nests under dest before the winner verifies, the winner then
+    * withdraws the nested dir and mis-reports "lost race", and the
+    * loser later finds nothing nested and mis-reports success. With
+    * unique names each publisher probes only for its OWN staging dir,
+    * and the pre-rename clobber window on a shared path is gone. */
   private[graft] def publishAs(spark: SparkSession, base: String,
-      df: DataFrame, next: Int): Int = {
+      df: DataFrame, next: Int,
+      attemptId: String = java.util.UUID.randomUUID.toString): Int = {
     val fs = fsFor(spark, base)
-    val staging = new Path(base, s".v=${next}__staging")
+    val staging = new Path(base, s".v=${next}__staging__$attemptId")
     fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
     val dest = new Path(base, s"v=$next")
@@ -79,9 +90,11 @@ object Snapshots {
     * publishers can both pass it, and the loser's rename into the
     * now-existing dir nests its staging silently. The RENAME is the
     * real commit test: a won race leaves dest's files at the top
-    * level; a lost race leaves the staging dir nested under dest.
-    * Detect, withdraw the nested data (the winner's files are
-    * untouched beside it), and fail. */
+    * level; a lost race leaves THIS publisher's (unique) staging dir
+    * nested under dest. Each publisher probes only for its own
+    * staging name, so concurrent verifiers cannot confuse each
+    * other's outcomes. Detect, withdraw the nested data (the winner's
+    * files are untouched beside it), and fail. */
   private[graft] def verifyCommit(fs: org.apache.hadoop.fs.FileSystem,
       dest: Path, stagingName: String, next: Int): Unit = {
     val nested = new Path(dest, stagingName)
@@ -102,13 +115,23 @@ object Snapshots {
   }
 
   /** Retention: drop all but the newest `keepLast` versions; returns
-    * the versions removed. Never removes the current version. */
+    * the versions removed. Never removes the current version. Also
+    * sweeps stranded staging dirs for versions that already committed
+    * — with per-publisher-unique staging names a crashed attempt's
+    * dir is never reclaimed by a retry, and once `v=N` exists no
+    * staging for N can ever rename in, so they are pure garbage. */
   def vacuum(spark: SparkSession, base: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "must keep at least the current version")
     val fs = fsFor(spark, base)
     val vs = versionsOf(fs, base)
     val drop = vs.dropRight(keepLast)
     drop.foreach(v => fs.delete(new Path(base, s"v=$v"), true))
+    val latest = vs.lastOption.getOrElse(0)
+    fs.listStatus(new Path(base)).iterator
+      .map(_.getPath)
+      .filter(_.getName.matches("\\.v=\\d+__staging.*"))
+      .filter(_.getName.stripPrefix(".v=").takeWhile(_.isDigit).toInt <= latest)
+      .foreach(p => fs.delete(p, true))
     drop
   }
 }

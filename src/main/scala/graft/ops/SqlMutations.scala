@@ -35,7 +35,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
   * Bounded surface (documented, spec-enforced): MERGE supports any
   * number of conditional WHEN MATCHED UPDATE/DELETE clauses and WHEN
   * NOT MATCHED INSERT clauses; `WHEN NOT MATCHED BY SOURCE` and schema
-  * evolution are rejected. Unsupported statements throw — never a
+  * evolution are rejected, and a target row matching more than one
+  * source row raises MERGE_CARDINALITY_VIOLATION (pre-flight match
+  * count) exactly as SQL and Spark's native MERGE do. UPDATE rejects
+  * duplicate SET targets. Unsupported statements throw — never a
   * silent wrong answer. */
 object SqlMutations {
 
@@ -73,6 +76,27 @@ object SqlMutations {
     val (sName, sAlias) = nameAndAlias(m.sourceTable)
     val targetCols = spark.table(tName).columns.toSeq
     val cond = m.mergeCondition.sql
+
+    // ---- cardinality guard: SQL (and Spark's native MERGE) raise
+    // MERGE_CARDINALITY_VIOLATION when a target row matches more than
+    // one source row — the left-join lowering below would otherwise
+    // duplicate that target row, applying WHEN MATCHED once per match.
+    // Checked as a pre-flight aggregate over the same join (tag each
+    // target row, count matches per tag) so the main dataflow's plan
+    // stays window-free; one extra pass, never a silent wrong answer.
+    if (m.matchedActions.nonEmpty) {
+      val violated = !spark.sql(
+        s"""SELECT 1
+           |FROM (SELECT *, monotonically_increasing_id() AS __rid
+           |      FROM $tName) AS $tAlias
+           |JOIN $sName AS $sAlias ON $cond
+           |GROUP BY $tAlias.__rid
+           |HAVING count(*) > 1
+           |LIMIT 1""".stripMargin).isEmpty
+      if (violated) throw new IllegalStateException(
+        "MERGE_CARDINALITY_VIOLATION: a target row matched more than " +
+          "one source row; WHEN MATCHED actions would apply once per match")
+    }
 
     // ---- matched side: target LEFT JOIN source, one CASE per column ----
     val matched: Seq[(Option[Expression], Option[Seq[Assignment]])] =
@@ -119,13 +143,21 @@ object SqlMutations {
       if (updates.isEmpty) s"__t_$c AS $c"
       else s"CASE __act ${updates.mkString(" ")} ELSE __t_$c END AS $c"
     }
+    // insert-only MERGE keeps the target verbatim — joining anyway
+    // would duplicate target rows with multiple source matches (which
+    // the cardinality guard above only polices when matched actions
+    // exist, because only then is multiplicity an error in SQL)
     val survivors =
-      s"""SELECT ${colProjs.mkString(",\n       ")}
-         |FROM (SELECT ${innerProjs.mkString(",\n        ")}
-         |      FROM $tName AS $tAlias
-         |      LEFT JOIN (SELECT *, TRUE AS __src_exists FROM $sName)
-         |        AS $sAlias ON $cond)
-         |WHERE $keepFilter""".stripMargin
+      if (matched.isEmpty)
+        s"""SELECT ${targetCols.map(c => s"$tAlias.$c").mkString(", ")}
+           |FROM $tName AS $tAlias""".stripMargin
+      else
+        s"""SELECT ${colProjs.mkString(",\n       ")}
+           |FROM (SELECT ${innerProjs.mkString(",\n        ")}
+           |      FROM $tName AS $tAlias
+           |      LEFT JOIN (SELECT *, TRUE AS __src_exists FROM $sName)
+           |        AS $sAlias ON $cond)
+           |WHERE $keepFilter""".stripMargin
 
     // ---- insert side: source rows with no target match ----
     val inserts: Seq[(Option[Expression], Seq[Assignment])] =
@@ -175,12 +207,18 @@ object SqlMutations {
     val targetCols = spark.table(tName).columns.toSeq
     val pred = u.condition.map(_.sql).getOrElse("TRUE")
     // lowercase keys: Spark resolution is case-insensitive by default
-    val assigned: Map[String, String] = u.assignments.map {
+    val pairs: Seq[(String, String)] = u.assignments.map {
       case Assignment(k: UnresolvedAttribute, v) =>
         k.nameParts.last.toLowerCase -> v.sql
       case a => throw new IllegalArgumentException(
         s"unsupported assignment target: ${a.key.getClass.getSimpleName}")
-    }.toMap
+    }
+    // standard engines (and Spark's native UPDATE) reject multiple
+    // assignments to the same column — never let the last one silently win
+    val dups = pairs.map(_._1).diff(pairs.map(_._1).distinct).distinct
+    require(dups.isEmpty,
+      s"duplicate assignment target(s) in SET: ${dups.mkString(", ")}")
+    val assigned: Map[String, String] = pairs.toMap
     val projs = targetCols.map { c =>
       assigned.get(c.toLowerCase) match {
         case Some(v) => s"CASE WHEN $pred THEN $v ELSE $tAlias.$c END AS $c"

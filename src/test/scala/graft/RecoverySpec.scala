@@ -186,9 +186,9 @@ class RecoverySpec extends SparkSuite {
     val snapBase = s"$base/snaps"
     val o = Catalog.orders(spark, sf).select(col("o_orderkey"))
     Snapshots.publish(spark, snapBase, o.limit(5))
-    fs.mkdirs(new Path(snapBase, ".v=2__staging"))
+    fs.mkdirs(new Path(snapBase, ".v=2__staging__crashed"))
     val log = Recovery.cleanSnapshotStaging(spark, snapBase)
-    assert(log == Seq("dropped stranded .v=2__staging"))
+    assert(log == Seq("dropped stranded .v=2__staging__crashed"))
     assert(Snapshots.versions(spark, snapBase) == Seq(1))
     assert(Snapshots.asOf(spark, snapBase).count() == 5)
   }

@@ -68,27 +68,58 @@ class SnapshotsSpec extends SparkSuite {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new org.apache.hadoop.fs.Path(base, "v=2")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dest, ".v=2__staging"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dest, ".v=2__staging__loser"))
     intercept[IllegalStateException] {
-      Snapshots.verifyCommit(fs, dest, ".v=2__staging", 2)
+      Snapshots.verifyCommit(fs, dest, ".v=2__staging__loser", 2)
     }
     // the loser's nested data was withdrawn; the winner's is intact
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest, ".v=2__staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest, ".v=2__staging__loser")))
     assert(Snapshots.asOf(spark, base, 2).count() == 3)
   }
 
-  test("a stranded staging dir is invisible to readers and overwritten on retry") {
+  test("unique staging names keep racing verifiers from swapping outcomes") {
+    reset()
+    val o = Catalog.orders(spark, sf).select(col("o_orderkey"))
+    Snapshots.publish(spark, base, o.limit(3)) // v=1
+    // Both racers computed next=2. The winner renames in first; the
+    // loser's rename nests its OWN staging under dest before the
+    // winner runs verifyCommit. With a shared staging name the winner
+    // would see the loser's nested dir, withdraw it, and mis-report
+    // "lost race"; with unique names each verifier probes only its
+    // own dir, so outcomes cannot swap.
+    Snapshots.publishAs(spark, base, o.limit(3), 2, attemptId = "winner")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(base, "v=2")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dest, ".v=2__staging__loser"))
+    // winner's verify: succeeds, does NOT touch the loser's nested dir
+    Snapshots.verifyCommit(fs, dest, ".v=2__staging__winner", 2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dest, ".v=2__staging__loser")))
+    // loser's verify: finds its own nested dir, withdraws it, throws
+    intercept[IllegalStateException] {
+      Snapshots.verifyCommit(fs, dest, ".v=2__staging__loser", 2)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest, ".v=2__staging__loser")))
+    assert(Snapshots.asOf(spark, base, 2).count() == 3)
+  }
+
+  test("a stranded staging dir is invisible to readers and swept by vacuum") {
     reset()
     val o = Catalog.orders(spark, sf).select(col("o_orderkey"))
     Snapshots.publish(spark, base, o.limit(3))
     // simulate a crash mid-publish: staging exists, rename never happened
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".v=2__staging"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".v=2__staging__crashed"))
     assert(Snapshots.versions(spark, base) == Seq(1))
     assert(Snapshots.asOf(spark, base).count() == 3)
-    // retry publishes v=2 cleanly over the stranded staging
+    // retry publishes v=2 cleanly alongside the stranded staging
     assert(Snapshots.publish(spark, base, o.limit(7)) == 2)
     assert(Snapshots.asOf(spark, base, 2).count() == 7)
+    // v=2 committed, so the stranded v=2 staging can never rename in;
+    // vacuum sweeps it even when no versions are dropped
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base, ".v=2__staging__crashed")))
+    assert(Snapshots.vacuum(spark, base, 2) == Seq.empty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, ".v=2__staging__crashed")))
   }
 }

@@ -73,6 +73,38 @@ class SqlMutationsSpec extends SparkSuite {
     }
   }
 
+  test("MERGE: >1 source match per target row throws cardinality violation") {
+    target().createOrReplaceTempView("t_tgt")
+    // source matches target row k=2 TWICE — SQL and Spark's native
+    // MERGE raise MERGE_CARDINALITY_VIOLATION; the left-join lowering
+    // must not silently apply WHEN MATCHED once per match
+    Seq((2L, "U", 99L), (2L, "U", 77L), (9L, "I", 55L))
+      .toDF("k", "op", "nv").createOrReplaceTempView("t_src")
+    val ex = intercept[IllegalStateException] {
+      SqlMutations.merge(spark,
+        """MERGE INTO t_tgt t USING t_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (k, name, v)
+          |  VALUES (s.k, 'new', s.nv)""".stripMargin)
+    }
+    assert(ex.getMessage.contains("MERGE_CARDINALITY_VIOLATION"))
+    // insert-only MERGE is exempt: duplicate matches cannot duplicate
+    // target rows when no matched action exists
+    val out = SqlMutations.merge(spark,
+      """MERGE INTO t_tgt t USING t_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, name, v)
+        |  VALUES (s.k, 'new', s.nv)""".stripMargin)
+    assert(out.count() == 5)
+  }
+
+  test("UPDATE: duplicate SET targets are rejected, not last-wins") {
+    target().createOrReplaceTempView("t_tgt")
+    val ex = intercept[IllegalArgumentException] {
+      SqlMutations.update(spark, "UPDATE t_tgt SET v = 1, V = 2")
+    }
+    assert(ex.getMessage.contains("duplicate assignment target"))
+  }
+
   test("UPDATE: conditional column rewrite, unassigned columns kept") {
     target().createOrReplaceTempView("t_tgt")
     val out = SqlMutations.update(spark,
