@@ -21,6 +21,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Shared BPE tokenization fixture: materialized ONCE per run at a
+    // fixed path so the BPE-family oracles read it instead of each
+    // replaying the full merge table (seconds per query in DuckDB).
+    // Anchored by q162_bpe_table, whose oracle replays the table in
+    // full and hash-compares against this exact content.
+    try graft.ops.Bpe.docTokensDf(
+      graft.tables.Catalog.documents(spark, sfDir))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(graft.ops.Bpe.dtFixturePath)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] bpe fixture failed: ${e.getMessage}")
+    }
     SparkEntry.queries.filter(t => selected(t._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -43,6 +55,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Pure-DuckDB recipe for the BPE fixture (path -> replay SELECT):
+    // lets tools/bench_oracle.py rebuild it independently when timing
+    // oracles at a different scale factor than this run's sfDir.
+    val fixtures = Map(
+      graft.ops.Bpe.dtFixturePath ->
+        graft.ops.Bpe.dtReplaySql(graft.queries.TextQueries.normSql))
+    Files.writeString(Paths.get(s"$outDir/fixture_sql.json"),
+      fixtures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

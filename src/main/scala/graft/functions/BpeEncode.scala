@@ -87,6 +87,11 @@ object BpeEncode {
 
   private val PROD0 = 0x10000 // first product id (chars own 0..0xFFFF)
 
+  /** Row length at which encode switches from the round-scan merge to
+    * the heap merge — below it the scan's constants win, above it the
+    * O(n log n) bound does. */
+  private[graft] val HeapThreshold = 2048
+
   /** Rank-indexed merge table over interned symbol ids. One instance
     * per expression, shipped to executors as a codegen reference
     * object; only the raw pairs serialize, the id structures rebuild
@@ -139,19 +144,55 @@ object BpeEncode {
         if (p != null && p.intValue() - PROD0 < rule) p.intValue() else -1
       }
 
-    /** Whole-text encode into the marker representation. */
+    /** Whole-text encode into the marker representation. Short rows
+      * take the round-scan path (best constants at typical document
+      * lengths); rows past [[BpeEncode.HeapThreshold]] take the
+      * linked-list + min-heap path — O(n log n) worst case instead of
+      * O(len × rules_fired), which is what keeps the book-length tail
+      * of a 100 TB corpus's length distribution from going quadratic.
+      * Both paths implement the identical iterative semantics
+      * (lowest rank first, leftmost first within a rank) — a heap
+      * entry is (rank, position) packed into one long, so heap order
+      * IS that order, and a merge can never create a new occurrence
+      * of the same rank (new pairs always involve the freshly-created
+      * product symbol, which belongs to different rules). */
     def encodeText(s: UTF8String): UTF8String = {
       val text = s.toString
+      val n = text.length
+      if (n == 0) return UTF8String.EMPTY_UTF8
+      encodeTextForced(text, n >= BpeEncode.HeapThreshold)
+    }
+
+    /** Path-forced encode — the dispatch in [[encodeText]] is a pure
+      * performance choice, and the specs pin the two paths equal. */
+    private[graft] def encodeTextForced(text: String, heap: Boolean)
+        : UTF8String = {
       val n = text.length
       if (n == 0) return UTF8String.EMPTY_UTF8
       val rt = rankTable // force init outside the loop
       val ids = new Array[Int](n)
       var i = 0
       while (i < n) { ids(i) = text.charAt(i).toInt; i += 1 }
+      val size = if (heap) mergeHeap(ids, n, rt) else mergeRounds(ids, n, rt)
+      val sb = new java.lang.StringBuilder(n * 3)
+      var m = 0
+      while (m < size) {
+        val id = ids(m)
+        sb.append(B)
+        if (id < PROD0) sb.append(id.toChar) else sb.append(prodStr(id - PROD0))
+        sb.append(E)
+        m += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    /** Round-scan merge: find the globally lowest-rank adjacent pair,
+      * fuse all its occurrences leftmost-greedy, repeat. In-place on
+      * `ids`; returns the final symbol count. O(len × rules_fired). */
+    private def mergeRounds(ids: Array[Int], n: Int, rt: RankTable): Int = {
       var size = n
       var exhausted = size < 2
       while (!exhausted) {
-        // lowest-rank adjacent pair this round
         var bestRank = Int.MaxValue
         var bestL = -1
         var bestR = -1
@@ -168,7 +209,6 @@ object BpeEncode {
         }
         if (bestL < 0) exhausted = true
         else {
-          // fuse all occurrences, greedy leftmost, in place
           var w = 0
           var rd = 0
           while (rd < size) {
@@ -181,16 +221,96 @@ object BpeEncode {
           exhausted = size < 2
         }
       }
-      val sb = new java.lang.StringBuilder(n * 3)
-      var m = 0
-      while (m < size) {
-        val id = ids(m)
-        sb.append(B)
-        if (id < PROD0) sb.append(id.toChar) else sb.append(prodStr(id - PROD0))
-        sb.append(E)
-        m += 1
+      size
+    }
+
+    /** Heap merge: doubly-linked symbol list + a long-packed min-heap
+      * of (rank << 32 | leftPos) candidates. Stale entries (left node
+      * dead, or the pair at that position no longer matches the
+      * popped rank) are skipped on pop; a successful merge keeps the
+      * LEFT node (positions never reorder, so position order stays
+      * leftmost order) and pushes at most two new candidates. Each of
+      * the ≤ n merges pushes O(1) entries → O(n log n) total. The
+      * rank re-check on pop is also the correctness test: whenever it
+      * passes, the pair at that position IS the popped rule, so even
+      * an entry that became stale and "coincidentally" revalidated
+      * merges correctly. In-place compaction; returns final count. */
+    private def mergeHeap(ids: Array[Int], n: Int, rt: RankTable): Int = {
+      val prev = new Array[Int](n)
+      val next = new Array[Int](n)
+      val alive = new Array[Boolean](n)
+      var i = 0
+      while (i < n) {
+        prev(i) = i - 1; next(i) = i + 1; alive(i) = true; i += 1
       }
-      UTF8String.fromString(sb.toString)
+      var heap = new Array[Long](math.max(16, n))
+      var hs = 0
+      def push(v: Long): Unit = {
+        if (hs == heap.length)
+          heap = java.util.Arrays.copyOf(heap, heap.length * 2)
+        heap(hs) = v
+        var c = hs
+        hs += 1
+        while (c > 0 && heap((c - 1) >> 1) > heap(c)) {
+          val p = (c - 1) >> 1
+          val t = heap(p); heap(p) = heap(c); heap(c) = t
+          c = p
+        }
+      }
+      def pop(): Long = {
+        val top = heap(0)
+        hs -= 1
+        heap(0) = heap(hs)
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1
+          val r = l + 1
+          var m = c
+          if (l < hs && heap(l) < heap(m)) m = l
+          if (r < hs && heap(r) < heap(m)) m = r
+          if (m == c) done = true
+          else { val t = heap(m); heap(m) = heap(c); heap(c) = t; c = m }
+        }
+        top
+      }
+      i = 0
+      while (i < n - 1) {
+        val r = rt.rank(ids(i), ids(i + 1))
+        if (r >= 0) push(r.toLong << 32 | i)
+        i += 1
+      }
+      while (hs > 0) {
+        val top = pop()
+        val rank = (top >>> 32).toInt
+        val p = (top & 0xffffffffL).toInt
+        if (alive(p)) {
+          val q = next(p)
+          if (q < n && rt.rank(ids(p), ids(q)) == rank) {
+            ids(p) = rt.mergedOf(rank)
+            alive(q) = false
+            val qq = next(q)
+            next(p) = qq
+            if (qq < n) prev(qq) = p
+            val pp = prev(p)
+            if (pp >= 0) {
+              val r2 = rt.rank(ids(pp), ids(p))
+              if (r2 >= 0) push(r2.toLong << 32 | pp)
+            }
+            if (qq < n) {
+              val r3 = rt.rank(ids(p), ids(qq))
+              if (r3 >= 0) push(r3.toLong << 32 | p)
+            }
+          }
+        }
+      }
+      var w = 0
+      var c = 0
+      while (c < n) {
+        if (alive(c)) { ids(w) = ids(c); w += 1 }
+        c += 1
+      }
+      w
     }
   }
 

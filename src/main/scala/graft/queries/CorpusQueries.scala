@@ -505,7 +505,7 @@ object CorpusQueries {
               .as("n_bpe")),
         "source", "doc_id", "n_bpe", 512),
       Some(
-        s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)}
+        s"""WITH ${graft.ops.Bpe.dtFixtureCte}
            |SELECT doc_id, source, n_bpe,
            |  CAST(start_off // 512 AS BIGINT) AS seq_id,
            |  CAST(start_off % 512 AS BIGINT) AS seq_off
@@ -553,7 +553,7 @@ object CorpusQueries {
           size(col("chunk_toks")).cast("bigint").as("n_chunk_tokens"),
           hash60(array_join(col("chunk_toks"), " ")).as("chunk_fp")),
       Some {
-        s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)},
+        s"""WITH ${graft.ops.Bpe.dtFixtureCte},
            |sized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
            |          FROM dt WHERE len(toks) > 0),
            |chunks AS (SELECT doc_id, toks, n,
@@ -650,7 +650,7 @@ object CorpusQueries {
         val h = "CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
         val q = """[20, 50, 80][CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g')
           |         AS BIGINT) % 3 + 1 AS INT)]""".stripMargin
-        s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)},
+        s"""WITH ${graft.ops.Bpe.dtFixtureCte},
            |base AS (SELECT d.doc_id, d.source, dt.n_bpe,
            |           CAST(length(${TextQueries.normSql}) AS BIGINT)
            |             AS n_chars,

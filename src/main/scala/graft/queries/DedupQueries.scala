@@ -210,7 +210,10 @@ object DedupQueries {
     * component representative (= min doc_id — the canonical survivor;
     * singletons are their own rep). The oracle computes true
     * reachability with a recursive CTE, so hash-green proves the
-    * iterative propagation converged to the exact transitive closure. */
+    * iterative propagation converged to the exact transitive closure.
+    * `pairs` is MATERIALIZED: without the hint DuckDB re-evaluates the
+    * whole LSH pipeline above it once per recursion step (~8× cost at
+    * sf0.1 for a depth-5 closure). */
   val q61 = Q("q61_dedup_components",
     (s, d) => {
       val docs = docsNear(s, d)
@@ -226,7 +229,7 @@ object DedupQueries {
          |    $sigColsSql
          |  FROM capped GROUP BY doc_id),
          |bands AS ($bandsSql),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM bands a JOIN bands b
          |            ON a.bh = b.bh AND a.doc_id < b.doc_id),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

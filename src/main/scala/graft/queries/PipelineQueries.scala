@@ -264,7 +264,7 @@ object PipelineQueries {
         val h = "CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
         val q = """[20, 50, 80][CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g')
           |         AS BIGINT) % 3 + 1 AS INT)]""".stripMargin
-        s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)}
+        s"""WITH ${graft.ops.Bpe.dtFixtureCte}
            |SELECT source, CAST($q AS BIGINT) AS quota,
            |       count(*) AS n_kept,
            |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens
@@ -308,7 +308,7 @@ object PipelineQueries {
             .as("rate_ppm"))
     },
     Some(
-      s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)},
+      s"""WITH ${graft.ops.Bpe.dtFixtureCte},
          |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
          |          CAST(sum(dt.n_bpe) AS BIGINT) AS n_tokens
          |        FROM documents d JOIN dt USING (doc_id) GROUP BY 1),

@@ -225,7 +225,7 @@ object StreamQueries {
       s.read.parquet(s"$base/out")
     },
     Some(
-      s"""WITH ${graft.ops.Bpe.docTokenCtes(TextQueries.normSql)}
+      s"""WITH ${graft.ops.Bpe.dtFixtureCte}
          |SELECT source, count(*) AS n_docs,
          |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens
          |FROM documents JOIN dt USING (doc_id)

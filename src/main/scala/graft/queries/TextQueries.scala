@@ -26,7 +26,7 @@ object TextQueries {
     s"CAST($hits AS DOUBLE) / nullif(CAST($tokSql AS DOUBLE), 0)"
   }
 
-  private[queries] val normSql =
+  private[graft] val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))"""
 
   /** 60-bit md5-derived hash — same as TextAnalysis.hash60. */
@@ -426,7 +426,7 @@ object TextQueries {
       graft.ops.Bpe.tokenCount(col("text")).cast("bigint").as("n_bpe"),
       length(normalizeText(col("text"))).cast("bigint").as("n_norm_chars")),
     Some(
-      s"""WITH ${graft.ops.Bpe.docTokenCtes(normSql)}
+      s"""WITH ${graft.ops.Bpe.dtFixtureCte}
          |SELECT doc_id, n_bpe,
          |  CAST(length($normSql) AS BIGINT) AS n_norm_chars
          |FROM documents JOIN dt USING (doc_id)""".stripMargin))
@@ -443,7 +443,7 @@ object TextQueries {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(50),
     Some(
-      s"""WITH ${graft.ops.Bpe.docTokenCtes(normSql)},
+      s"""WITH ${graft.ops.Bpe.dtFixtureCte},
          |occ AS (SELECT u.tok FROM dt, unnest(dt.toks) u(tok))
          |SELECT tok AS token, count(*) AS n FROM occ
          |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin))
@@ -473,7 +473,7 @@ object TextQueries {
         sum(when(col("ratio_ppm") < 9000000L, 1L).otherwise(0L))
           .cast("bigint").as("n_low_quality")),
     Some(
-      s"""WITH ${graft.ops.Bpe.docTokenCtes(normSql)},
+      s"""WITH ${graft.ops.Bpe.dtFixtureCte},
          |r AS (SELECT d.source,
          |        (1000000 * CAST(length($normSql) AS BIGINT)) // dt.n_bpe
          |          AS ratio_ppm
@@ -485,7 +485,27 @@ object TextQueries {
          |    AS BIGINT) AS n_low_quality
          |FROM r GROUP BY 1""".stripMargin))
 
+  /** q162 — BPE TOKENIZATION ANCHOR: the full (doc_id, token count,
+    * ordered token list) table under the pinned merges, hash-compared
+    * against the DuckDB oracle's complete nested-replace REPLAY of the
+    * same table. This is the ONE query whose oracle still pays the
+    * full per-document replay cost — it anchors the shared fixture
+    * ([[graft.ops.Bpe.dtFixturePath]]) every other BPE-dependent
+    * oracle reads: green here means the materialized tokenization is
+    * bit-identical to an independent engine's replay, token lists
+    * included (the '|' join is injective — the alphabet is
+    * [a-z0-9 ]), so downstream oracles may treat it as ground truth.
+    * Spark side is the same narrow scan-speed encode as q136. */
+  val q162 = Q("q162_bpe_table",
+    (s, d) => graft.ops.Bpe.docTokensDf(Catalog.documents(s, d))
+      .select(col("doc_id"), col("n_bpe"),
+        array_join(col("toks"), "|").as("toks_str")),
+    Some(
+      s"""WITH ${graft.ops.Bpe.docTokenCtes(normSql)}
+         |SELECT doc_id, n_bpe, array_to_string(toks, '|') AS toks_str
+         |FROM dt""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137,
-      q155)
+      q155, q162)
 }

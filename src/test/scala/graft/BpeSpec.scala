@@ -156,6 +156,74 @@ class BpeSpec extends SparkSuite {
     assert(counts.getLong(0) < counts.getLong(1))
   }
 
+  test("batched training reaches an 8192-rule vocabulary in <= 64 passes " +
+      "and the table stays well-formed") {
+    // the scale path: one counting pass learns up to m DISJOINT-OPERAND
+    // merges (Bpe.selectBatch), so a real vocabulary is ~vocab/m passes
+    // — here 8192 rules from the documents corpus, where the sequential
+    // trainer would need 8192 passes
+    val counts = graft.tables.Catalog.documents(spark, sf)
+      .select(graft.ops.TextAnalysis.normalizeText(col("text")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val (learned, passes) = Bpe.trainLocalBatched(counts, k = 8192, m = 256)
+    assert(learned.size >= 8192, s"only ${learned.size} rules learned")
+    assert(passes <= 64, s"took $passes passes")
+    // well-formed: distinct products; every operand is a single char or
+    // the product of a strictly earlier rule — the property that makes
+    // the iterative encoder equal sequential rule application
+    val prods = learned.map(t => t._1 + t._2)
+    assert(prods.distinct.size == prods.size)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    learned.foreach { case (a, b, _) =>
+      assert(a.length == 1 || seen.contains(a), s"ill-formed left operand '$a'")
+      assert(b.length == 1 || seen.contains(b), s"ill-formed right operand '$b'")
+      seen += (a + b)
+    }
+    // sequential-fold equivalence of the codegen encoder on the trained
+    // 8k table (the well-formedness payoff, exercised end to end)
+    val table = learned.map(t => (t._1, t._2))
+    def fold(text: String): List[String] = {
+      var toks = text.map(_.toString).toVector
+      for ((a, b) <- table) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks.toList
+    }
+    import SparkSpec.spark.implicits._
+    val sample = counts.take(20).map(_._1)
+    val got = sample.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), Bpe.tokensWith(col("t"), table).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    sample.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == fold(t), s"text ${i}")
+    }
+  }
+
+  test("distributed trainBatched: m=1 equals the sequential trainer; " +
+      "batching bounds counting passes") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq("abab", "abc").toDF("text")
+    val (seq1, p1) = Bpe.trainBatched(docs, "text", k = 5, m = 1)
+    assert(seq1 == Bpe.train(docs, "text", k = 5))
+    assert(p1 == 4) // 3 learning passes + the dry pass that stops it
+    val big = graft.tables.Catalog.documents(spark, sf).limit(100)
+    val (batched, passes) = Bpe.trainBatched(big, "text", k = 24, m = 8)
+    assert(batched.size == 24)
+    assert(passes <= 6, s"took $passes passes for 24 rules at m=8")
+    val prods = batched.map(t => t._1 + t._2)
+    assert(prods.distinct.size == prods.size)
+  }
+
   test("tokenCount equals the exploded token count") {
     val docs = graft.tables.Catalog.documents(spark, sf).limit(200)
     val bad = docs.select(

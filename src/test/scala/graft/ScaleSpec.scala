@@ -150,6 +150,42 @@ class ScaleSpec extends SparkSuite {
       s"plan grew with the merge table: $small -> $full chars")
   }
 
+  test("BPE heap encoder handles a 100k-char document and equals the " +
+      "round-scan path") {
+    // the book-length tail of a 100 TB corpus: past BpeEncode's
+    // HeapThreshold the encoder switches from the O(len × rules_fired)
+    // round scan to the linked-list + min-heap O(n log n) path — both
+    // must produce identical encodings under the full pinned table
+    val table = new graft.functions.BpeEncode.Table(graft.ops.Bpe.merges)
+    val phrase = "the quick brown fox jumps over the lazy dog and " +
+      "every customer account ships final status packages daily "
+    val sb = new StringBuilder
+    var i = 0
+    while (sb.length < 120000) {
+      sb.append(phrase)
+      sb.append("doc").append(i % 97).append(' ') // break exact periodicity
+      i += 1
+    }
+    val text = sb.toString.trim.replaceAll("\\s+", " ")
+    assert(text.length >= graft.functions.BpeEncode.HeapThreshold * 50)
+    val viaHeap = table.encodeTextForced(text, heap = true)
+    val viaRounds = table.encodeTextForced(text, heap = false)
+    assert(viaHeap == viaRounds, "heap and round-scan encodings diverge")
+    // character conservation on the heap path
+    val rejoined = viaHeap.toString
+      .replace(graft.functions.BpeEncode.B.toString, "")
+      .replace(graft.functions.BpeEncode.E.toString, "")
+    assert(rejoined == text)
+    // the dispatch itself: a full-row encode through the column surface
+    // (tokens concatenate back to the normalized text)
+    import SparkSpec.spark.implicits._
+    val got = Seq(text).toDF("text")
+      .select(concat_ws("", graft.ops.Bpe.tokens(org.apache.spark.sql
+        .functions.col("text"))).as("r"))
+      .first().getString(0)
+    assert(got == text)
+  }
+
   test("q138 probe reads the stored ANN index and retrains nothing") {
     val out = graft.queries.SimilarityQueries.q138.run(spark, sf)
     out.collect()

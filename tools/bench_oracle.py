@@ -2,6 +2,13 @@
 """Time each DuckDB oracle at a given sf (dev tool): the honest
 single-node columnar-engine comparison point for BENCH numbers.
 Usage: python3 tools/bench_oracle.py [sfDir] [oracle_sql.json path]
+
+If a fixture_sql.json sits next to the oracle json, each entry
+(path -> replay SELECT) is rebuilt first in pure DuckDB for THIS
+sfDir — the shared BPE tokenization fixture the oracles read must
+match the scale factor being timed. The rebuild is timed and counted
+in the total (reported as _fixture:<name>): it is real oracle-side
+work the fixture design runs once instead of once per query.
 """
 import json, sys, time
 from pathlib import Path
@@ -22,6 +29,30 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     out, total = {}, 0.0
+    fixture_path = Path(oracle_path).parent / "fixture_sql.json"
+    if fixture_path.exists():
+        import hashlib
+        for dest, sql in json.loads(fixture_path.read_text()).items():
+            d = Path(dest)
+            # the fixture is a pure function of (sfDir, replay SQL):
+            # skip the rebuild when the stamped meta matches, so repeat
+            # measurements time queries, not artifact rebuilds
+            meta = {"sf_dir": sf_dir,
+                    "sql_md5": hashlib.md5(sql.encode()).hexdigest()}
+            stamp = d / ".fixture_meta.json"
+            if stamp.exists() and json.loads(stamp.read_text()) == meta:
+                out[f"_fixture:{d.name}"] = 0.0
+                continue
+            d.mkdir(parents=True, exist_ok=True)
+            stamp.unlink(missing_ok=True)
+            for old in d.glob("*.parquet"):
+                old.unlink()
+            t0 = time.time()
+            con.execute(f"COPY ({sql}) TO '{dest}/data.parquet' (FORMAT PARQUET)")
+            dt = time.time() - t0
+            stamp.write_text(json.dumps(meta))
+            out[f"_fixture:{d.name}"] = round(dt, 3)
+            total += dt
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
         try:
