@@ -36,7 +36,8 @@ object Bench {
     * The DETAIL stdout line above it keeps full names + ms precision
     * for humans. */
   def compactLine(results: Seq[(String, Double)], sfDir: String,
-      stats: Map[String, RunStats] = Map.empty): String = {
+      stats: Map[String, RunStats] = Map.empty,
+      trailing: Map[String, Double] = Map.empty): String = {
     def trim(s: String): String =
       if (s.contains('.'))
         s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
@@ -57,10 +58,63 @@ object Bench {
         s"""":{"cs":${cs(v)},"shmb":${st.shuffleMb},"gc":${st.gcMs}}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // SELF-DIAGNOSING noise flags (VERDICT r7 #8): a query >2× its
+    // trailing per-round median, with no code able to change between
+    // the rounds a bench run compares (the registry is versioned with
+    // the bench), reads as container inflation, not regression — the
+    // shuffle-MB diagnostic in "top" lets a reader confirm the work
+    // itself was flat. Sub-100ms medians are skipped (pure jitter).
+    val env = results.flatMap { case (k, v) =>
+      trailing.get(k).filter(m => m >= 0.10 && v > 2 * m)
+        .map(m => k -> BigDecimal(v / m).setScale(1,
+          BigDecimal.RoundingMode.HALF_UP))
+    }.sortBy(-_._2).take(8)
+      .map { case (k, x) => "\"" + k.takeWhile(_ != '_') + "\":" + x }
+      .mkString("{", ",", "}")
     val sfShort = new java.io.File(sfDir).getName
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
-      s""""queries":$heavy,"qcs":"$qcs","top":$top,""" +
-      s""""note":"queries=those >=0.95s; qcs=centisec per query in name-sorted registry order (CORRECTNESS order); top={cs,shuffle MB,driver GC ms}","sf":"$sfShort"}"""
+      s""""queries":$heavy,"qcs":"$qcs","top":$top,"env":$env,""" +
+      s""""note":"queries=those >=0.95s; qcs=centisec per query in name-sorted registry order (CORRECTNESS order); top={cs,shuffle MB,driver GC ms}; env=time/trailing-median for queries >2x it (likely container noise)","sf":"$sfShort"}"""
+  }
+
+  /** Trailing per-query time medians from prior rounds' driver
+    * artifacts in `dir`: each BENCH_rNN.json carries every query's
+    * centiseconds ("qcs", in name-sorted registry order) and the
+    * matching CORRECTNESS_rNN.json supplies that round's names.
+    * Best-effort — any unreadable/odd-shaped round is skipped, and an
+    * empty map disables the noise flags entirely. */
+  private[graft] def trailingMedians(dir: String = "."): Map[String, Double] = {
+    try {
+      val files = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+      val rounds = files.flatMap("""BENCH_r(\d+)\.json""".r
+        .findFirstMatchIn(_).map(_.group(1)))
+        .filter(r => files.contains(s"CORRECTNESS_r$r.json"))
+      val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+      rounds.foreach { r =>
+        try {
+          val bench = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(dir, s"BENCH_r$r.json")), "UTF-8")
+          val corr = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(dir, s"CORRECTNESS_r$r.json")), "UTF-8")
+          // unescaped match hits only the driver-parsed JSON, not the
+          // \"-escaped copy inside the "tail" transcript string
+          val qcs = """"qcs":\s*"([0-9,]*)"""".r
+            .findFirstMatchIn(bench).map(_.group(1).split(',').toSeq)
+          val names = """"(q[0-9][^"]*)"\s*:\s*\{""".r
+            .findAllMatchIn(corr).map(_.group(1)).toSeq.distinct.sorted
+          qcs.filter(_.size == names.size).foreach { cs =>
+            names.zip(cs).foreach { case (n, c) =>
+              perQuery(n) = (c.toDouble / 100.0) :: perQuery.getOrElse(n, Nil)
+            }
+          }
+        } catch { case _: Throwable => () }
+      }
+      perQuery.map { case (n, vs) =>
+        val s = vs.sorted
+        n -> s(s.size / 2)
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
   }
 
   /** Whole-JVM shuffle-write accounting via stage-completed events —
@@ -92,6 +146,10 @@ object Bench {
       if (args.length > 1) Some(args(1).toInt) else None
     def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       wanted.forall(w => w.contains(n) || w.contains(n.takeWhile(_ != '_')))
+    }.filterNot { case (n, _) =>
+      // correctness-only calibration queries (see Q.benchExcluded) stay
+      // out of the timed bench unless explicitly requested by name
+      wanted.isEmpty && queries.Q.benchExcluded.contains(n)
     }
     val spark = session()
     // STEADY-STATE methodology: one untimed pass first (whole-stage-
@@ -164,7 +222,7 @@ object Bench {
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"DETAIL $detail")
-    println(compactLine(results, sfDir, stats.toMap))
+    println(compactLine(results, sfDir, stats.toMap, trailingMedians()))
     spark.stop()
   }
 }

@@ -31,6 +31,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
   *    name to its backing directory. The WHERE clause must be the
   *    tombstone shape (`key IN (…)` / `key = …`) that protocol exists
   *    for; anything else is rejected rather than silently table-scanned.
+  *  - [[insert]]: `InsertIntoStatement` (ref sql:40) lowers to the
+  *    append protocol — the SELECT runs once (observe-counted), the
+  *    rows append to the bound parquet directory, column lists align
+  *    by name against the existing target schema.
   *
   * Bounded surface (documented, spec-enforced): MERGE supports any
   * number of conditional WHEN MATCHED UPDATE/DELETE clauses and WHEN
@@ -228,6 +232,78 @@ object SqlMutations {
     spark.sql(
       s"""SELECT ${projs.mkString(",\n       ")}
          |FROM $tName AS $tAlias""".stripMargin)
+  }
+
+  /** Execute an `INSERT INTO <name> [(cols)] SELECT …` statement — the
+    * reference's one remaining statement form (ref sql:40, the branch
+    * union inserted into the staging clone) — lowered onto the append
+    * protocol: the SELECT runs as a normal Catalyst dataflow and the
+    * rows append to the table's backing parquet directory (bound via
+    * `pathOf`), with the inserted @@row_count captured by
+    * `Dataset.observe` so the SELECT executes exactly once. An
+    * explicit column list renames the SELECT's output positionally
+    * (SQL semantics), and when the target already exists the columns
+    * are then aligned to ITS order by (case-insensitive) name —
+    * parquet append is positional on footer schema, so an unaligned
+    * append would silently interleave columns. INSERT OVERWRITE and
+    * static PARTITION clauses are rejected — truncation is the
+    * protocols' FULL_LOAD path, never a side effect of an insert. */
+  def insert(spark: SparkSession, sql: String,
+      pathOf: String => String): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ins = spark.sessionState.sqlParser.parsePlan(sql) match {
+      case i: InsertIntoStatement => i
+      case other => throw new IllegalArgumentException(
+        s"not an INSERT statement: ${other.getClass.getSimpleName}")
+    }
+    require(!ins.overwrite,
+      "INSERT OVERWRITE is not supported — truncation is FULL_LOAD's job")
+    require(ins.partitionSpec.isEmpty,
+      "static PARTITION clauses are not supported")
+    val (name, _) = nameAndAlias(ins.table)
+    val path = pathOf(name)
+    val selected =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, ins.query)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val targetCols: Option[Seq[String]] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Some(spark.read.parquet(path).columns.toSeq)
+      else None
+    // SQL semantics: WITHOUT a column list the SELECT maps to the
+    // target POSITIONALLY; WITH one, the list names the SELECT's
+    // output positionally and those names then align to the target's
+    // order (case-insensitive)
+    val aligned = (ins.userSpecifiedCols.toList, targetCols) match {
+      case (Nil, None) => selected
+      case (Nil, Some(tc)) =>
+        require(tc.length == selected.columns.length,
+          s"SELECT produces ${selected.columns.length} columns, target " +
+            s"has ${tc.length}")
+        selected.toDF(tc: _*)
+      case (cols, tcOpt) =>
+        require(cols.length == selected.columns.length,
+          s"column list names ${cols.length} columns, SELECT produces " +
+            s"${selected.columns.length}")
+        val named = selected.toDF(cols: _*)
+        tcOpt match {
+          case None => named
+          case Some(tc) =>
+            val have = cols.map(_.toLowerCase).toSet
+            val missing = tc.filterNot(c => have.contains(c.toLowerCase))
+            require(missing.isEmpty && tc.length == cols.length,
+              s"insert column list $cols does not cover target columns $tc")
+            named.select(tc.map(col): _*)
+        }
+    }
+    val obs = new org.apache.spark.sql.Observation()
+    aligned.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(path)
+    obs.get("n") match {
+      case n: java.lang.Number => n.longValue()
+    }
   }
 
   /** Execute a `DELETE FROM <name> WHERE <key tombstones>` statement,

@@ -76,6 +76,53 @@ object LoadQueries {
          |UNION ALL
          |SELECT * FROM fresh""".stripMargin))
 
+  /** q163 — SQL FRONT DOOR for INSERT, closing the reference's last
+    * statement-text form (sql:40 — the branch union INSERTed into the
+    * staging table): the delta-run insert batch (`fresh`, the same
+    * `cdc_ts >= offset` filter q12's protocol computes) is driven
+    * through [[graft.ops.SqlMutations.insert]] as literal `INSERT
+    * INTO … (cols) SELECT …` text against a schema-bearing empty
+    * target, exercising parse → column-list rename → name alignment
+    * against the target footer schema → observe-counted append. The
+    * SELECT's column order is deliberately scrambled relative to the
+    * target so a positional (unaligned) append would hash-mismatch.
+    * Oracle = q12's `fresh` CTE verbatim — this result IS q12's
+    * insert batch. */
+  val q163 = Q("q163_sql_insert_frontdoor",
+    (s, d) => {
+      val base = s"/tmp/graft_load/q163_${Paths.get(d).getFileName}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val target = s"$base/fact_events"
+      // schema-bearing empty target (the staging clone the reference
+      // INSERTs into): same projection the protocol stages, zero rows
+      eventsFact(s, d, None)(minDate).limit(0)
+        .write.parquet(target)
+      // the q12 delta offset: max(cdc in the FULL_LOAD horizon) - lookback
+      val off = Catalog.events(s, d)
+        .filter(col("ts") >= lit(minDate).cast("timestamp") &&
+          col("ts") < lit(t1Cut).cast("timestamp"))
+        .agg(date_format(
+          max(col("ts")) - expr(s"INTERVAL $lookbackDays DAYS"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS")).first().getString(0)
+      Catalog.events(s, d).createOrReplaceTempView("events_src")
+      val n = graft.ops.SqlMutations.insert(s,
+        s"""INSERT INTO fact_events
+           |  (value, event_id, cdc_ts, user_id, event_type)
+           |SELECT value, event_id, CAST(ts AS TIMESTAMP), user_id,
+           |       event_type
+           |FROM events_src
+           |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$off'""".stripMargin,
+        Map("fact_events" -> target))
+      val out = s.read.parquet(target)
+      assert(n == out.count(), s"observed $n != appended ${out.count()}")
+      out
+    },
+    Some(
+      s"""WITH $commonSql
+         |SELECT * FROM fresh""".stripMargin))
+
   private val keyExpr =
     "concat(fact_item_status_key, line_item_status, latest_status, " +
       "trans_order_id, cart_id)"
@@ -362,5 +409,6 @@ object LoadQueries {
     },
     q127.oracle)
 
-  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127, q132, q152)
+  val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127, q132, q152,
+    q163)
 }

@@ -16,11 +16,16 @@ class BenchLineSpec extends SparkSuite {
     val stats = SparkEntry.registry.map(q =>
       q.name -> Bench.RunStats(99999L, 999999L)).toMap
     val worst = SparkEntry.registry.map(q => q.name -> 99.94)
-    val line = Bench.compactLine(worst, "/root/testdata/sf0.1", stats)
+    // worst-case env flags too: every query 99× its trailing median
+    // (the flag set caps at 8 entries regardless of how many qualify)
+    val trailing = SparkEntry.registry.map(q => q.name -> 1.0).toMap
+    val line = Bench.compactLine(worst, "/root/testdata/sf0.1", stats,
+      trailing)
     assert(line.length < 1900,
       s"bench line is ${line.length} bytes at ${worst.size} queries — " +
         "the driver tail keeps ~2000; shorten the rendering before " +
         "registering more queries")
+    assert(line.contains("\"env\":{"))
     // VERDICT r6 #6: ≥600 B of headroom at a 165-query registry under
     // realistic times (sub-second typical, a handful of heavies)
     val grown = (1 to 165).map(i => f"q$i%03d_sim" ->
@@ -43,9 +48,34 @@ class BenchLineSpec extends SparkSuite {
     assert(line.contains("\"q02\":{\"cs\":203,\"shmb\":123,\"gc\":456}"))
   }
 
+  test("env flags mark only queries >2x their trailing median") {
+    val results = Seq("q01_a" -> 0.90, "q02_b" -> 2.034, "q03_c" -> 0.08)
+    val line = Bench.compactLine(results, "/root/testdata/sf0.1",
+      Map.empty,
+      // q01: 3x its median 0.30 -> flagged; q02: 1.3x 1.60 -> not;
+      // q03: 4x 0.02 but the median is sub-100ms jitter -> not
+      Map("q01_a" -> 0.30, "q02_b" -> 1.60, "q03_c" -> 0.02))
+    assert(line.contains("\"env\":{\"q01\":3.0}"))
+    assert(!line.contains("\"q02\":1"))
+    // and with no trailing history the object is empty, not absent
+    val bare = Bench.compactLine(results, "/root/testdata/sf0.1")
+    assert(bare.contains("\"env\":{}"))
+  }
+
   test("every sideEffecting name exists in the registry") {
     val names = SparkEntry.registry.map(_.name).toSet
     val ghosts = queries.Q.sideEffecting.diff(names)
     assert(ghosts.isEmpty, s"sideEffecting names not in registry: $ghosts")
+  }
+
+  test("every benchExcluded name exists in the registry (and stays " +
+      "correctness-covered)") {
+    val names = SparkEntry.registry.map(_.name).toSet
+    val ghosts = queries.Q.benchExcluded.diff(names)
+    assert(ghosts.isEmpty, s"benchExcluded names not in registry: $ghosts")
+    // excluded-from-bench must still have an oracle: exclusion is a
+    // timing decision, never a correctness waiver
+    SparkEntry.registry.filter(q => queries.Q.benchExcluded(q.name))
+      .foreach(q => assert(q.oracle.nonEmpty, s"${q.name} has no oracle"))
   }
 }

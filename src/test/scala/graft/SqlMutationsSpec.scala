@@ -119,6 +119,40 @@ class SqlMutationsSpec extends SparkSuite {
     assert(all == 0L)
   }
 
+  test("INSERT: appends through statement text, aligns a scrambled " +
+      "column list, rejects OVERWRITE") {
+    val dir = "/tmp/graft_test_sql_insert"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    target().limit(0).write.parquet(dir) // schema-bearing empty target
+    Seq((7L, "x", 70L), (8L, "y", 80L)).toDF("k", "name", "v")
+      .createOrReplaceTempView("t_ins_src")
+    // SELECT order (v, k, name) differs from the target's (k, name, v):
+    // the column list renames positionally, alignment reorders by name
+    val n = SqlMutations.insert(spark,
+      """INSERT INTO t_tbl (v, k, name)
+        |SELECT v * 10, k, upper(name) FROM t_ins_src""".stripMargin,
+      Map("t_tbl" -> dir))
+    assert(n == 2)
+    val rows = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((7L, "X", 700L), (8L, "Y", 800L)))
+    // appends accumulate (the append protocol, not a replace)
+    SqlMutations.insert(spark,
+      "INSERT INTO t_tbl SELECT k + 10, name, v FROM t_ins_src",
+      Map("t_tbl" -> dir))
+    assert(spark.read.parquet(dir).count() == 4)
+    intercept[IllegalArgumentException] {
+      SqlMutations.insert(spark,
+        "INSERT OVERWRITE t_tbl SELECT k, name, v FROM t_ins_src",
+        Map("t_tbl" -> dir))
+    }
+    intercept[IllegalArgumentException] {
+      SqlMutations.insert(spark, "SELECT 1", Map("t_tbl" -> dir))
+    }
+  }
+
   test("DELETE: routes key tombstones to the file surgery; rejects " +
       "non-tombstone predicates") {
     val dir = "/tmp/graft_test_sql_delete"
