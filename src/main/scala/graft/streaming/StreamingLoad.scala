@@ -19,21 +19,25 @@ import org.apache.spark.sql.types._
   */
 object StreamingLoad {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS), read as
-    * raw nanos — same handling as graft.tables.Catalog). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming read of an events parquet dir with the engine's nanos
-    * handling (the one place the readStream + nanosAsLong +
-    * `ts div 1000` truncation recipe lives — the streaming sibling of
-    * `Catalog.readEvents`; every stream query starts here). */
+  /** Streaming read of an events parquet dir, adapting `ts` the same
+    * way as `Catalog.readEvents` (the streaming sibling; every stream
+    * query starts here). readStream needs a declared schema, so the
+    * footer is probed with a one-off batch read of the same dir —
+    * driver-side metadata only, no data scan — and the physical `ts`
+    * type picks the normalization:
+    *  - LongType (TIMESTAMP(NANOS) under nanosAsLong): `ts div 1000`
+    *    truncation to microseconds, Long arithmetic;
+    *  - TIMESTAMP_NTZ (TIMESTAMP(MICROS)): cast to session-zoned
+    *    TimestampType (sessions pin UTC). */
   def eventStream(spark: SparkSession, srcDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read.parquet(srcDir).schema
+    val raw = spark.readStream.schema(physical).parquet(srcDir)
+    physical("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Stream `srcDir`'s parquet events into `targetPath`, processing all

@@ -24,18 +24,29 @@ object Catalog {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos-since-epoch (legacy conf) and truncate to microseconds with
-    * integer division — `div` keeps the arithmetic in Long (a double
-    * divide would lose precision above 2^53 ns) and matches DuckDB's
-    * flooring TIMESTAMP_NS→TIMESTAMP cast, so oracle comparisons agree
-    * to the microsecond. */
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations, so the reader adapts to the footer instead of
+    * assuming one:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]); read as raw nanos-since-epoch
+    *    (legacy conf) and truncate to microseconds with integer `div`
+    *    (Long arithmetic — a double divide loses precision above
+    *    2^53 ns), matching DuckDB's flooring TIMESTAMP_NS→TIMESTAMP
+    *    cast to the microsecond.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ; cast to session-zoned TimestampType (sessions
+    *    pin UTC) so every downstream query keeps the type the engine
+    *    was written against, and DuckDB's naive read agrees. */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** SQL front door: register every table as a temp view so

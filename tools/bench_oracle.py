@@ -34,10 +34,15 @@ def main():
         import hashlib
         for dest, sql in json.loads(fixture_path.read_text()).items():
             d = Path(dest)
-            # the fixture is a pure function of (sfDir, replay SQL):
-            # skip the rebuild when the stamped meta matches, so repeat
-            # measurements time queries, not artifact rebuilds
+            # the fixture is a pure function of (sfDir, its data
+            # generation, replay SQL): skip the rebuild when the
+            # stamped meta matches, so repeat measurements time
+            # queries, not artifact rebuilds. documents.parquet's
+            # mtime guards against the driver regenerating testdata
+            # in place (it did, round 8).
+            src = Path(sf_dir) / "documents.parquet"
             meta = {"sf_dir": sf_dir,
+                    "src_mtime": src.stat().st_mtime if src.exists() else 0,
                     "sql_md5": hashlib.md5(sql.encode()).hexdigest()}
             stamp = d / ".fixture_meta.json"
             if stamp.exists() and json.loads(stamp.read_text()) == meta:
