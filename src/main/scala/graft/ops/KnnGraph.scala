@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed k-NN-graph construction in the NN-Descent shape (Dong,
+  * Moses, Li — "Efficient k-nearest neighbor graph construction for
+  * generic similarity measures", WWW'11): seed each node's neighbor
+  * list from a cheap blocking key, then refine by scoring
+  * neighbors-of-neighbors — the "a neighbor of my neighbor is likely my
+  * neighbor" step that gives the graph family (NN-Descent, HNSW's
+  * neighbor heuristic) its power.
+  *
+  * Everything is expressed as bounded equi-joins — the Spark-first
+  * reading of an algorithm usually presented as per-node local search:
+  *
+  *  - **init**: self-join on a sign-bucket key (`2^bits` buckets from
+  *    the leading dimensions' signs — a degenerate random-hyperplane
+  *    LSH whose planes are the axes), top-k per node inside the
+  *    bucket. Never corpus²: pair fan-out is Σ_buckets n_b².
+  *  - **refine round**: symmetrize the graph (reverse edges are
+  *    candidates too, per the paper), join it with itself on the
+  *    shared middle node — candidate fan-out ≤ (2k)² per node — union
+  *    the current edges, exact-score, keep top-k.
+  *
+  * Scores use the exact integer-scaled cosine
+  * ([[graft.functions.CosineScaled]]): order-free integer dot products
+  * make every row bit-reproducible across engines and partitionings,
+  * so a DuckDB oracle can replay construction hash-exact.
+  *
+  * Scale shape (100 TB): both stages are shuffle-on-key joins with
+  * degree-bounded fan-out (the init key is tunable — more sign bits or
+  * a trained quantizer shrink blocks; refinement cost is O(N·k²)
+  * regardless of block skew), and each round is one join + one
+  * windowed top-k — the standard large-scale kNN-graph recipe, no
+  * driver-side state beyond the loop counter.
+  */
+object KnnGraph {
+
+  /** Blocking key: sign bits of `bits` dimensions of the
+    * integer-scaled vector starting after `offset` (1-based
+    * `element_at`, matching the oracle's `iv[i]`). Several keys over
+    * disjoint dimension ranges give independent "hash tables" — the
+    * standard multi-table LSH trick that lifts init recall: a true
+    * neighbor pair only needs to agree on ONE key's signs. */
+  def signBucket(iv: Column, bits: Int, offset: Int = 0): Column =
+    (0 until bits).map(i =>
+      when(element_at(iv, offset + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Top-`k` edges per source node by (cosine desc, target asc) from a
+    * scored candidate-edge relation (u, v, cosine). */
+  private def topKPerNode(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("cosine").desc, col("v"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("u"), col("v"))
+  }
+
+  /** Score candidate pairs (u, v) with exact cosine by joining the
+    * vector relation in on both endpoints. */
+  private def score(cand: DataFrame, vecs: DataFrame): DataFrame =
+    cand
+      .join(vecs.select(col("vec_id").as("u"), col("embedding").as("ea")), "u")
+      .join(vecs.select(col("vec_id").as("v"), col("embedding").as("eb")), "v")
+      .select(col("u"), col("v"),
+        graft.functions.CosineScaled(col("ea"), col("eb")).as("cosine"))
+
+  /** Undirected view of a directed edge set: e ∪ reverse(e), distinct. */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+
+  /** Build the directed k-NN graph over `vecs` (vec_id, embedding, and
+    * one column per blocking key in `bucketCols`) — multi-table
+    * sign-bucket init plus `rounds` NN-Descent refinement passes.
+    * Returns edges (u, v), ≤ k per u.
+    *
+    * Each round ends in `localCheckpoint()` (the connected-components
+    * lesson, `Dedup.connectedComponents`): every round references its
+    * predecessor ~5× (symmetrize reads it twice, the candidate join
+    * reads the symmetrized form twice, the union reads it again), and
+    * Spark shares no common logical subplans — left lazy, each
+    * reference re-embeds the previous round's whole chain, the tree
+    * (and the driver's analysis/planning time with it) grows ~5× per
+    * round, and a 2-round build on 2k vectors spent 40s almost
+    * entirely in the driver. persist() alone does NOT fix this: cached
+    * execution still carries the full duplicated lineage through
+    * analysis and canonicalization. The checkpoint truncates the plan
+    * to an executor-materialized leaf — O(k·N) rows per round, the
+    * standard shape for iterative graph algorithms at scale. */
+  def build(vecs: DataFrame, k: Int, rounds: Int = 1,
+      bucketCols: Seq[String] = Seq("sb")): DataFrame = {
+    val cand0 = bucketCols.map { c =>
+      vecs.as("a").join(vecs.as("b"),
+          col(s"a.$c") === col(s"b.$c") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+    }.reduce(_ unionByName _).distinct()
+    val init = topKPerNode(score(cand0, vecs), k).localCheckpoint()
+    (1 to rounds).foldLeft(init) { (g, _) =>
+      val sym = symmetrize(g)
+      val cand = sym.as("e1").join(sym.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("u"), col("e2.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(g)
+        .distinct()
+      topKPerNode(score(cand, vecs), k).localCheckpoint()
+    }
+  }
+}

@@ -262,7 +262,7 @@ object SimilarityQueries {
     },
     Some(
       s"""WITH iv AS ($intVecsSql),
-         |n AS (SELECT vec_id, iv,
+         |n AS MATERIALIZED (SELECT vec_id, iv,
          |        sqrt(CAST(list_aggregate(list_transform(iv, x -> x * x),
          |          'sum') AS DOUBLE)) AS l2
          |      FROM iv)
@@ -510,7 +510,7 @@ object SimilarityQueries {
            |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
            |             AS rn
            |         FROM dist2) WHERE rn = 1),
-           |n AS (SELECT vec_id, iv,
+           |n AS MATERIALIZED (SELECT vec_id, iv,
            |        CAST(list_aggregate(list_transform(iv, x -> x * x), 'sum')
            |          AS DOUBLE) AS nrm,
            |        list_aggregate(list_transform(generate_series(1, 8),
@@ -848,15 +848,18 @@ object SimilarityQueries {
   }
 
   /** q153 — RECALL@K FOR THE OTHER APPROXIMATE PATHS: q150 audits the
-    * stored IVF index; this closes the loop for LSH bucketing (q56) and
-    * the trained-quantizer IVF search (q68) — every approximate
-    * similarity path now has a measured accuracy dial against the same
+    * stored IVF index; this closes the loop for LSH bucketing (q56),
+    * the trained-quantizer IVF search (q68) and the graph-traversal
+    * search (q165) — every approximate similarity path now has a
+    * measured accuracy dial against the same
     * brute-force top-k (q23), as exact integer overlaps per
     * k ∈ {1, 10}. Composes the EXISTING oracles as CTEs (the q143
     * pattern), so the audit can never drift from the audited queries.
     * Pure dataflow — the approximate and brute pipelines run side by
     * side and meet in a ≤ topK-row rank join. */
-  val q153 = {
+  // lazy: references q165, declared below (graph-ANN family) — forcing
+  // happens at `all`, by which point every member is initialized
+  lazy val q153 = {
     val ks = Seq(1, 10)
     Q("q153_ann_recall_paths",
       (s, d) => {
@@ -867,7 +870,7 @@ object SimilarityQueries {
             .withColumn(rn, row_number().over(rankW))
             .select(col("vec_id"), col(rn))
         val brute = ranked(q23.run(s, d), "brn")
-        val paths = Seq("lsh" -> q56, "ivf_trained" -> q68)
+        val paths = Seq("lsh" -> q56, "ivf_trained" -> q68, "graph" -> q165)
         import s.implicits._
         val matched = paths.map { case (p, q) =>
           ranked(q.run(s, d), "arn").join(brute, "vec_id")
@@ -885,6 +888,7 @@ object SimilarityQueries {
       for {
         lshSql <- q56.oracle
         ivfSql <- q68.oracle
+        graphSql <- q165.oracle
         bruteSql <- q23.oracle
       } yield {
         val gridK = ks.map(kk => s"($kk)").mkString(", ")
@@ -892,6 +896,7 @@ object SimilarityQueries {
         // at line starts, which a second stripMargin would mutilate
         s"""WITH approx_lsh AS (__LSH__),
            |approx_ivf AS (__IVF__),
+           |approx_graph AS (__GRAPH__),
            |brute AS (__BRUTE__),
            |br AS (SELECT vec_id,
            |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS brn
@@ -902,14 +907,20 @@ object SimilarityQueries {
            |ai AS (SELECT vec_id,
            |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS arn
            |       FROM approx_ivf),
+           |ag AS (SELECT vec_id,
+           |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS arn
+           |       FROM approx_graph),
            |matched AS (
            |  SELECT 'lsh' AS path, a.arn, b.brn
            |  FROM al a JOIN br b USING (vec_id)
            |  UNION ALL
            |  SELECT 'ivf_trained', a.arn, b.brn
-           |  FROM ai a JOIN br b USING (vec_id)),
+           |  FROM ai a JOIN br b USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'graph', a.arn, b.brn
+           |  FROM ag a JOIN br b USING (vec_id)),
            |grid AS (SELECT p.path, kk.k
-           |         FROM (VALUES ('lsh'), ('ivf_trained')) p(path),
+           |         FROM (VALUES ('lsh'), ('ivf_trained'), ('graph')) p(path),
            |              (VALUES $gridK) kk(k))
            |SELECT g.path, CAST(g.k AS BIGINT) AS k,
            |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_overlap
@@ -920,10 +931,227 @@ object SimilarityQueries {
            |  ON g.path = c.path AND g.k = c.k""".stripMargin
           .replace("__LSH__", lshSql)
           .replace("__IVF__", ivfSql)
+          .replace("__GRAPH__", graphSql)
           .replace("__BRUTE__", bruteSql)
       })
   }
 
+  // ---- the graph-ANN family (q164/q165): NN-Descent kNN graph +
+  // graph-traversal search, the last member of the approximate-search
+  // family (brute/LSH/IVF/trained-IVF/PQ/graph) ----
+
+  private val graphK = 6
+  private val graphBits = 4
+  private val graphRounds = 2
+  private val graphAuditMod = 50L
+  private val graphBeam = 4
+
+  /** (vec_id, embedding, sb1, sb2): the corpus with TWO independent
+    * sign-bucket blocking keys (dims 1-4 and 5-8) — the multi-table
+    * LSH init. Persisted — feeds init pairing, candidate scoring
+    * (twice per round) and the exact rerank; without it every leaf
+    * re-scans the parquet and re-derives the integer scaling. */
+  private def graphVecs(s: SparkSession, d: String): DataFrame = {
+    val iv = Similarity.intVec(col("embedding"))
+    Catalog.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        graft.ops.KnnGraph.signBucket(iv, graphBits).as("sb1"),
+        graft.ops.KnnGraph.signBucket(iv, graphBits, graphBits).as("sb2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Exact cosine between CTE aliases `$a.iv` and `$b.iv` (oracle side
+    * of [[graft.functions.CosineScaled]]). */
+  private def cosSql(a: String, b: String): String =
+    s"CAST(list_aggregate(list_transform(generate_series(1, 64), " +
+      s"i -> $a.iv[i] * $b.iv[i]), 'sum') AS DOUBLE) / sqrt($a.nrm * $b.nrm)"
+
+  /** Cosine of `$a.iv` against the 1-row query CTE `q(qiv, qnrm, ...)`. */
+  private def cosQSql(a: String): String =
+    s"CAST(list_aggregate(list_transform(generate_series(1, 64), " +
+      s"i -> $a.iv[i] * q.qiv[i]), 'sum') AS DOUBLE) / sqrt($a.nrm * q.qnrm)"
+
+  /** Oracle replay of [[graft.ops.KnnGraph.build]] ($graphRounds
+    * refinement rounds, one generated CTE triple per round), ending at
+    * CTE `ref(u, v)` — the refined directed graph. Shared by q164/q165
+    * so construction can never drift between the build query and the
+    * search query. */
+  private val graphSqlCtes: String = {
+    // AS MATERIALIZED on every multiply-referenced CTE: DuckDB
+    // otherwise re-inlines the whole construction chain at each
+    // reference (symmetrize reads its input twice, the audit reads
+    // `ref` twice, q165 walks it three times) — the q61 lesson
+    val rounds = (1 to graphRounds).map { r =>
+      val prev = if (r == 1) "g0" else s"ref${r - 1}"
+      s"""sym$r AS MATERIALIZED (SELECT u, v FROM $prev
+         |          UNION SELECT v AS u, u AS v FROM $prev),
+         |cand$r AS (SELECT DISTINCT u, v FROM (
+         |           SELECT e1.u AS u, e2.v AS v
+         |           FROM sym$r e1 JOIN sym$r e2 ON e1.v = e2.u
+         |           WHERE e1.u <> e2.v
+         |           UNION ALL SELECT u, v FROM $prev)),
+         |ref$r AS MATERIALIZED (SELECT u, v FROM (SELECT c.u, c.v,
+         |          row_number() OVER (PARTITION BY c.u
+         |            ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
+         |        FROM cand$r c JOIN n a ON c.u = a.vec_id
+         |          JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""iv AS ($intVecsSql),
+       |n AS MATERIALIZED (SELECT vec_id, iv,
+       |        CAST(list_aggregate(list_transform(iv, x -> x * x), 'sum')
+       |          AS DOUBLE) AS nrm,
+       |        list_aggregate(list_transform(generate_series(1, $graphBits),
+       |          i -> CASE WHEN iv[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+       |               ELSE CAST(0 AS BIGINT) END), 'sum') AS sb1,
+       |        list_aggregate(list_transform(
+       |          generate_series($graphBits + 1, $graphBits + $graphBits),
+       |          i -> CASE WHEN iv[i] > 0
+       |               THEN CAST(1 AS BIGINT) << (i - $graphBits - 1)
+       |               ELSE CAST(0 AS BIGINT) END), 'sum') AS sb2
+       |      FROM iv),
+       |initc AS (SELECT a.vec_id AS u, b.vec_id AS v
+       |          FROM n a JOIN n b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
+       |          UNION
+       |          SELECT a.vec_id, b.vec_id
+       |          FROM n a JOIN n b ON a.sb2 = b.sb2 AND a.vec_id <> b.vec_id),
+       |g0 AS (SELECT u, v FROM (SELECT c.u, c.v,
+       |         row_number() OVER (PARTITION BY c.u
+       |           ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
+       |         FROM initc c JOIN n a ON c.u = a.vec_id
+       |           JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK),
+       |$rounds,
+       |ref AS MATERIALIZED (SELECT u, v FROM ref$graphRounds)""".stripMargin
+  }
+
+  /** q164 — k-NN GRAPH (NN-Descent shape) + RECALL AUDIT: build the
+    * graph with [[graft.ops.KnnGraph]] (sign-bucket init, $graphRounds
+    * neighbors-of-neighbors refinement rounds), then measure it — for
+    * every audited node (vec_id % $graphAuditMod = 0) the exact integer
+    * overlap between its graph neighbors and its TRUE top-k by
+    * brute-force cosine, plus its degree. The graph is the standard
+    * candidate structure for dedup/similarity at corpus scale; the
+    * audit is its accuracy dial (the q150 protocol applied to graph
+    * construction). The oracle replays construction bit-for-bit, so
+    * hash-green proves blocking + refinement + ranking end to end.
+    *
+    * Scale shape (100 TB): construction is [[graft.ops.KnnGraph]]'s
+    * bounded joins (Σ n_b² init pairs, (2k)² refinement fan-out per
+    * node, no corpus²); the brute audit pass costs one broadcast scan
+    * per SAMPLED node — the recall-audit protocol, never run over the
+    * full corpus. The audited × corpus inequality join is an
+    * intentional bounded BNLJ (≤ |audit| rows broadcast). */
+  val q164 = Q("q164_knn_graph",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = graphVecs(s, d)
+      val graph = graft.ops.KnnGraph.build(vecs, graphK, rounds = graphRounds, bucketCols = Seq("sb1", "sb2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val audited = vecs.filter(col("vec_id") % graphAuditMod === 0)
+      val w = Window.partitionBy(col("u")).orderBy(col("cosine").desc, col("v"))
+      val brute = vecs.as("b").join(
+          broadcast(audited.select(col("vec_id").as("u"),
+            col("embedding").as("ea"))),
+          col("u") =!= col("b.vec_id"))
+        .select(col("u"), col("b.vec_id").as("v"),
+          graft.functions.CosineScaled(col("ea"), col("b.embedding"))
+            .as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= graphK).select(col("u"), col("v"))
+      val deg = graph.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      val ovl = graph.join(brute, Seq("u", "v"))
+        .groupBy(col("u")).agg(count(lit(1)).as("n_overlap"))
+      audited.select(col("vec_id"))
+        .join(deg.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+        .join(ovl.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    },
+    Some(
+      s"""WITH $graphSqlCtes,
+         |aud AS (SELECT vec_id FROM n WHERE vec_id % $graphAuditMod = 0),
+         |brute AS (SELECT u, v FROM (
+         |    SELECT a.vec_id AS u, b.vec_id AS v,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${cosSql("a", "b")} DESC, b.vec_id) AS rn
+         |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |    WHERE a.vec_id % $graphAuditMod = 0) WHERE rn <= $graphK),
+         |deg AS (SELECT u, count(*) AS degree FROM ref GROUP BY 1),
+         |ovl AS (SELECT r.u, count(*) AS n_overlap
+         |        FROM ref r JOIN brute b ON r.u = b.u AND r.v = b.v
+         |        GROUP BY 1)
+         |SELECT a.vec_id,
+         |  CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+         |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap
+         |FROM aud a LEFT JOIN deg d ON a.vec_id = d.u
+         |  LEFT JOIN ovl o ON a.vec_id = o.u""".stripMargin))
+
+  /** q165 — GRAPH-TRAVERSAL SEARCH (the HNSW search pattern as
+    * dataflow): entry beam = top-$graphBeam of the query's sign bucket,
+    * two hops over the undirected refined graph, exact rerank of
+    * everything visited, top-k. Traversal-as-joins is the Spark-first
+    * reading of greedy graph search: each hop is one equi-join on the
+    * frontier (fan-out ≤ beam·(2k)^hop), so a 1000-executor cluster
+    * runs the whole search as three bounded joins + one rerank — no
+    * per-node sequential walk, no driver state. */
+  val q165 = Q("q165_graph_search",
+    (s, d) => {
+      val vecs = graphVecs(s, d)
+      val sym = graft.ops.KnnGraph.symmetrize(
+        graft.ops.KnnGraph.build(vecs, graphK, rounds = graphRounds, bucketCols = Seq("sb1", "sb2")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = vecs.filter(col("vec_id") === queryVecId)
+        .select(col("embedding").as("qe"),
+          col("sb1").as("qsb1"), col("sb2").as("qsb2"))
+      val entry = vecs.join(broadcast(q),
+          (col("sb1") === col("qsb1") || col("sb2") === col("qsb2")) &&
+            col("vec_id") =!= queryVecId)
+        .select(col("vec_id"),
+          graft.functions.CosineScaled(col("embedding"), col("qe"))
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(graphBeam)
+        .select(col("vec_id"))
+      def hop(frontier: DataFrame): DataFrame =
+        frontier.as("f").join(sym.as("s"), col("f.vec_id") === col("s.u"))
+          .select(col("s.v").as("vec_id")).distinct()
+      val e1 = hop(entry)
+      val e2 = hop(e1)
+      val visited = entry.unionByName(e1).unionByName(e2).distinct()
+        .filter(col("vec_id") =!= queryVecId)
+      visited.join(vecs, "vec_id")
+        .crossJoin(broadcast(q.select(col("qe"))))
+        .select(col("vec_id"),
+          graft.functions.CosineScaled(col("embedding"), col("qe"))
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+    },
+    Some(
+      s"""WITH $graphSqlCtes,
+         |q AS (SELECT iv AS qiv, nrm AS qnrm, sb1 AS qsb1, sb2 AS qsb2
+         |      FROM n WHERE vec_id = $queryVecId),
+         |entry AS (SELECT vec_id FROM (
+         |    SELECT a.vec_id,
+         |      row_number() OVER (ORDER BY ${cosQSql("a")} DESC, a.vec_id)
+         |        AS rn
+         |    FROM n a, q WHERE (a.sb1 = q.qsb1 OR a.sb2 = q.qsb2)
+         |      AND a.vec_id <> $queryVecId)
+         |  WHERE rn <= $graphBeam),
+         |symr AS (SELECT u, v FROM ref UNION SELECT v AS u, u AS v FROM ref),
+         |e1 AS (SELECT DISTINCT s.v AS vec_id
+         |       FROM entry e JOIN symr s ON e.vec_id = s.u),
+         |e2 AS (SELECT DISTINCT s.v AS vec_id
+         |       FROM e1 JOIN symr s ON e1.vec_id = s.u),
+         |vis AS (SELECT vec_id FROM (
+         |          SELECT vec_id FROM entry
+         |          UNION SELECT vec_id FROM e1
+         |          UNION SELECT vec_id FROM e2)
+         |        WHERE vec_id <> $queryVecId)
+         |SELECT a.vec_id, ${cosQSql("a")} AS cosine
+         |FROM n a JOIN vis USING (vec_id), q
+         |ORDER BY cosine DESC, a.vec_id LIMIT $topK""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153)
+    Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
+      q164, q165)
 }

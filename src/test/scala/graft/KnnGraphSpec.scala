@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{KnnGraph, Similarity}
+import graft.queries.SimilarityQueries
+import graft.tables.Catalog
+
+/** NN-Descent kNN-graph construction: structural invariants and the
+  * refinement-improves-quality guarantee (refined top-k is chosen from
+  * a candidate superset of the init edges, so per-node neighbor
+  * quality is pointwise monotone). */
+class KnnGraphSpec extends SparkSuite {
+
+  private val k = 6
+
+  private def vecs: DataFrame = Catalog.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding"),
+      KnnGraph.signBucket(Similarity.intVec(col("embedding")), 4).as("sb"))
+    .persist()
+
+  private def scored(edges: DataFrame): DataFrame =
+    edges
+      .join(vecs.select(col("vec_id").as("u"), col("embedding").as("ea")), "u")
+      .join(vecs.select(col("vec_id").as("v"), col("embedding").as("eb")), "v")
+      .select(col("u"), col("v"),
+        graft.functions.CosineScaled(col("ea"), col("eb")).as("cosine"))
+
+  test("graph edges: no self loops, no duplicates, degree <= k") {
+    val g = KnnGraph.build(vecs, k, rounds = 1)
+    assert(g.filter(col("u") === col("v")).count() == 0)
+    assert(g.count() == g.distinct().count())
+    val maxDeg = g.groupBy("u").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= k)
+  }
+
+  test("refinement is pointwise monotone: per-node summed neighbor cosine never drops") {
+    val init = KnnGraph.build(vecs, k, rounds = 0)
+    val ref = KnnGraph.build(vecs, k, rounds = 1)
+    val a = scored(init).groupBy("u")
+      .agg(sum("cosine").as("s0"), count(lit(1)).as("d0"))
+    val b = scored(ref).groupBy("u")
+      .agg(sum("cosine").as("s1"), count(lit(1)).as("d1"))
+    val j = a.join(b, "u")
+    // degree can only grow (candidates ⊇ init edges), and at equal
+    // degree the summed cosine can only improve
+    assert(j.filter(col("d1") < col("d0")).count() == 0)
+    assert(j.filter(col("d1") === col("d0") &&
+      col("s1") < col("s0") - lit(1e-9)).count() == 0)
+  }
+
+  test("exact duplicates are mutual nearest neighbors in the refined graph") {
+    // q84's dup-injection: every 5th vector re-appears under
+    // vec_id + 100000 — identical embedding ⇒ identical bucket, and
+    // cosine 1.0 ranks first (tie-break by v ascending keeps both
+    // directions in the top-k)
+    val e = Catalog.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val v = corpus.select(col("vec_id"), col("embedding"),
+      KnnGraph.signBucket(Similarity.intVec(col("embedding")), 4).as("sb"))
+      .persist()
+    val g = KnnGraph.build(v, k, rounds = 1).persist()
+    val dups = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("u"), (col("vec_id") + 100000L).as("v"))
+    val found = g.join(dups, Seq("u", "v")).count()
+    assert(found == dups.count(),
+      s"every dup pair must appear as a u->v edge ($found of ${dups.count()})")
+  }
+
+  test("q164 audit rows exist and recall is positive") {
+    val out = SimilarityQueries.q164.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) <= k && r.getLong(2) <= r.getLong(1)))
+    assert(out.map(_.getLong(2)).sum > 0, "graph should recover some true neighbors")
+  }
+
+  test("q165 search returns topK ranked hits consistent with its own rerank") {
+    val out = SimilarityQueries.q165.run(spark, sf).collect()
+    assert(out.length == 10)
+    val cosines = out.map(_.getDouble(1)).toSeq
+    assert(cosines == cosines.sorted.reverse, "descending by cosine")
+  }
+}
