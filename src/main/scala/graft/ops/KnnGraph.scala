@@ -97,7 +97,7 @@ object KnnGraph {
           col(s"a.$c") === col(s"b.$c") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
     }.reduce(_ unionByName _).distinct()
-    val init = topKPerNode(score(cand0, vecs), k).localCheckpoint()
+    val init = topKPerNode(score(cand0, vecs), k).localCheckpoint(eager = false)
     (1 to rounds).foldLeft(init) { (g, _) =>
       val sym = symmetrize(g)
       val cand = sym.as("e1").join(sym.as("e2"), col("e1.v") === col("e2.u"))
@@ -105,7 +105,52 @@ object KnnGraph {
         .filter(col("u") =!= col("v"))
         .unionByName(g)
         .distinct()
-      topKPerNode(score(cand, vecs), k).localCheckpoint()
+      topKPerNode(score(cand, vecs), k).localCheckpoint(eager = false)
     }
+  }
+
+  /** Incrementally maintain a k-NN graph when a delta of new vectors
+    * arrives — the operation a growing corpus needs, because
+    * rebuilding the whole graph per append is a full corpus pass.
+    * `all` must carry the same shape as [[build]]'s input and contain
+    * BOTH generations; `isDelta` marks the new rows; `base` is the
+    * existing graph over the old rows only.
+    *
+    * Two bounded steps, both delta-proportional:
+    *  - **new nodes**: candidates = bucket-mates anywhere in the
+    *    corpus (either key) ∪ one hop through a hist bucket-mate's
+    *    existing edges (the graft-onto-the-graph step NN-Descent
+    *    would discover over rounds), exact-score, top-k.
+    *  - **old nodes**: candidates = their existing edges ∪ delta
+    *    bucket-mates, re-top-k — an old neighbor only loses its slot
+    *    to a strictly better new arrival.
+    *
+    * Cost is O(|delta|·blockwidth + |affected hist|·k) — never a
+    * rebuild; with an empty delta the result IS `base` (re-ranking a
+    * node's own edge set is the identity), the spec-pinned fixpoint.
+    * Returns the maintained directed graph (u, v), ≤ k per u. */
+  def maintain(all: DataFrame, base: DataFrame, isDelta: Column, k: Int,
+      bucketCols: Seq[String] = Seq("sb")): DataFrame = {
+    val hist = all.filter(!isDelta)
+    val delta = all.filter(isDelta)
+    def bucketPairs(l: DataFrame, r: DataFrame): DataFrame =
+      bucketCols.map { c =>
+        l.as("a").join(r.as("b"),
+            col(s"a.$c") === col(s"b.$c") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+      }.reduce(_ unionByName _)
+    val hop = bucketCols.map { c =>
+      delta.as("a").join(hist.as("m"), col(s"a.$c") === col(s"m.$c"))
+        .select(col("a.vec_id").as("u"), col("m.vec_id").as("mid"))
+    }.reduce(_ unionByName _)
+      .join(base.select(col("u").as("mid"), col("v")), "mid")
+      .select(col("u"), col("v")).filter(col("u") =!= col("v"))
+    val newEdges = topKPerNode(
+      score(bucketPairs(delta, all).unionByName(hop).distinct(), all), k)
+    val histCand = bucketPairs(hist, delta)
+      .unionByName(base.select(col("u"), col("v"))).distinct()
+    val updated = topKPerNode(score(histCand, all), k)
+    updated.unionByName(newEdges).localCheckpoint(eager = false)
   }
 }

@@ -945,6 +945,18 @@ object SimilarityQueries {
   private val graphRounds = 2
   private val graphAuditMod = 50L
   private val graphBeam = 4
+  private val graphDeltaMod = 500L
+  private val graphDeltaFrom = 400L
+
+  /** Oracle side of [[bruteEdges]]: true top-$graphK per audited node. */
+  private lazy val bruteSqlCte: String =
+    s"""brute AS (SELECT u, v FROM (
+       |    SELECT a.vec_id AS u, b.vec_id AS v,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosSql("a", "b")} DESC, b.vec_id) AS rn
+       |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id % $graphAuditMod = 0) WHERE rn <= $graphK)"""
+      .stripMargin
 
   /** (vec_id, embedding, sb1, sb2): the corpus with TWO independent
     * sign-bucket blocking keys (dims 1-4 and 5-8) — the multi-table
@@ -971,32 +983,52 @@ object SimilarityQueries {
     s"CAST(list_aggregate(list_transform(generate_series(1, 64), " +
       s"i -> $a.iv[i] * q.qiv[i]), 'sum') AS DOUBLE) / sqrt($a.nrm * q.qnrm)"
 
-  /** Oracle replay of [[graft.ops.KnnGraph.build]] ($graphRounds
-    * refinement rounds, one generated CTE triple per round), ending at
-    * CTE `ref(u, v)` — the refined directed graph. Shared by q164/q165
-    * so construction can never drift between the build query and the
-    * search query. */
-  private val graphSqlCtes: String = {
+  /** Oracle replay of one [[graft.ops.KnnGraph.build]] chain
+    * ($graphRounds refinement rounds, one generated CTE triple per
+    * round) over source CTE `$src` (which must expose vec_id, iv,
+    * nrm, sb1, sb2), every CTE name suffixed `$sfx`, ending at
+    * `ref$sfx(u, v)` — the refined directed graph. */
+  private def graphChainSql(src: String, sfx: String): String = {
     // AS MATERIALIZED on every multiply-referenced CTE: DuckDB
     // otherwise re-inlines the whole construction chain at each
     // reference (symmetrize reads its input twice, the audit reads
     // `ref` twice, q165 walks it three times) — the q61 lesson
     val rounds = (1 to graphRounds).map { r =>
-      val prev = if (r == 1) "g0" else s"ref${r - 1}"
-      s"""sym$r AS MATERIALIZED (SELECT u, v FROM $prev
+      val prev = if (r == 1) s"g0$sfx" else s"ref${r - 1}$sfx"
+      s"""sym$r$sfx AS MATERIALIZED (SELECT u, v FROM $prev
          |          UNION SELECT v AS u, u AS v FROM $prev),
-         |cand$r AS (SELECT DISTINCT u, v FROM (
+         |cand$r$sfx AS (SELECT DISTINCT u, v FROM (
          |           SELECT e1.u AS u, e2.v AS v
-         |           FROM sym$r e1 JOIN sym$r e2 ON e1.v = e2.u
+         |           FROM sym$r$sfx e1 JOIN sym$r$sfx e2 ON e1.v = e2.u
          |           WHERE e1.u <> e2.v
          |           UNION ALL SELECT u, v FROM $prev)),
-         |ref$r AS MATERIALIZED (SELECT u, v FROM (SELECT c.u, c.v,
+         |ref$r$sfx AS MATERIALIZED (SELECT u, v FROM (SELECT c.u, c.v,
          |          row_number() OVER (PARTITION BY c.u
          |            ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
-         |        FROM cand$r c JOIN n a ON c.u = a.vec_id
-         |          JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK)"""
+         |        FROM cand$r$sfx c JOIN $src a ON c.u = a.vec_id
+         |          JOIN $src b ON c.v = b.vec_id) WHERE rn <= $graphK)"""
         .stripMargin
     }.mkString(",\n")
+    s"""initc$sfx AS (SELECT a.vec_id AS u, b.vec_id AS v
+       |          FROM $src a JOIN $src b
+       |            ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
+       |          UNION
+       |          SELECT a.vec_id, b.vec_id
+       |          FROM $src a JOIN $src b
+       |            ON a.sb2 = b.sb2 AND a.vec_id <> b.vec_id),
+       |g0$sfx AS (SELECT u, v FROM (SELECT c.u, c.v,
+       |         row_number() OVER (PARTITION BY c.u
+       |           ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
+       |         FROM initc$sfx c JOIN $src a ON c.u = a.vec_id
+       |           JOIN $src b ON c.v = b.vec_id) WHERE rn <= $graphK),
+       |$rounds,
+       |ref$sfx AS MATERIALIZED (SELECT u, v FROM ref$graphRounds$sfx)"""
+      .stripMargin
+  }
+
+  /** The corpus CTE `n` (vec_id, iv, nrm, sb1, sb2) feeding every
+    * graph chain. */
+  private val graphCorpusSql: String =
     s"""iv AS ($intVecsSql),
        |n AS MATERIALIZED (SELECT vec_id, iv,
        |        CAST(list_aggregate(list_transform(iv, x -> x * x), 'sum')
@@ -1009,20 +1041,13 @@ object SimilarityQueries {
        |          i -> CASE WHEN iv[i] > 0
        |               THEN CAST(1 AS BIGINT) << (i - $graphBits - 1)
        |               ELSE CAST(0 AS BIGINT) END), 'sum') AS sb2
-       |      FROM iv),
-       |initc AS (SELECT a.vec_id AS u, b.vec_id AS v
-       |          FROM n a JOIN n b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
-       |          UNION
-       |          SELECT a.vec_id, b.vec_id
-       |          FROM n a JOIN n b ON a.sb2 = b.sb2 AND a.vec_id <> b.vec_id),
-       |g0 AS (SELECT u, v FROM (SELECT c.u, c.v,
-       |         row_number() OVER (PARTITION BY c.u
-       |           ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
-       |         FROM initc c JOIN n a ON c.u = a.vec_id
-       |           JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK),
-       |$rounds,
-       |ref AS MATERIALIZED (SELECT u, v FROM ref$graphRounds)""".stripMargin
-  }
+       |      FROM iv)""".stripMargin
+
+  /** Full-corpus construction: corpus + the unsuffixed chain, ending
+    * at `ref(u, v)`. Shared by q164/q165/q166 so construction can
+    * never drift between the build, search and maintenance queries. */
+  private val graphSqlCtes: String =
+    s"$graphCorpusSql,\n${graphChainSql("n", "")}"
 
   /** q164 — k-NN GRAPH (NN-Descent shape) + RECALL AUDIT: build the
     * graph with [[graft.ops.KnnGraph]] (sign-bucket init, $graphRounds
@@ -1041,23 +1066,31 @@ object SimilarityQueries {
     * per SAMPLED node — the recall-audit protocol, never run over the
     * full corpus. The audited × corpus inequality join is an
     * intentional bounded BNLJ (≤ |audit| rows broadcast). */
+  /** True top-$graphK edges for the audited nodes by brute-force exact
+    * cosine — the ground truth every graph variant is measured
+    * against. The audited × corpus inequality join is an intentional
+    * bounded BNLJ (≤ |audit| rows broadcast). */
+  private def bruteEdges(vecs: DataFrame, audited: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u")).orderBy(col("cosine").desc, col("v"))
+    vecs.as("b").join(
+        broadcast(audited.select(col("vec_id").as("u"),
+          col("embedding").as("ea"))),
+        col("u") =!= col("b.vec_id"))
+      .select(col("u"), col("b.vec_id").as("v"),
+        graft.functions.CosineScaled(col("ea"), col("b.embedding"))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graphK).select(col("u"), col("v"))
+  }
+
   val q164 = Q("q164_knn_graph",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val vecs = graphVecs(s, d)
       val graph = graft.ops.KnnGraph.build(vecs, graphK, rounds = graphRounds, bucketCols = Seq("sb1", "sb2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val audited = vecs.filter(col("vec_id") % graphAuditMod === 0)
-      val w = Window.partitionBy(col("u")).orderBy(col("cosine").desc, col("v"))
-      val brute = vecs.as("b").join(
-          broadcast(audited.select(col("vec_id").as("u"),
-            col("embedding").as("ea"))),
-          col("u") =!= col("b.vec_id"))
-        .select(col("u"), col("b.vec_id").as("v"),
-          graft.functions.CosineScaled(col("ea"), col("b.embedding"))
-            .as("cosine"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= graphK).select(col("u"), col("v"))
+      val brute = bruteEdges(vecs, audited)
       val deg = graph.groupBy(col("u")).agg(count(lit(1)).as("degree"))
       val ovl = graph.join(brute, Seq("u", "v"))
         .groupBy(col("u")).agg(count(lit(1)).as("n_overlap"))
@@ -1071,12 +1104,7 @@ object SimilarityQueries {
     Some(
       s"""WITH $graphSqlCtes,
          |aud AS (SELECT vec_id FROM n WHERE vec_id % $graphAuditMod = 0),
-         |brute AS (SELECT u, v FROM (
-         |    SELECT a.vec_id AS u, b.vec_id AS v,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY ${cosSql("a", "b")} DESC, b.vec_id) AS rn
-         |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
-         |    WHERE a.vec_id % $graphAuditMod = 0) WHERE rn <= $graphK),
+         |$bruteSqlCte,
          |deg AS (SELECT u, count(*) AS degree FROM ref GROUP BY 1),
          |ovl AS (SELECT r.u, count(*) AS n_overlap
          |        FROM ref r JOIN brute b ON r.u = b.u AND r.v = b.v
@@ -1151,7 +1179,110 @@ object SimilarityQueries {
          |FROM n a JOIN vis USING (vec_id), q
          |ORDER BY cosine DESC, a.vec_id LIMIT $topK""".stripMargin))
 
+  /** q166 — INCREMENTAL k-NN-GRAPH MAINTENANCE: the growing-corpus
+    * operation (the graph sibling of q96's dedup-index delta and
+    * q138's ANN delta-append). The corpus splits on the q150
+    * convention (vec_id % $graphDeltaMod >= $graphDeltaFrom is the
+    * delta); the base graph is built over history only, then
+    * [[graft.ops.KnnGraph.maintain]] grafts the delta on with
+    * delta-proportional joins — new nodes get bucket-mates plus one
+    * hop through a bucket-mate's existing edges; old nodes re-rank
+    * their edge set against delta bucket-mates only. The output
+    * audits the maintained graph per sampled node against BOTH
+    * yardsticks: the full rebuild (how much does skipping the rebuild
+    * cost?) and the brute-force truth (is it still a good graph?).
+    * Exact integer overlaps; the oracle replays history-build,
+    * maintenance and rebuild bit-for-bit.
+    *
+    * Scale shape (100 TB): maintenance touches O(|delta|·blockwidth +
+    * |affected hist|·k) rows — a rebuild is a full corpus pass; this
+    * is why a stored graph index is maintainable at all. */
+  val q166 = Q("q166_knn_graph_maintain",
+    (s, d) => {
+      val bc = Seq("sb1", "sb2")
+      val vecs = graphVecs(s, d)
+      val isDelta = (col("vec_id") % graphDeltaMod) >= graphDeltaFrom
+      val base = graft.ops.KnnGraph.build(vecs.filter(!isDelta), graphK,
+        rounds = graphRounds, bucketCols = bc)
+      val maint = graft.ops.KnnGraph.maintain(vecs, base, isDelta, graphK, bc)
+      val rebuilt = graft.ops.KnnGraph.build(vecs, graphK,
+        rounds = graphRounds, bucketCols = bc)
+      val audited = vecs.filter(col("vec_id") % graphAuditMod === 0)
+      val deg = maint.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      val ovr = maint.join(rebuilt, Seq("u", "v"))
+        .groupBy(col("u")).agg(count(lit(1)).as("n_overlap_rebuild"))
+      val ovt = maint.join(bruteEdges(vecs, audited), Seq("u", "v"))
+        .groupBy(col("u")).agg(count(lit(1)).as("n_overlap_true"))
+      audited.select(col("vec_id"))
+        .join(deg.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+        .join(ovr.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+        .join(ovt.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("n_overlap_rebuild"), lit(0L)).as("n_overlap_rebuild"),
+          coalesce(col("n_overlap_true"), lit(0L)).as("n_overlap_true"))
+    },
+    Some(
+      s"""WITH $graphCorpusSql,
+         |nh AS MATERIALIZED (SELECT * FROM n
+         |      WHERE vec_id % $graphDeltaMod < $graphDeltaFrom),
+         |nd AS MATERIALIZED (SELECT * FROM n
+         |      WHERE vec_id % $graphDeltaMod >= $graphDeltaFrom),
+         |${graphChainSql("n", "")},
+         |${graphChainSql("nh", "h")},
+         |newc AS (SELECT DISTINCT u, v FROM (
+         |    SELECT a.vec_id AS u, b.vec_id AS v
+         |    FROM nd a JOIN n b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
+         |    UNION ALL
+         |    SELECT a.vec_id, b.vec_id
+         |    FROM nd a JOIN n b ON a.sb2 = b.sb2 AND a.vec_id <> b.vec_id
+         |    UNION ALL
+         |    SELECT am.u, r.v FROM (
+         |      SELECT a.vec_id AS u, m.vec_id AS mid
+         |      FROM nd a JOIN nh m ON a.sb1 = m.sb1
+         |      UNION ALL
+         |      SELECT a.vec_id, m.vec_id
+         |      FROM nd a JOIN nh m ON a.sb2 = m.sb2) am
+         |    JOIN refh r ON r.u = am.mid WHERE am.u <> r.v)),
+         |newe AS (SELECT u, v FROM (SELECT c.u, c.v,
+         |      row_number() OVER (PARTITION BY c.u
+         |        ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
+         |    FROM newc c JOIN n a ON c.u = a.vec_id
+         |      JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK),
+         |hc AS (SELECT DISTINCT u, v FROM (
+         |    SELECT a.vec_id AS u, b.vec_id AS v
+         |    FROM nh a JOIN nd b ON a.sb1 = b.sb1
+         |    UNION ALL
+         |    SELECT a.vec_id, b.vec_id
+         |    FROM nh a JOIN nd b ON a.sb2 = b.sb2
+         |    UNION ALL
+         |    SELECT u, v FROM refh)),
+         |upd AS (SELECT u, v FROM (SELECT c.u, c.v,
+         |      row_number() OVER (PARTITION BY c.u
+         |        ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
+         |    FROM hc c JOIN n a ON c.u = a.vec_id
+         |      JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK),
+         |maint AS MATERIALIZED (SELECT u, v FROM upd
+         |    UNION ALL SELECT u, v FROM newe),
+         |aud AS (SELECT vec_id FROM n WHERE vec_id % $graphAuditMod = 0),
+         |$bruteSqlCte,
+         |deg AS (SELECT u, count(*) AS degree FROM maint GROUP BY 1),
+         |ovr AS (SELECT m.u, count(*) AS n_overlap_rebuild
+         |        FROM maint m JOIN ref r ON m.u = r.u AND m.v = r.v
+         |        GROUP BY 1),
+         |ovt AS (SELECT m.u, count(*) AS n_overlap_true
+         |        FROM maint m JOIN brute b ON m.u = b.u AND m.v = b.v
+         |        GROUP BY 1)
+         |SELECT a.vec_id,
+         |  CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+         |  CAST(COALESCE(r.n_overlap_rebuild, 0) AS BIGINT)
+         |    AS n_overlap_rebuild,
+         |  CAST(COALESCE(t.n_overlap_true, 0) AS BIGINT) AS n_overlap_true
+         |FROM aud a LEFT JOIN deg d ON a.vec_id = d.u
+         |  LEFT JOIN ovr r ON a.vec_id = r.u
+         |  LEFT JOIN ovt t ON a.vec_id = t.u""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
-      q164, q165)
+      q164, q165, q166)
 }

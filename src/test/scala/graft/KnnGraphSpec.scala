@@ -71,6 +71,29 @@ class KnnGraphSpec extends SparkSuite {
       s"every dup pair must appear as a u->v edge ($found of ${dups.count()})")
   }
 
+  test("maintain with an empty delta is the identity on the base graph") {
+    val base = KnnGraph.build(vecs, k, rounds = 1)
+    val maintained = KnnGraph.maintain(vecs, base, lit(false), k)
+    assert(maintained.except(base).count() == 0 &&
+      base.except(maintained).count() == 0)
+  }
+
+  test("maintain covers every node once, degree <= k, delta nodes link into history") {
+    val isDelta = col("vec_id") % 500L >= 400L
+    val base = KnnGraph.build(vecs.filter(!isDelta), k, rounds = 1)
+    val g = KnnGraph.maintain(vecs, base, isDelta, k).persist()
+    assert(g.filter(col("u") === col("v")).count() == 0)
+    val deg = g.groupBy("u").count()
+    assert(deg.agg(max("count")).head().getLong(0) <= k)
+    // every vector with at least one bucket-mate has edges; with 16
+    // buckets and 500 vectors nobody is alone
+    assert(deg.count() == vecs.count())
+    // delta nodes reach history: the graft step worked
+    val deltaToHist = g.filter(col("u") % 500L >= 400L &&
+      col("v") % 500L < 400L).count()
+    assert(deltaToHist > 0)
+  }
+
   test("q164 audit rows exist and recall is positive") {
     val out = SimilarityQueries.q164.run(spark, sf).collect()
     assert(out.nonEmpty)
