@@ -58,8 +58,10 @@ object KnnGraph {
   }
 
   /** Score candidate pairs (u, v) with exact cosine by joining the
-    * vector relation in on both endpoints. */
-  private def score(cand: DataFrame, vecs: DataFrame): DataFrame =
+    * vector relation in on both endpoints. Public: downstream
+    * consumers (graph-based dedup) re-score stored edges the same
+    * way. */
+  def score(cand: DataFrame, vecs: DataFrame): DataFrame =
     cand
       .join(vecs.select(col("vec_id").as("u"), col("embedding").as("ea")), "u")
       .join(vecs.select(col("vec_id").as("v"), col("embedding").as("eb")), "v")

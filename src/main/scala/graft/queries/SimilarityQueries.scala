@@ -1026,11 +1026,11 @@ object SimilarityQueries {
       .stripMargin
   }
 
-  /** The corpus CTE `n` (vec_id, iv, nrm, sb1, sb2) feeding every
-    * graph chain. */
-  private val graphCorpusSql: String =
-    s"""iv AS ($intVecsSql),
-       |n AS MATERIALIZED (SELECT vec_id, iv,
+  /** The `n` CTE body (vec_id, iv, nrm, sb1, sb2) over whatever `iv`
+    * CTE precedes it — factored out so q168 can feed the dup-injected
+    * corpus through the identical derivation. */
+  private val graphNSql: String =
+    s"""n AS MATERIALIZED (SELECT vec_id, iv,
        |        CAST(list_aggregate(list_transform(iv, x -> x * x), 'sum')
        |          AS DOUBLE) AS nrm,
        |        list_aggregate(list_transform(generate_series(1, $graphBits),
@@ -1042,6 +1042,11 @@ object SimilarityQueries {
        |               THEN CAST(1 AS BIGINT) << (i - $graphBits - 1)
        |               ELSE CAST(0 AS BIGINT) END), 'sum') AS sb2
        |      FROM iv)""".stripMargin
+
+  /** The corpus CTE chain `iv` → `n` over the plain embeddings
+    * table. */
+  private val graphCorpusSql: String =
+    s"iv AS ($intVecsSql),\n$graphNSql"
 
   /** Full-corpus construction: corpus + the unsuffixed chain, ending
     * at `ref(u, v)`. Shared by q164/q165/q166 so construction can
@@ -1282,7 +1287,128 @@ object SimilarityQueries {
          |  LEFT JOIN ovr r ON a.vec_id = r.u
          |  LEFT JOIN ovt t ON a.vec_id = t.u""".stripMargin))
 
+  /** q167 — LATE-INTERACTION RETRIEVAL (the ColBERT MaxSim shape):
+    * documents carry MULTIPLE vectors (here the corpus is re-read as
+    * 5-token pseudo-docs, doc_id = vec_id / 5), the query is itself a
+    * token bag (doc 0's 5 vectors), and a document scores
+    * Σ_{query token} max_{doc token} cos(qt, dt) — each query token
+    * finds its best match in the document, scores add. Per-token maxes
+    * are micro-quantized (×10¹²) to integers before the sum, so the
+    * score is an exact 64-bit aggregate — order-free, hash-green
+    * across engines (the q66 recipe).
+    *
+    * Scale shape (100 TB): the query bag broadcasts; one corpus scan
+    * computes all (doc token × query token) cosines map-side; both
+    * aggregations (max per (doc, qt), sum per doc) are partial-agg
+    * combinable; top-k is TakeOrdered. No joins between big
+    * relations, no shuffle wider than (docs × |Q|) rows. */
+  val q167 = {
+    val tokensPerDoc = 5L
+    val queryDoc = 0L
+    Q("q167_late_interaction",
+      (s, d) => {
+        val toks = intVecs(s, d)
+          .select(col("vec_id"), (col("vec_id") / tokensPerDoc)
+            .cast("bigint").as("doc_id"), col("iv"))
+          .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
+        val q = toks.filter(col("doc_id") === queryDoc)
+          .select(col("vec_id").as("qt"), col("iv").as("qiv"),
+            col("nrm").as("qnrm"))
+        toks.filter(col("doc_id") =!= queryDoc)
+          .crossJoin(broadcast(q))
+          .select(col("doc_id"), col("qt"),
+            Similarity.cosineFrom(col("iv"), col("qiv"),
+              col("nrm"), col("qnrm")).as("cosine"))
+          .groupBy(col("doc_id"), col("qt"))
+          .agg(max(col("cosine")).as("best"))
+          .select(col("doc_id"),
+            round(col("best") * 1e12).cast("bigint").as("best_micro"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("best_micro")).as("maxsim"))
+          .orderBy(col("maxsim").desc, col("doc_id")).limit(topK)
+      },
+      Some(
+        s"""WITH iv AS ($intVecsSql),
+           |t AS (SELECT vec_id, vec_id // $tokensPerDoc AS doc_id, iv,
+           |        CAST(list_aggregate(list_transform(iv, x -> x * x),
+           |          'sum') AS DOUBLE) AS nrm
+           |      FROM iv),
+           |q AS (SELECT vec_id AS qt, iv AS qiv, nrm AS qnrm FROM t
+           |      WHERE doc_id = $queryDoc),
+           |best AS (SELECT doc_id, qt,
+           |    max(CAST(list_aggregate(list_transform(generate_series(1, 64),
+           |      i -> iv[i] * qiv[i]), 'sum') AS DOUBLE)
+           |      / sqrt(nrm * qnrm)) AS best
+           |  FROM t, q WHERE doc_id <> $queryDoc GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CAST(sum(CAST(round(best * 1e12) AS BIGINT)) AS BIGINT)
+           |    AS maxsim
+           |FROM best GROUP BY 1
+           |ORDER BY maxsim DESC, doc_id LIMIT $topK""".stripMargin))
+  }
+
+  /** q168 — GRAPH-BASED SEMANTIC DEDUP: the kNN graph as the candidate
+    * structure for near-dup clustering — keep only edges with cosine ≥
+    * the dup threshold, then resolve transitive clusters with the
+    * engine's connected-components machinery (q61's). Where q84
+    * (SemDeDup) pays Σ_blocks n_b² pairwise work inside quantizer
+    * blocks, the graph caps candidate scoring at k·N edges — the
+    * standard route when blocks skew large. Corpus is q84's
+    * dup-injection (every 5th vector re-appears under vec_id+100000),
+    * and the spec-pinned mutual-NN guarantee for exact duplicates makes
+    * the injected pairs provably edges, so every injected cluster is
+    * found. Output: (vec_id, rep) per vector, rep = min id reachable
+    * through ≥-threshold edges; the oracle replays construction and
+    * resolves reachability with a recursive CTE. */
+  val q168 = {
+    val thr = 0.99
+    Q("q168_graph_semantic_dedup",
+      (s, d) => {
+        val e = Catalog.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val iv = Similarity.intVec(col("embedding"))
+        val corpus = e.unionAll(e.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        val vecs = corpus
+          .select(col("vec_id"), col("embedding"),
+            graft.ops.KnnGraph.signBucket(iv, graphBits).as("sb1"),
+            graft.ops.KnnGraph.signBucket(iv, graphBits, graphBits).as("sb2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val graph = graft.ops.KnnGraph.build(vecs, graphK,
+          rounds = graphRounds, bucketCols = Seq("sb1", "sb2"))
+        val strong = graft.ops.KnnGraph.score(graph, vecs)
+          .filter(col("cosine") >= thr)
+          .select(col("u").as("doc_a"), col("v").as("doc_b"))
+        graft.ops.Dedup.connectedComponents(
+            vecs.select(col("vec_id").as("doc_id")), strong)
+          .select(col("doc_id").as("vec_id"), col("rep"))
+      },
+      Some(
+        s"""WITH RECURSIVE e AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, embedding FROM embeddings
+           |  WHERE vec_id % 5 = 0),
+           |iv AS (SELECT vec_id,
+           |         list_transform(embedding,
+           |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+           |             AS BIGINT)) AS iv
+           |       FROM e),
+           |$graphNSql,
+           |${graphChainSql("n", "")},
+           |strong AS MATERIALIZED (SELECT r.u, r.v FROM ref r
+           |    JOIN n a ON r.u = a.vec_id JOIN n b ON r.v = b.vec_id
+           |    WHERE ${cosSql("a", "b")} >= $thr),
+           |edges AS (SELECT u AS a, v AS b FROM strong
+           |          UNION ALL SELECT v, u FROM strong),
+           |reach(v, r) AS (
+           |  SELECT vec_id, vec_id FROM n
+           |  UNION
+           |  SELECT e2.a, reach.r FROM edges e2 JOIN reach ON reach.v = e2.b)
+           |SELECT v AS vec_id, min(r) AS rep FROM reach GROUP BY 1"""
+          .stripMargin))
+  }
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
-      q164, q165, q166)
+      q164, q165, q166, q167, q168)
 }

@@ -101,6 +101,23 @@ class KnnGraphSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum > 0, "graph should recover some true neighbors")
   }
 
+  test("q168 clusters every injected duplicate with its original") {
+    val out = SimilarityQueries.q168.run(spark, sf)
+    val dups = out.filter(col("vec_id") >= 100000L)
+      .select(col("vec_id"), col("rep"))
+    // each injected vec_id+100000 must resolve to a rep <= its
+    // original (the original itself, or a smaller same-cluster id)
+    assert(dups.count() > 0)
+    assert(dups.filter(col("rep") > col("vec_id") - 100000L).count() == 0)
+  }
+
+  test("q167 maxsim scores are descending and complete") {
+    val out = SimilarityQueries.q167.run(spark, sf).collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("q165 search returns topK ranked hits consistent with its own rerank") {
     val out = SimilarityQueries.q165.run(spark, sf).collect()
     assert(out.length == 10)
