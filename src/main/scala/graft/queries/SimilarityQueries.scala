@@ -1408,7 +1408,66 @@ object SimilarityQueries {
           .stripMargin))
   }
 
+  /** q169 — HYBRID RETRIEVAL FUSION (reciprocal-rank fusion): the
+    * standard way a production retrieval stack combines a sparse
+    * (BM25, q109) and a dense (cosine top-k, q23) ranking — score =
+    * Σ_lists 1/(60 + rank), micro-quantized to exact integers per
+    * list before the (fixed 2-term) sum. Composes the EXISTING
+    * queries and their oracles (the q153 pattern), so the fusion can
+    * never drift from the rankings it fuses; documents and embeddings
+    * share the id space (TESTDATA), doc_id = vec_id.
+    *
+    * Scale shape (100 TB): both input rankings are top-k lists (≤ 10
+    * rows each) — the fusion itself is a full-outer join of two tiny
+    * relations; total cost IS the two retrievers, which each scan
+    * once with broadcast query state. */
+  val q169 = {
+    val rrfK = 60
+    def contrib(r: Column): Column =
+      coalesce(round(lit(1e12) / (lit(rrfK.toDouble) + r.cast("double")))
+        .cast("bigint"), lit(0L))
+    Q("q169_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sparse = TextQueries.q109.run(s, d)
+          .withColumn("sr", row_number().over(
+            Window.orderBy(col("score_micro").desc, col("doc_id"))))
+          .select(col("doc_id"), col("sr"))
+        val dense = q23.run(s, d)
+          .withColumn("dr", row_number().over(
+            Window.orderBy(col("cosine").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("dr"))
+        sparse.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (contrib(col("sr")) + contrib(col("dr"))).as("rrf_micro"))
+          .orderBy(col("rrf_micro").desc, col("doc_id")).limit(topK)
+      },
+      for {
+        bm25Sql <- TextQueries.q109.oracle
+        bruteSql <- q23.oracle
+      } yield
+        s"""WITH sparse0 AS (__BM25__),
+           |dense0 AS (__BRUTE__),
+           |sp AS (SELECT doc_id,
+           |         row_number() OVER (ORDER BY score_micro DESC, doc_id)
+           |           AS sr
+           |       FROM sparse0),
+           |de AS (SELECT vec_id AS doc_id,
+           |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS dr
+           |       FROM dense0),
+           |f AS (SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+           |        sp.sr, de.dr
+           |      FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id)
+           |SELECT doc_id,
+           |  (COALESCE(CAST(round(1e12 / ($rrfK + sr)) AS BIGINT), 0)
+           |   + COALESCE(CAST(round(1e12 / ($rrfK + dr)) AS BIGINT), 0))
+           |    AS rrf_micro
+           |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT $topK""".stripMargin
+          .replace("__BM25__", bm25Sql)
+          .replace("__BRUTE__", bruteSql))
+  }
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
-      q164, q165, q166, q167, q168)
+      q164, q165, q166, q167, q168, q169)
 }

@@ -118,6 +118,16 @@ class KnnGraphSpec extends SparkSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("q169 fuses both rankings: descending, and a doc on both lists outranks equal singles") {
+    val out = SimilarityQueries.q169.run(spark, sf).collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // every fused score is a sum of at most two reciprocal-rank
+    // contributions, each bounded by 1e12/61
+    assert(scores.forall(s => s > 0 && s <= 2 * math.round(1e12 / 61)))
+  }
+
   test("q165 search returns topK ranked hits consistent with its own rerank") {
     val out = SimilarityQueries.q165.run(spark, sf).collect()
     assert(out.length == 10)
