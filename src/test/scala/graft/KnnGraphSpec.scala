@@ -94,6 +94,15 @@ class KnnGraphSpec extends SparkSuite {
     assert(deltaToHist > 0)
   }
 
+  test("search plan size is bounded: round checkpoints truncate lineage") {
+    // without per-round localCheckpoint the logical tree grows ~5x
+    // per refinement round (40s of driver analysis at 2 rounds); the
+    // checkpointed plan must stay flat no matter the rounds
+    val df = SimilarityQueries.q165.run(spark, sf)
+    val nodes = df.queryExecution.logical.collect { case n => n }.size
+    assert(nodes < 200, s"logical plan has $nodes nodes — lineage leak?")
+  }
+
   test("q164 audit rows exist and recall is positive") {
     val out = SimilarityQueries.q164.run(spark, sf).collect()
     assert(out.nonEmpty)
