@@ -71,6 +71,18 @@ class KnnGraphSpec extends SparkSuite {
       s"every dup pair must appear as a u->v edge ($found of ${dups.count()})")
   }
 
+  test("degenerate corpora: single vector builds an empty graph; all-delta maintain equals a fresh init") {
+    val one = vecs.filter(col("vec_id") === 0L)
+    assert(KnnGraph.build(one, k, rounds = 1).count() == 0)
+    // hist empty -> base empty -> maintain reduces to scoring the
+    // delta's bucket pairs, i.e. exactly a rounds=0 build
+    val emptyBase = KnnGraph.build(vecs.filter(lit(false)), k, rounds = 0)
+    val maintained = KnnGraph.maintain(vecs, emptyBase, lit(true), k)
+    val fresh = KnnGraph.build(vecs, k, rounds = 0)
+    assert(maintained.except(fresh).count() == 0 &&
+      fresh.except(maintained).count() == 0)
+  }
+
   test("maintain with an empty delta is the identity on the base graph") {
     val base = KnnGraph.build(vecs, k, rounds = 1)
     val maintained = KnnGraph.maintain(vecs, base, lit(false), k)
