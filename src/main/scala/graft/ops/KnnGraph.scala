@@ -111,6 +111,40 @@ object KnnGraph {
     }
   }
 
+  /** Graph-traversal search (the HNSW search pattern as dataflow):
+    * entry beam = top-`beam` of the query's blocks (any key), `hops`
+    * frontier-join expansions over the undirected graph, exact rerank
+    * of everything visited. Each hop is one equi-join on the frontier
+    * (fan-out ≤ beam·(2k)^hop) — no per-node sequential walk, no
+    * driver state. */
+  def search(vecs: DataFrame, edges: DataFrame, queryId: Long, beam: Int,
+      topK: Int, bucketCols: Seq[String] = Seq("sb"),
+      hops: Int = 2): DataFrame = {
+    val sym = symmetrize(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = vecs.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe") +:
+        bucketCols.map(c => col(c).as(s"q$c")): _*)
+    val samePred = bucketCols.map(c => col(c) === col(s"q$c")).reduce(_ || _)
+    val entry = vecs.join(broadcast(q),
+        samePred && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        graft.functions.CosineScaled(col("embedding"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(beam)
+      .select(col("vec_id"))
+    def hop(frontier: DataFrame): DataFrame =
+      frontier.as("f").join(sym.as("s"), col("f.vec_id") === col("s.u"))
+        .select(col("s.v").as("vec_id")).distinct()
+    val frontiers = (1 to hops).scanLeft(entry)((f, _) => hop(f))
+    val visited = frontiers.reduce(_ unionByName _).distinct()
+      .filter(col("vec_id") =!= queryId)
+    visited.join(vecs, "vec_id")
+      .crossJoin(broadcast(q.select(col("qe"))))
+      .select(col("vec_id"),
+        graft.functions.CosineScaled(col("embedding"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+  }
+
   /** Incrementally maintain a k-NN graph when a delta of new vectors
     * arrives — the operation a growing corpus needs, because
     * rebuilding the whole graph per append is a full corpus pass.

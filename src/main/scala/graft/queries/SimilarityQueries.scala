@@ -1128,61 +1128,90 @@ object SimilarityQueries {
     * frontier (fan-out ≤ beam·(2k)^hop), so a 1000-executor cluster
     * runs the whole search as three bounded joins + one rerank — no
     * per-node sequential walk, no driver state. */
+  /** Oracle side of [[graft.ops.KnnGraph.search]] over the graph CTE
+    * `$graph`: query row, entry beam, two frontier hops, exact rerank
+    * — the final SELECT included, so append after the graph chain. */
+  private def graphSearchSql(graph: String): String =
+    s"""q AS (SELECT iv AS qiv, nrm AS qnrm, sb1 AS qsb1, sb2 AS qsb2
+       |      FROM n WHERE vec_id = $queryVecId),
+       |entry AS (SELECT vec_id FROM (
+       |    SELECT a.vec_id,
+       |      row_number() OVER (ORDER BY ${cosQSql("a")} DESC, a.vec_id)
+       |        AS rn
+       |    FROM n a, q WHERE (a.sb1 = q.qsb1 OR a.sb2 = q.qsb2)
+       |      AND a.vec_id <> $queryVecId)
+       |  WHERE rn <= $graphBeam),
+       |symr AS (SELECT u, v FROM $graph
+       |         UNION SELECT v AS u, u AS v FROM $graph),
+       |e1 AS (SELECT DISTINCT s.v AS vec_id
+       |       FROM entry e JOIN symr s ON e.vec_id = s.u),
+       |e2 AS (SELECT DISTINCT s.v AS vec_id
+       |       FROM e1 JOIN symr s ON e1.vec_id = s.u),
+       |vis AS (SELECT vec_id FROM (
+       |          SELECT vec_id FROM entry
+       |          UNION SELECT vec_id FROM e1
+       |          UNION SELECT vec_id FROM e2)
+       |        WHERE vec_id <> $queryVecId)
+       |SELECT a.vec_id, ${cosQSql("a")} AS cosine
+       |FROM n a JOIN vis USING (vec_id), q
+       |ORDER BY cosine DESC, a.vec_id LIMIT $topK""".stripMargin
+
   val q165 = Q("q165_graph_search",
     (s, d) => {
       val vecs = graphVecs(s, d)
-      val sym = graft.ops.KnnGraph.symmetrize(
-        graft.ops.KnnGraph.build(vecs, graphK, rounds = graphRounds, bucketCols = Seq("sb1", "sb2")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val q = vecs.filter(col("vec_id") === queryVecId)
-        .select(col("embedding").as("qe"),
-          col("sb1").as("qsb1"), col("sb2").as("qsb2"))
-      val entry = vecs.join(broadcast(q),
-          (col("sb1") === col("qsb1") || col("sb2") === col("qsb2")) &&
-            col("vec_id") =!= queryVecId)
-        .select(col("vec_id"),
-          graft.functions.CosineScaled(col("embedding"), col("qe"))
-            .as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id")).limit(graphBeam)
-        .select(col("vec_id"))
-      def hop(frontier: DataFrame): DataFrame =
-        frontier.as("f").join(sym.as("s"), col("f.vec_id") === col("s.u"))
-          .select(col("s.v").as("vec_id")).distinct()
-      val e1 = hop(entry)
-      val e2 = hop(e1)
-      val visited = entry.unionByName(e1).unionByName(e2).distinct()
-        .filter(col("vec_id") =!= queryVecId)
-      visited.join(vecs, "vec_id")
-        .crossJoin(broadcast(q.select(col("qe"))))
-        .select(col("vec_id"),
-          graft.functions.CosineScaled(col("embedding"), col("qe"))
-            .as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+      graft.ops.KnnGraph.search(vecs,
+        graft.ops.KnnGraph.build(vecs, graphK, rounds = graphRounds,
+          bucketCols = Seq("sb1", "sb2")),
+        queryVecId, graphBeam, topK, Seq("sb1", "sb2"))
     },
-    Some(
-      s"""WITH $graphSqlCtes,
-         |q AS (SELECT iv AS qiv, nrm AS qnrm, sb1 AS qsb1, sb2 AS qsb2
-         |      FROM n WHERE vec_id = $queryVecId),
-         |entry AS (SELECT vec_id FROM (
-         |    SELECT a.vec_id,
-         |      row_number() OVER (ORDER BY ${cosQSql("a")} DESC, a.vec_id)
-         |        AS rn
-         |    FROM n a, q WHERE (a.sb1 = q.qsb1 OR a.sb2 = q.qsb2)
-         |      AND a.vec_id <> $queryVecId)
-         |  WHERE rn <= $graphBeam),
-         |symr AS (SELECT u, v FROM ref UNION SELECT v AS u, u AS v FROM ref),
-         |e1 AS (SELECT DISTINCT s.v AS vec_id
-         |       FROM entry e JOIN symr s ON e.vec_id = s.u),
-         |e2 AS (SELECT DISTINCT s.v AS vec_id
-         |       FROM e1 JOIN symr s ON e1.vec_id = s.u),
-         |vis AS (SELECT vec_id FROM (
-         |          SELECT vec_id FROM entry
-         |          UNION SELECT vec_id FROM e1
-         |          UNION SELECT vec_id FROM e2)
-         |        WHERE vec_id <> $queryVecId)
-         |SELECT a.vec_id, ${cosQSql("a")} AS cosine
-         |FROM n a JOIN vis USING (vec_id), q
-         |ORDER BY cosine DESC, a.vec_id LIMIT $topK""".stripMargin))
+    Some(s"WITH $graphSqlCtes,\n${graphSearchSql("ref")}"))
+
+  /** Oracle replay of [[graft.ops.KnnGraph.maintain]] on the q150
+    * delta split: history/delta corpus slices, the history-only chain
+    * (suffix `h`), then the two delta-proportional maintenance steps,
+    * ending at `maint(u, v)` — the maintained directed graph. Shared
+    * by q166 (audit) and q170 (stored-index search) so maintenance
+    * can never drift between them. Expects `n` to exist. */
+  private lazy val graphMaintSqlCtes: String =
+    s"""nh AS MATERIALIZED (SELECT * FROM n
+       |      WHERE vec_id % $graphDeltaMod < $graphDeltaFrom),
+       |nd AS MATERIALIZED (SELECT * FROM n
+       |      WHERE vec_id % $graphDeltaMod >= $graphDeltaFrom),
+       |${graphChainSql("nh", "h")},
+       |newc AS (SELECT DISTINCT u, v FROM (
+       |    SELECT a.vec_id AS u, b.vec_id AS v
+       |    FROM nd a JOIN n b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
+       |    UNION ALL
+       |    SELECT a.vec_id, b.vec_id
+       |    FROM nd a JOIN n b ON a.sb2 = b.sb2 AND a.vec_id <> b.vec_id
+       |    UNION ALL
+       |    SELECT am.u, r.v FROM (
+       |      SELECT a.vec_id AS u, m.vec_id AS mid
+       |      FROM nd a JOIN nh m ON a.sb1 = m.sb1
+       |      UNION ALL
+       |      SELECT a.vec_id, m.vec_id
+       |      FROM nd a JOIN nh m ON a.sb2 = m.sb2) am
+       |    JOIN refh r ON r.u = am.mid WHERE am.u <> r.v)),
+       |newe AS (SELECT u, v FROM (SELECT c.u, c.v,
+       |      row_number() OVER (PARTITION BY c.u
+       |        ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
+       |    FROM newc c JOIN n a ON c.u = a.vec_id
+       |      JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK),
+       |hc AS (SELECT DISTINCT u, v FROM (
+       |    SELECT a.vec_id AS u, b.vec_id AS v
+       |    FROM nh a JOIN nd b ON a.sb1 = b.sb1
+       |    UNION ALL
+       |    SELECT a.vec_id, b.vec_id
+       |    FROM nh a JOIN nd b ON a.sb2 = b.sb2
+       |    UNION ALL
+       |    SELECT u, v FROM refh)),
+       |upd AS (SELECT u, v FROM (SELECT c.u, c.v,
+       |      row_number() OVER (PARTITION BY c.u
+       |        ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
+       |    FROM hc c JOIN n a ON c.u = a.vec_id
+       |      JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK),
+       |maint AS MATERIALIZED (SELECT u, v FROM upd
+       |    UNION ALL SELECT u, v FROM newe)""".stripMargin
 
   /** q166 — INCREMENTAL k-NN-GRAPH MAINTENANCE: the growing-corpus
     * operation (the graph sibling of q96's dedup-index delta and
@@ -1229,46 +1258,8 @@ object SimilarityQueries {
     },
     Some(
       s"""WITH $graphCorpusSql,
-         |nh AS MATERIALIZED (SELECT * FROM n
-         |      WHERE vec_id % $graphDeltaMod < $graphDeltaFrom),
-         |nd AS MATERIALIZED (SELECT * FROM n
-         |      WHERE vec_id % $graphDeltaMod >= $graphDeltaFrom),
          |${graphChainSql("n", "")},
-         |${graphChainSql("nh", "h")},
-         |newc AS (SELECT DISTINCT u, v FROM (
-         |    SELECT a.vec_id AS u, b.vec_id AS v
-         |    FROM nd a JOIN n b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
-         |    UNION ALL
-         |    SELECT a.vec_id, b.vec_id
-         |    FROM nd a JOIN n b ON a.sb2 = b.sb2 AND a.vec_id <> b.vec_id
-         |    UNION ALL
-         |    SELECT am.u, r.v FROM (
-         |      SELECT a.vec_id AS u, m.vec_id AS mid
-         |      FROM nd a JOIN nh m ON a.sb1 = m.sb1
-         |      UNION ALL
-         |      SELECT a.vec_id, m.vec_id
-         |      FROM nd a JOIN nh m ON a.sb2 = m.sb2) am
-         |    JOIN refh r ON r.u = am.mid WHERE am.u <> r.v)),
-         |newe AS (SELECT u, v FROM (SELECT c.u, c.v,
-         |      row_number() OVER (PARTITION BY c.u
-         |        ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
-         |    FROM newc c JOIN n a ON c.u = a.vec_id
-         |      JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK),
-         |hc AS (SELECT DISTINCT u, v FROM (
-         |    SELECT a.vec_id AS u, b.vec_id AS v
-         |    FROM nh a JOIN nd b ON a.sb1 = b.sb1
-         |    UNION ALL
-         |    SELECT a.vec_id, b.vec_id
-         |    FROM nh a JOIN nd b ON a.sb2 = b.sb2
-         |    UNION ALL
-         |    SELECT u, v FROM refh)),
-         |upd AS (SELECT u, v FROM (SELECT c.u, c.v,
-         |      row_number() OVER (PARTITION BY c.u
-         |        ORDER BY ${cosSql("a", "b")} DESC, c.v) AS rn
-         |    FROM hc c JOIN n a ON c.u = a.vec_id
-         |      JOIN n b ON c.v = b.vec_id) WHERE rn <= $graphK),
-         |maint AS MATERIALIZED (SELECT u, v FROM upd
-         |    UNION ALL SELECT u, v FROM newe),
+         |$graphMaintSqlCtes,
          |aud AS (SELECT vec_id FROM n WHERE vec_id % $graphAuditMod = 0),
          |$bruteSqlCte,
          |deg AS (SELECT u, count(*) AS degree FROM maint GROUP BY 1),
@@ -1467,7 +1458,46 @@ object SimilarityQueries {
           .replace("__BRUTE__", bruteSql))
   }
 
+  /** q170 — PERSISTENT GRAPH INDEX: the stored-index lifecycle for
+    * the graph family (the graph sibling of q138's stored IVF):
+    * [[graft.ops.GraphIndex]] builds over history and persists the
+    * edge relation, absorbs the delta with the maintenance joins and
+    * a staged swap (never a rebuild), then answers the query by
+    * traversing the STORED edges. Construction is stamped against the
+    * data generation ([[graft.ops.GraphIndex.ensure]]): a repeat run
+    * on unchanged data reuses the store and pays only the search —
+    * deterministic either way, because the stored content is a pure
+    * function of (data, params). The oracle replays history-build +
+    * maintenance + search — searching its replayed `maint` relation —
+    * so hash-green proves the persisted index holds exactly the
+    * maintained graph.
+    *
+    * Scale shape (100 TB): the stored relation is k rows per vector;
+    * maintenance I/O is one staged rewrite of it, search reads it
+    * once per hop — the index amortizes construction across every
+    * query, which is the point of persisting it. */
+  val q170 = Q("q170_persistent_graph_index",
+    (s, d) => {
+      val bc = Seq("sb1", "sb2")
+      val tag = java.nio.file.Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"/tmp/graft_graph_index/$tag"
+      val vecs = graphVecs(s, d)
+      val isDelta = (col("vec_id") % graphDeltaMod) >= graphDeltaFrom
+      // stamp = data generation: path + embeddings file size + mtime —
+      // a testdata refresh forces the rebuild, anything else reuses
+      // the stored index (that amortization is what q170 demonstrates)
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val stamp = s"$d:${src.length}:${src.lastModified}"
+      graft.ops.GraphIndex.ensure(s, idx, vecs, isDelta, graphK,
+        graphRounds, bc, stamp)
+      graft.ops.GraphIndex.search(s, idx, vecs, queryVecId, graphBeam,
+        topK, bc)
+    },
+    Some(s"WITH $graphCorpusSql,\n$graphMaintSqlCtes,\n" +
+      graphSearchSql("maint")))
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
-      q164, q165, q166, q167, q168, q169)
+      q164, q165, q166, q167, q168, q169, q170)
 }

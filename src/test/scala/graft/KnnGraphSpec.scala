@@ -115,6 +115,34 @@ class KnnGraphSpec extends SparkSuite {
     assert(nodes < 200, s"logical plan has $nodes nodes — lineage leak?")
   }
 
+  test("persistent index: stored edges equal the maintained graph, search reads the store") {
+    val bc = Seq("sb")
+    val idx = "/tmp/graft_graph_spec/idx"
+    val isDelta = col("vec_id") % 500L >= 400L
+    graft.ops.GraphIndex.build(spark, vecs.filter(!isDelta), k, 1, bc, idx)
+    graft.ops.GraphIndex.appendDelta(spark, idx, vecs, isDelta, k, bc)
+    val stored = graft.ops.GraphIndex.readEdges(spark, idx)
+    val expected = KnnGraph.maintain(vecs,
+      KnnGraph.build(vecs.filter(!isDelta), k, rounds = 1), isDelta, k)
+    assert(stored.except(expected).count() == 0 &&
+      expected.except(stored).count() == 0)
+    val viaStore = graft.ops.GraphIndex
+      .search(spark, idx, vecs, 0L, 4, 10, bc).collect()
+    val direct = KnnGraph.search(vecs, expected, 0L, 4, 10, bc).collect()
+    assert(viaStore.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+    // stamped ensure: first call builds, matching repeat is a no-op
+    // (same content), stale stamp rebuilds
+    val idx2 = "/tmp/graft_graph_spec/idx2"
+    graft.ops.GraphIndex.ensure(spark, idx2, vecs, isDelta, k, 1, bc, "g1")
+    val first = graft.ops.GraphIndex.readEdges(spark, idx2)
+    assert(first.except(expected).count() == 0 &&
+      expected.except(first).count() == 0)
+    graft.ops.GraphIndex.ensure(spark, idx2, vecs, isDelta, k, 1, bc, "g1")
+    val again = graft.ops.GraphIndex.readEdges(spark, idx2)
+    assert(again.except(expected).count() == 0 &&
+      expected.except(again).count() == 0)
+  }
+
   test("q164 audit rows exist and recall is positive") {
     val out = SimilarityQueries.q164.run(spark, sf).collect()
     assert(out.nonEmpty)
