@@ -1299,8 +1299,10 @@ object SimilarityQueries {
     Q("q167_late_interaction",
       (s, d) => {
         val toks = intVecs(s, d)
-          .select(col("vec_id"), (col("vec_id") / tokensPerDoc)
-            .cast("bigint").as("doc_id"), col("iv"))
+          .select(col("vec_id"),
+            // integral `div`, not double `/`+cast: exact for the full
+            // 64-bit id range (a double round-trips only to 2^53)
+            expr(s"vec_id div $tokensPerDoc").as("doc_id"), col("iv"))
           .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
         val q = toks.filter(col("doc_id") === queryDoc)
           .select(col("vec_id").as("qt"), col("iv").as("qiv"),
