@@ -10,10 +10,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * (never a rebuild), answer queries by traversing the STORED edges.
   *
   * Storage is one parquet relation (u, v) under `path`/edges.
-  * Maintenance rewrites it via a staged write + atomic rename (the
-  * engine's staged-swap publish idiom): the maintained edges are
-  * written next to the live relation first, so the plan that reads
-  * the old edges is never racing the directory that replaces them.
+  * Maintenance rewrites it via a staged write + rename-aside publish
+  * (the engine's staged-swap idiom): the maintained edges are written
+  * next to the live relation, the live dir is renamed aside
+  * (`edges__old`), staging renamed in, and only then is the old
+  * generation deleted — a crash at any step leaves at least one
+  * complete generation on disk, and [[readEdges]] recovers the
+  * aside generation if the crash hit between the two renames.
+  * (A concurrent reader that planned over the old directory can
+  * still see it vanish mid-scan; fully lock-free concurrency wants
+  * versioned edge dirs behind a pointer file — [[graft.ops.Snapshots]]
+  * is that design where the engine needs it.)
   *
   * Scale note: the edge relation is k rows per vector — for 100 TB of
   * documents with 1e9 vectors and k=16 that is a ~16e9-row/two-column
@@ -22,6 +29,20 @@ object GraphIndex {
 
   private def edgePath(path: String) = s"$path/edges"
   private def stagingPath(path: String) = s"$path/edges__staging"
+  private def oldPath(path: String) = s"$path/edges__old"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** If a publish crashed between rename-aside and rename-in, the live
+    * dir is missing but the aside generation survives — restore it.
+    * Idempotent; called by every read and publish entry point. */
+  private def recover(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val live = new Path(edgePath(path))
+    val old = new Path(oldPath(path))
+    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+  }
 
   /** Build the graph over `vecs` and store its edges at `path`. */
   def build(spark: SparkSession, vecs: DataFrame, k: Int, rounds: Int,
@@ -29,23 +50,35 @@ object GraphIndex {
     KnnGraph.build(vecs, k, rounds, bucketCols)
       .write.mode("overwrite").parquet(edgePath(path))
 
-  def readEdges(spark: SparkSession, path: String): DataFrame =
+  def readEdges(spark: SparkSession, path: String): DataFrame = {
+    recover(spark, path)
     spark.read.parquet(edgePath(path))
+  }
 
   /** Absorb a delta: maintain against the stored edges, stage the
-    * maintained relation, swap it in. `all` must contain both
-    * generations with the same shape [[KnnGraph.build]] takes. */
+    * maintained relation, publish by rename-aside (never
+    * delete-then-rename — a crash mid-publish must leave a complete
+    * generation on disk). `all` must contain both generations with
+    * the same shape [[KnnGraph.build]] takes. */
   def appendDelta(spark: SparkSession, path: String, all: DataFrame,
       isDelta: Column, k: Int, bucketCols: Seq[String]): Unit = {
     val maintained =
       KnnGraph.maintain(all, readEdges(spark, path), isDelta, k, bucketCols)
     maintained.write.mode("overwrite").parquet(stagingPath(path))
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(edgePath(path)), true)
-    if (!fs.rename(new Path(stagingPath(path)), new Path(edgePath(path))))
+    val fs = fsOf(spark, path)
+    val live = new Path(edgePath(path))
+    val old = new Path(oldPath(path))
+    val stg = new Path(stagingPath(path))
+    fs.delete(old, true) // leftover from a crash after a prior swap-in
+    if (!fs.rename(live, old))
+      throw new IllegalStateException(
+        s"graph index publish failed: cannot set aside ${edgePath(path)}")
+    if (!fs.rename(stg, live)) {
+      fs.rename(old, live) // roll the live generation back
       throw new IllegalStateException(
         s"graph index swap failed: ${stagingPath(path)} -> ${edgePath(path)}")
+    }
+    fs.delete(old, true)
   }
 
   /** Ensure the index at `path` reflects (`stamp`, k, rounds,
@@ -60,8 +93,8 @@ object GraphIndex {
   def ensure(spark: SparkSession, path: String, all: DataFrame,
       isDelta: Column, k: Int, rounds: Int, bucketCols: Seq[String],
       stamp: String): Unit = {
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, path)
+    val fs = fsOf(spark, path)
     val metaP = new Path(s"$path/meta.json")
     val want = s"""{"stamp":"$stamp","k":$k,"rounds":$rounds,""" +
       s""""buckets":"${bucketCols.mkString(",")}"}"""

@@ -138,11 +138,18 @@ object KnnGraph {
     val frontiers = (1 to hops).scanLeft(entry)((f, _) => hop(f))
     val visited = frontiers.reduce(_ unionByName _).distinct()
       .filter(col("vec_id") =!= queryId)
-    visited.join(vecs, "vec_id")
+    val ranked = visited.join(vecs, "vec_id")
       .crossJoin(broadcast(q.select(col("qe"))))
       .select(col("vec_id"),
         graft.functions.CosineScaled(col("embedding"), col("qe")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+    // Materialize the ≤ topK result rows eagerly so the corpus-sized
+    // symmetrized edge cache can be released NOW — search is called
+    // many times per session (q153 audits, registry runs) and leaked
+    // MEMORY_AND_DISK blocks otherwise accumulate for its lifetime.
+    val out = ranked.localCheckpoint(eager = true)
+    sym.unpersist()
+    out
   }
 
   /** Incrementally maintain a k-NN graph when a delta of new vectors

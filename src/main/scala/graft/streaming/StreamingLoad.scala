@@ -31,7 +31,21 @@ object StreamingLoad {
     *    TimestampType (sessions pin UTC). */
   def eventStream(spark: SparkSession, srcDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(srcDir).schema
+    // The probe needs at least one footer; a stream started against a
+    // not-yet-populated source dir falls back to the known micros
+    // shape (the generation current testdata ships) instead of dying
+    // with "unable to infer schema".
+    val physical =
+      try spark.read.parquet(srcDir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+      }
     val raw = spark.readStream.schema(physical).parquet(srcDir)
     physical("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -117,6 +117,13 @@ class KnnGraphSpec extends SparkSuite {
 
   test("persistent index: stored edges equal the maintained graph, search reads the store") {
     val bc = Seq("sb")
+    // /tmp survives across harness rounds while the testdata is
+    // regenerated in place — a stale store under a matching stamp
+    // would make the equality asserts fail spuriously, so start clean
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File("/tmp/graft_graph_spec"))
     val idx = "/tmp/graft_graph_spec/idx"
     val isDelta = col("vec_id") % 500L >= 400L
     graft.ops.GraphIndex.build(spark, vecs.filter(!isDelta), k, 1, bc, idx)
