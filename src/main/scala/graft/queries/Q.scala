@@ -44,17 +44,26 @@ object Q {
     "q150_ann_recall", // builds its own stored index to audit
     "q152_sql_delete_frontdoor", // rewrites its scratch table via SQL
     "q156_stream_token_budget", // streaming checkpoint + scratch copy
-    "q163_sql_insert_frontdoor") // appends to its scratch target via SQL
+    "q163_sql_insert_frontdoor", // appends to its scratch target via SQL
+    "q172_sql_script_frontdoor", // whole-script staged-swap runs
+    "q173_sql_script_audit") // same script runs, audit side
 
-  /** Correctness-only calibration queries: still verified triple-green
-    * every round (they stay in the registry and the oracle gate), but
-    * EXCLUDED from the timed bench. q21 is the deliberately-naive
-    * full-inverted-index Jaccard kept as the teaching baseline for
-    * q78's prefix-filtered form — it was the bench ceiling for three
-    * rounds while measuring nothing a production pipeline would run
-    * at its t=0.2 threshold (low-threshold all-pairs is what q19's
-    * LSH exists to replace). JaccardBaselineSpec pins the naive ↔
-    * prefix result equality directly; q78 remains the family's
-    * benched representative. */
-  val benchExcluded: Set[String] = Set("q21_dedup_ngram_jaccard")
+  /** Correctness-only calibration/audit queries: still verified
+    * triple-green every round (they stay in the registry and the
+    * oracle gate), but EXCLUDED from the timed bench, because what
+    * they run is deliberately NOT the shipping operator:
+    *  - q21 is the deliberately-naive full-inverted-index Jaccard
+    *    kept as the teaching baseline for q78's prefix-filtered form
+    *    (JaccardBaselineSpec pins the naive ↔ prefix equality; q78 is
+    *    the family's benched representative);
+    *  - q150/q153/q171 are RECALL AUDITS — each recomputes the
+    *    brute-force truth (and q171 a full graph rebuild) to measure
+    *    an approximate operator that is itself independently timed
+    *    (q138 stored-IVF, q56 LSH, q68 trained IVF, q165 graph
+    *    search, q166 maintenance). An audit runs when the accuracy
+    *    dial turns, not per query; timing 3-4× recomputed yardstick
+    *    work said nothing about the operators' cost. */
+  val benchExcluded: Set[String] = Set("q21_dedup_ngram_jaccard",
+    "q150_ann_recall", "q153_ann_recall_paths",
+    "q171_knn_graph_maintain_audit")
 }

@@ -962,14 +962,25 @@ object SimilarityQueries {
     * sign-bucket blocking keys (dims 1-4 and 5-8) — the multi-table
     * LSH init. Persisted — feeds init pairing, candidate scoring
     * (twice per round) and the exact rerank; without it every leaf
-    * re-scans the parquet and re-derives the integer scaling. */
+    * re-scans the parquet and re-derives the integer scaling.
+    * Memoized per (session, dataset): seven graph queries share this
+    * relation, and a fresh persist() per call would leak one
+    * corpus-sized MEMORY_AND_DISK block per invocation for the life
+    * of the session. re-persist() on the memoized plan is a no-op
+    * when cached and re-registers after a clearCache (the bench
+    * clears between timed runs — each run still pays its own
+    * materialization). */
+  private val graphVecsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def graphVecs(s: SparkSession, d: String): DataFrame = {
-    val iv = Similarity.intVec(col("embedding"))
-    Catalog.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        graft.ops.KnnGraph.signBucket(iv, graphBits).as("sb1"),
-        graft.ops.KnnGraph.signBucket(iv, graphBits, graphBits).as("sb2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = graphVecsMemo.getOrElseUpdate((s, d), {
+      val iv = Similarity.intVec(col("embedding"))
+      Catalog.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          graft.ops.KnnGraph.signBucket(iv, graphBits).as("sb1"),
+          graft.ops.KnnGraph.signBucket(iv, graphBits, graphBits).as("sb2"))
+    })
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact cosine between CTE aliases `$a.iv` and `$b.iv` (oracle side
@@ -1221,17 +1232,44 @@ object SimilarityQueries {
     * [[graft.ops.KnnGraph.maintain]] grafts the delta on with
     * delta-proportional joins — new nodes get bucket-mates plus one
     * hop through a bucket-mate's existing edges; old nodes re-rank
-    * their edge set against delta bucket-mates only. The output
-    * audits the maintained graph per sampled node against BOTH
-    * yardsticks: the full rebuild (how much does skipping the rebuild
-    * cost?) and the brute-force truth (is it still a good graph?).
-    * Exact integer overlaps; the oracle replays history-build,
-    * maintenance and rebuild bit-for-bit.
+    * their edge set against delta bucket-mates only. The output is
+    * the maintained graph's own edges for the audited nodes — an
+    * edge-level hash check of maintenance itself, with NO audit
+    * recomputation in the timed path (the full maintained-vs-rebuilt
+    * -vs-brute audit lives in the correctness-only [[q171]]; the q21
+    * precedent — time the shipping operator, register the audit
+    * separately).
     *
     * Scale shape (100 TB): maintenance touches O(|delta|·blockwidth +
     * |affected hist|·k) rows — a rebuild is a full corpus pass; this
     * is why a stored graph index is maintainable at all. */
   val q166 = Q("q166_knn_graph_maintain",
+    (s, d) => {
+      val bc = Seq("sb1", "sb2")
+      val vecs = graphVecs(s, d)
+      val isDelta = (col("vec_id") % graphDeltaMod) >= graphDeltaFrom
+      val base = graft.ops.KnnGraph.build(vecs.filter(!isDelta), graphK,
+        rounds = graphRounds, bucketCols = bc)
+      val maint = graft.ops.KnnGraph.maintain(vecs, base, isDelta, graphK, bc)
+      maint.filter(col("u") % graphAuditMod === 0)
+        .select(col("u"), col("v"))
+    },
+    Some(
+      s"""WITH $graphCorpusSql,
+         |$graphMaintSqlCtes
+         |SELECT u, v FROM maint WHERE u % $graphAuditMod = 0"""
+        .stripMargin))
+
+  /** q171 — MAINTENANCE AUDIT (correctness-only; [[Q.benchExcluded]]):
+    * the maintained graph measured per sampled node against BOTH
+    * yardsticks — the full rebuild (how much does skipping the
+    * rebuild cost?) and the brute-force truth (is it still a good
+    * graph?). Exact integer overlaps; the oracle replays
+    * history-build, maintenance AND rebuild bit-for-bit. This is
+    * deliberately ~3× the shipping work (q166), which is why it stays
+    * out of the timed bench: an audit is something you run when you
+    * turn the accuracy dial, not per query. */
+  val q171 = Q("q171_knn_graph_maintain_audit",
     (s, d) => {
       val bc = Seq("sb1", "sb2")
       val vecs = graphVecs(s, d)
@@ -1486,11 +1524,26 @@ object SimilarityQueries {
       val idx = s"/tmp/graft_graph_index/$tag"
       val vecs = graphVecs(s, d)
       val isDelta = (col("vec_id") % graphDeltaMod) >= graphDeltaFrom
-      // stamp = data generation: path + embeddings file size + mtime —
-      // a testdata refresh forces the rebuild, anything else reuses
-      // the stored index (that amortization is what q170 demonstrates)
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      val stamp = s"$d:${src.length}:${src.lastModified}"
+      // stamp = data generation + code generation: source path,
+      // content length and max mtime via Hadoop FileSystem (works for
+      // any FS and for directory-shaped parquet, where java.io.File
+      // length/mtime silently read 0), plus the graph parameters the
+      // meta's (k, rounds, buckets) fields don't capture (graphBits
+      // shapes the bucket VALUES, not the bucket column names) and a
+      // format-version constant. A testdata refresh or a constant
+      // change forces the rebuild; anything else reuses the stored
+      // index (that amortization is what q170 demonstrates).
+      val srcP = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val fs = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(srcP)
+      val (len, mtime) =
+        if (st.isDirectory) {
+          val kids = fs.listStatus(srcP).filter(_.isFile)
+          (kids.map(_.getLen).sum,
+            if (kids.isEmpty) st.getModificationTime
+            else kids.map(_.getModificationTime).max)
+        } else (st.getLen, st.getModificationTime)
+      val stamp = s"$d:$len:$mtime:bits=$graphBits:fmt=2"
       graft.ops.GraphIndex.ensure(s, idx, vecs, isDelta, graphK,
         graphRounds, bc, stamp)
       graft.ops.GraphIndex.search(s, idx, vecs, queryVecId, graphBeam,
@@ -1501,5 +1554,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
-      q164, q165, q166, q167, q168, q169, q170)
+      q164, q165, q166, q167, q168, q169, q170, q171)
 }
