@@ -127,6 +127,155 @@ object LoadQueries {
     "concat(fact_item_status_key, line_item_status, latest_status, " +
       "trans_order_id, cart_id)"
 
+  /** The reference-shaped load SCRIPT (mirrors
+    * `Incremental_load_fact_item_status.sql:1-342` statement for
+    * statement — BEGIN/DECLAREs/SETs, staging COPY, IF
+    * TRUNCATE/DELETE, @@row_count captures, INSERT…SELECT, publish
+    * COPY, DROP, audit CALL — with the engine's tables and Spark-SQL
+    * expression dialect), still Jinja-templated: [[scriptTwoRuns]]
+    * binds it per run through [[graft.ops.SqlScript.bindTemplate]],
+    * the reference's Airflow pre-parse stage. */
+  private val loadScript =
+    """BEGIN
+      |DECLARE v_delta_offset timestamp;
+      |DECLARE v_load_type string;
+      |DECLARE v_inserted_record_count,v_deleted_record_count int64;
+      |DECLARE v_start_timestamp timestamp;
+      |SET v_start_timestamp = CAST('{{params.start_ts}}' AS timestamp); --Data Load Start Timestamp
+      |
+      |SET V_LOAD_TYPE = '{{params.load_type}}';
+      |
+      |SET
+      |  v_delta_offset = (
+      |  SELECT
+      |     CASE
+      |        WHEN v_load_type = 'FULL_LOAD'
+      |        THEN CAST('{{params.minimum_date}}' AS timestamp)
+      |        ELSE
+      |          IFNULL(MAX(cdc_ts) - INTERVAL {{params.delta_day_count}} DAY, CAST('{{params.minimum_date}}' AS timestamp))
+      |        END
+      |  FROM
+      |    fact_events);
+      |
+      |/*Generate a temporary staging table by COPYING from its main target table*/
+      |CREATE OR REPLACE TABLE
+      |    temp_staging_fact_events
+      |COPY
+      |    fact_events;
+      |
+      |/*Lookback removal: FULL_LOAD truncates, delta deletes strictly past the offset*/
+      |IF v_load_type = 'FULL_LOAD' THEN
+      |  TRUNCATE TABLE temp_staging_fact_events;
+      |ELSE
+      |  DELETE FROM temp_staging_fact_events
+      |  WHERE cdc_ts > v_delta_offset;
+      |END IF;
+      |
+      |/*Storing Delete Record Count using system variable*/
+      |SET v_deleted_record_count = (select @@row_count);
+      |
+      |/*Reinsert the lookback window*/
+      |INSERT INTO temp_staging_fact_events
+      |SELECT event_id, CAST(ts AS timestamp) AS cdc_ts, user_id, event_type, value
+      |FROM events_src
+      |WHERE CAST(ts AS timestamp) >= v_delta_offset;
+      |
+      |/*Storing Insert Record Count using system variable*/
+      |SET v_inserted_record_count = (select @@row_count);
+      |
+      |CREATE OR REPLACE TABLE
+      |    fact_events
+      |COPY
+      |    temp_staging_fact_events;
+      |
+      |DROP TABLE
+      |  temp_staging_fact_events;
+      |
+      |CALL proc_elc_audit_insert(
+      |    '{{params.dag_name}}',
+      |    'graft',
+      |    'main',
+      |    'fact_events',
+      |    v_start_timestamp,
+      |    'DW_FACT',
+      |    v_load_type,
+      |    v_inserted_record_count,
+      |    v_deleted_record_count,
+      |    '__KEY_EXPR__');
+      |END;""".stripMargin.replace("__KEY_EXPR__", keyExpr)
+
+  /** FULL_LOAD-then-DELTA, driven end to end through the SCRIPT front
+    * door ([[graft.ops.SqlScript]]) — template bind → parse → execute
+    * against a scratch target, the reference lifecycle's full shape.
+    * Returns (target df, audit df). The run-1 source horizon mimics
+    * "what had arrived", exactly as [[twoRuns]]. */
+  private def scriptTwoRuns(spark: SparkSession, dir: String, tag: String)
+      : (DataFrame, DataFrame) = {
+    val base = s"/tmp/graft_load/${tag}_${Paths.get(dir).getFileName}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val target = s"$base/fact_events"
+    val audit = s"$base/audit"
+    // the reference presumes the fact exists (its COPY clones it):
+    // create it schema-bearing and empty, the q163 convention
+    eventsFact(spark, dir, None)(minDate).limit(0).write.parquet(target)
+    val tables = Map(
+      "fact_events" -> target,
+      "temp_staging_fact_events" -> s"$base/temp_staging_fact_events")
+    def runOnce(loadType: String, horizon: Option[String]): Unit = {
+      val src = Catalog.events(spark, dir)
+      horizon.fold(src)(h => src.filter(col("ts") < lit(h).cast("timestamp")))
+        .createOrReplaceTempView("events_src")
+      val bound = graft.ops.SqlScript.bindTemplate(loadScript, Map(
+        "load_type" -> loadType,
+        "minimum_date" -> minDate,
+        "delta_day_count" -> lookbackDays.toString,
+        "dag_name" -> "graft_fact_item_status",
+        "start_ts" -> start))
+      graft.ops.SqlScript.execute(spark, bound, tables,
+        Map("proc_elc_audit_insert" ->
+          graft.ops.SqlScript.auditProc(spark, audit)))
+    }
+    runOnce("FULL_LOAD", Some(t1Cut))
+    runOnce("DELTA", None)
+    (spark.read.parquet(target), spark.read.parquet(audit))
+  }
+
+  /** q172 — WHOLE-SCRIPT SQL FRONT DOOR: the reference-shaped
+    * `BEGIN…END` script text (DECLARE/SET scalar-subquery offset /
+    * staging COPY / IF TRUNCATE-vs-DELETE / @@row_count / INSERT /
+    * publish COPY / DROP / CALL) executed AS A SCRIPT by
+    * [[graft.ops.SqlScript]], twice (FULL_LOAD then DELTA). Oracle =
+    * q12's oracle VERBATIM: the script-driven target must be
+    * hash-identical to the Scala-protocol target — same semantics, two
+    * front doors. */
+  val q172 = Q("q172_sql_script_frontdoor",
+    (s, d) => scriptTwoRuns(s, d, "q172")._1,
+    q12.oracle)
+
+  /** q173 — script-driven AUDIT: the audit table the script's CALL
+    * (ref :331-341) appended across both runs. Matches q13's shape;
+    * load_start carries the full-micros rendering of the script's
+    * `v_start_timestamp` DECLARE/SET round-trip. */
+  val q173 = Q("q173_sql_script_audit",
+    (s, d) => scriptTwoRuns(s, d, "q173")._2,
+    Some(
+      s"""WITH $commonSql
+         |SELECT 'graft_fact_item_status' AS dag_name,
+         |       'fact_events' AS table_name, 'DW_FACT' AS layer,
+         |       'FULL_LOAD' AS load_type,
+         |       '$start.000000' AS load_start,
+         |       (SELECT count(*) FROM t1) AS inserted_count,
+         |       CAST(0 AS BIGINT) AS deleted_count,
+         |       '$keyExpr' AS key_expr
+         |UNION ALL
+         |SELECT 'graft_fact_item_status', 'fact_events', 'DW_FACT',
+         |       'DELTA', '$start.000000',
+         |       (SELECT count(*) FROM fresh),
+         |       (SELECT count(*) FROM t1, off WHERE cdc_ts > o),
+         |       '$keyExpr'""".stripMargin))
+
   /** q13 — the audit table after both runs (S10, A4/C4). */
   val q13 = Q("q13_audit_log",
     (s, d) => twoRuns(s, d, "q13")._2,
@@ -410,5 +559,5 @@ object LoadQueries {
     q127.oracle)
 
   val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127, q132, q152,
-    q163)
+    q163, q172, q173)
 }

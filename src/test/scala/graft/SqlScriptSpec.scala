@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.SqlScript
+import graft.queries.LoadQueries
+
+/** The whole-script SQL front door: template binding, statement
+  * grouping (IF/ELSE/END IF), variable scope + @@row_count, the
+  * COPY/TRUNCATE/DROP DDL lowering, CALL dispatch — and the headline
+  * guarantee that the script-driven load equals the Scala-protocol
+  * load bit for bit (q172 vs q12). */
+class SqlScriptSpec extends SparkSuite {
+
+  private def base(tag: String) = {
+    val p = s"/tmp/graft_sqlscript_spec/$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    p
+  }
+
+  test("bindTemplate replaces params and rejects holes") {
+    assert(SqlScript.bindTemplate(
+      "a {{params.x}} b {{ params.y }} c",
+      Map("x" -> "1", "y" -> "2")) == "a 1 b 2 c")
+    intercept[IllegalArgumentException] {
+      SqlScript.bindTemplate("{{params.missing}}", Map.empty)
+    }
+  }
+
+  test("stripComments preserves strings and backticks") {
+    val s = "SELECT '--not a comment' /* gone */ , `a--b` -- gone\nFROM t"
+    val out = SqlScript.stripComments(s)
+    assert(out.contains("'--not a comment'"))
+    assert(out.contains("`a--b`"))
+    assert(!out.contains("gone"))
+  }
+
+  test("DECLARE/SET/IF/@@row_count: variables thread through statements") {
+    val b = base("vars")
+    val t = s"$b/t"
+    spark.range(10).selectExpr("id", "id * 2 AS v")
+      .write.parquet(t)
+    val res = SqlScript.execute(spark,
+      """BEGIN
+        |DECLARE v_n int64;
+        |DECLARE v_mode string;
+        |SET v_mode = 'KEEP_SMALL';
+        |IF v_mode = 'KEEP_SMALL' THEN
+        |  DELETE FROM t WHERE id >= 7;
+        |ELSE
+        |  TRUNCATE TABLE t;
+        |END IF;
+        |SET v_n = (select @@row_count);
+        |END;""".stripMargin,
+      Map("t" -> t))
+    assert(res.vars("v_n") == Some("3"))
+    assert(spark.read.parquet(t).count() == 7)
+  }
+
+  test("ELSE branch executes when the condition is false; TRUNCATE counts removed rows") {
+    val b = base("elseb")
+    val t = s"$b/t"
+    spark.range(5).write.parquet(t)
+    val res = SqlScript.execute(spark,
+      """BEGIN
+        |DECLARE v_n int64;
+        |IF 1 = 2 THEN
+        |  DELETE FROM t WHERE id = 0;
+        |ELSE
+        |  TRUNCATE TABLE t;
+        |END IF;
+        |SET v_n = (select @@row_count);
+        |END;""".stripMargin,
+      Map("t" -> t))
+    assert(res.vars("v_n") == Some("5"))
+    assert(spark.read.parquet(t).count() == 0)
+    // schema survives truncation (schema-bearing empty table)
+    assert(spark.read.parquet(t).columns.toSeq == Seq("id"))
+  }
+
+  test("CREATE OR REPLACE TABLE … COPY clones bytes; DROP removes") {
+    val b = base("copy")
+    val src = s"$b/src"
+    val dst = s"$b/dst"
+    spark.range(100).selectExpr("id", "id % 7 AS g").write.parquet(src)
+    SqlScript.execute(spark,
+      """BEGIN
+        |CREATE OR REPLACE TABLE `p.d.dst` COPY `p.d.src`;
+        |END;""".stripMargin,
+      Map("src" -> src, "dst" -> dst))
+    assertSameRows(spark.read.parquet(src), spark.read.parquet(dst))
+    SqlScript.execute(spark, "BEGIN DROP TABLE dst; END;",
+      Map("src" -> src, "dst" -> dst))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst)))
+  }
+
+  test("DELETE NULL-predicate rows survive (SQL DELETE removes only TRUE)") {
+    val b = base("nullpred")
+    val t = s"$b/t"
+    spark.createDataFrame(
+      java.util.List.of[Row](Row(1L, java.lang.Long.valueOf(5L)),
+        Row(2L, null), Row(3L, java.lang.Long.valueOf(1L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))).write.parquet(t)
+    val res = SqlScript.execute(spark,
+      "BEGIN DELETE FROM t WHERE x > 3; DECLARE v_n int64; " +
+        "SET v_n = (select @@row_count); END;",
+      Map("t" -> t))
+    assert(res.vars("v_n") == Some("1"))
+    assert(spark.read.parquet(t).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("timestamp variables round-trip with full microseconds") {
+    val res = SqlScript.execute(spark,
+      """BEGIN
+        |DECLARE v_ts timestamp;
+        |DECLARE v_s string;
+        |SET v_ts = CAST('2024-03-01 10:20:30.123456' AS timestamp);
+        |SET v_s = CAST(v_ts AS STRING);
+        |END;""".stripMargin,
+      Map.empty)
+    assert(res.vars("v_ts") == Some("2024-03-01 10:20:30.123456"))
+    assert(res.vars("v_s") == Some("2024-03-01 10:20:30.123456"))
+  }
+
+  test("CALL dispatches typed args to a bound procedure") {
+    var got: Seq[Any] = Nil
+    SqlScript.execute(spark,
+      """BEGIN
+        |DECLARE v_n int64;
+        |SET v_n = 42;
+        |CALL p('hello', v_n, 7);
+        |END;""".stripMargin,
+      Map.empty, Map("p" -> (args => got = args)))
+    assert(got == Seq("hello", 42L, 7L))
+  }
+
+  test("unsupported statements and unbound tables throw") {
+    intercept[IllegalArgumentException] {
+      SqlScript.execute(spark, "BEGIN GRANT ALL ON x TO y; END;", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      SqlScript.execute(spark, "BEGIN DROP TABLE nope; END;", Map.empty)
+    }
+  }
+
+  test("script-driven load equals the Scala-protocol load (q172 == q12, q173 counts)") {
+    val viaScript = LoadQueries.q172.run(spark, sf)
+    val viaProtocol = LoadQueries.q12.run(spark, sf)
+    assertSameRows(viaScript, viaProtocol)
+    val audit = LoadQueries.q173.run(spark, sf)
+      .orderBy(col("load_type"))
+      .select("load_type", "inserted_count", "deleted_count").collect()
+    assert(audit.length == 2)
+    val protAudit = LoadQueries.q13.run(spark, sf)
+      .orderBy(col("load_type"))
+      .select("load_type", "inserted_count", "deleted_count").collect()
+    assert(audit.map(_.toString).toSeq == protAudit.map(_.toString).toSeq)
+  }
+}
