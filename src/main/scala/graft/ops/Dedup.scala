@@ -308,14 +308,16 @@ object Dedup {
           col("rep") === col("rv"), "left")
         .select(col("v"),
           least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"))
-    // Lineage MUST be truncated every round (eager localCheckpoint →
+    // Lineage MUST be truncated every round (Checkpoints.truncate →
     // a materialized leaf): the jump self-joins reference the previous
     // round's plan ~4×, so without truncation the logical tree grows
     // ~4^rounds and ANALYSIS itself OOMs — the classic iterative-plan
-    // blowup. (A fault-tolerant cluster deployment would use
-    // checkpoint() with a checkpoint dir instead; same structure.)
+    // blowup. Executor-local by default; a fault-tolerant cluster
+    // deployment enables Checkpoints.enableReliable to survive
+    // executor loss mid-build.
     var labels = sym.select(col("v")).distinct()
-      .select(col("v"), col("v").as("rep")).localCheckpoint(true)
+      .select(col("v"), col("v").as("rep"))
+      .transform(Checkpoints.truncate(_, eager = true))
     var prevSum = labels.agg(sum(col("rep"))).first().getLong(0)
     var converged = false
     var i = 0
@@ -326,7 +328,7 @@ object Dedup {
       val prop = labels.join(nmin, Seq("v"), "left")
         .select(col("v"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      val next = jump(jump(prop)).localCheckpoint(true)
+      val next = Checkpoints.truncate(jump(jump(prop)), eager = true)
       val s = next.agg(sum(col("rep"))).first().getLong(0)
       labels = next
       converged = s == prevSum

@@ -119,4 +119,38 @@ object GraphIndex {
       bucketCols: Seq[String]): DataFrame =
     KnnGraph.search(vecs, readEdges(spark, path), queryId, beam, topK,
       bucketCols)
+
+  /** Ensure a LAYERED index ([[KnnGraph.buildLayers]] — true HNSW
+    * hierarchy, one (u, v, layer) relation) at `path`: same stamped
+    * meta protocol as [[ensure]], with the layer geometry folded into
+    * the meta so a parameter change forces the rebuild. */
+  def ensureLayered(spark: SparkSession, path: String, vecs: DataFrame,
+      k: Int, rounds: Int, bucketCols: Seq[String], levelMod: Long,
+      levels: Int, stamp: String): Unit = {
+    recover(spark, path)
+    val fs = fsOf(spark, path)
+    val metaP = new Path(s"$path/meta.json")
+    val want = s"""{"stamp":"$stamp","k":$k,"rounds":$rounds,""" +
+      s""""buckets":"${bucketCols.mkString(",")}",""" +
+      s""""levelMod":$levelMod,"levels":$levels}"""
+    val have =
+      if (!fs.exists(metaP)) ""
+      else {
+        val in = fs.open(metaP)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+    if (have == want && fs.exists(new Path(edgePath(path)))) return
+    fs.delete(metaP, false)
+    KnnGraph.buildLayers(vecs, k, rounds, bucketCols, levelMod, levels)
+      .write.mode("overwrite").parquet(edgePath(path))
+    val out = fs.create(metaP, true)
+    try out.write(want.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Greedy-descent search over the STORED layered relation. */
+  def searchLayered(spark: SparkSession, path: String, vecs: DataFrame,
+      queryId: Long, beam: Int, topK: Int, levelMod: Long,
+      levels: Int): DataFrame =
+    KnnGraph.searchLayers(vecs, readEdges(spark, path), queryId, beam,
+      topK, levelMod, levels)
 }

@@ -79,8 +79,10 @@ object KnnGraph {
     * sign-bucket init plus `rounds` NN-Descent refinement passes.
     * Returns edges (u, v), ≤ k per u.
     *
-    * Each round ends in `localCheckpoint()` (the connected-components
-    * lesson, `Dedup.connectedComponents`): every round references its
+    * Each round ends in [[Checkpoints.truncate]] (executor-local by
+    * default; reliable against a checkpoint dir when the deployment
+    * enables it — the connected-components lesson,
+    * `Dedup.connectedComponents`): every round references its
     * predecessor ~5× (symmetrize reads it twice, the candidate join
     * reads the symmetrized form twice, the union reads it again), and
     * Spark shares no common logical subplans — left lazy, each
@@ -99,7 +101,7 @@ object KnnGraph {
           col(s"a.$c") === col(s"b.$c") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
     }.reduce(_ unionByName _).distinct()
-    val init = topKPerNode(score(cand0, vecs), k).localCheckpoint(eager = false)
+    val init = Checkpoints.truncate(topKPerNode(score(cand0, vecs), k), eager = false)
     (1 to rounds).foldLeft(init) { (g, _) =>
       val sym = symmetrize(g)
       val cand = sym.as("e1").join(sym.as("e2"), col("e1.v") === col("e2.u"))
@@ -107,7 +109,7 @@ object KnnGraph {
         .filter(col("u") =!= col("v"))
         .unionByName(g)
         .distinct()
-      topKPerNode(score(cand, vecs), k).localCheckpoint(eager = false)
+      Checkpoints.truncate(topKPerNode(score(cand, vecs), k), eager = false)
     }
   }
 
@@ -147,9 +149,70 @@ object KnnGraph {
     // symmetrized edge cache can be released NOW — search is called
     // many times per session (q153 audits, registry runs) and leaked
     // MEMORY_AND_DISK blocks otherwise accumulate for its lifetime.
-    val out = ranked.localCheckpoint(eager = true)
+    val out = Checkpoints.truncate(ranked, eager = true)
     sym.unpersist()
     out
+  }
+
+  /** LAYERED (hierarchical) graph — true HNSW layering: layer 0 is
+    * the full k-NN graph; layer ℓ is a k-NN graph over the
+    * deterministic 1/levelMod^ℓ node sample (`vec_id % levelMod^ℓ =
+    * 0` — the hash-sample analog of HNSW's geometric level draw,
+    * deterministic so a DuckDB oracle replays it). Returns one edge
+    * relation (u, v, layer).
+    *
+    * Scale shape: total build cost is a geometric series ≈
+    * build(N)·levelMod/(levelMod−1) — the hierarchy costs ~11% extra
+    * at levelMod=10 — and search depth becomes O(log N) layers of one
+    * bounded join each, vs the flat graph's fixed-hop beam whose
+    * entry stage scans a whole hash bucket (~N/2^bits). */
+  def buildLayers(vecs: DataFrame, k: Int, rounds: Int = 1,
+      bucketCols: Seq[String] = Seq("sb"), levelMod: Long = 10L,
+      levels: Int = 2): DataFrame =
+    (0 to levels).map { l =>
+      val mod = math.pow(levelMod.toDouble, l.toDouble).toLong
+      build(vecs.filter(col("vec_id") % mod === 0), k, rounds, bucketCols)
+        .withColumn("layer", lit(l))
+    }.reduce(_ unionByName _)
+
+  /** Greedy descent over a layered graph: score ALL top-layer nodes
+    * (the top layer is O(N/levelMod^levels) — tiny by construction),
+    * keep a beam, then per layer expand the beam one hop through that
+    * layer's undirected edges and re-beam; layer 0 expands twice and
+    * reranks. Depth = `levels` + 2 bounded joins, each ≤
+    * beam·(2k+1) candidates — no bucket scan, no fixed wide frontier.
+    * The query node itself may ride the beam (it is its own best
+    * entry); only the final rerank excludes it. */
+  def searchLayers(vecs: DataFrame, layered: DataFrame, queryId: Long,
+      beam: Int, topK: Int, levelMod: Long = 10L,
+      levels: Int = 2): DataFrame = {
+    val q = vecs.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    def scored(cand: DataFrame): DataFrame =
+      cand.join(vecs, "vec_id").crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.functions.CosineScaled(col("embedding"), col("qe"))
+            .as("cosine"))
+    def beamOf(cand: DataFrame, width: Int): DataFrame =
+      scored(cand).orderBy(col("cosine").desc, col("vec_id"))
+        .limit(width).select(col("vec_id"))
+    val topMod = math.pow(levelMod.toDouble, levels.toDouble).toLong
+    val entryTop = beamOf(
+      vecs.filter(col("vec_id") % topMod === 0).select(col("vec_id")), beam)
+    def hopIn(l: Int)(f: DataFrame): DataFrame = {
+      val sym = symmetrize(layered.filter(col("layer") === l)
+        .select(col("u"), col("v")))
+      f.unionByName(
+        f.as("f").join(sym.as("s"), col("f.vec_id") === col("s.u"))
+          .select(col("s.v").as("vec_id"))).distinct()
+    }
+    val entry0 = (levels - 1 to 1 by -1).foldLeft(entryTop) { (entry, l) =>
+      beamOf(hopIn(l)(entry), beam)
+    }
+    // layer 0: two hops from the descended beam, one exact rerank
+    val candidates = hopIn(0)(hopIn(0)(entry0))
+    scored(candidates.filter(col("vec_id") =!= queryId))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
   }
 
   /** Incrementally maintain a k-NN graph when a delta of new vectors
@@ -194,6 +257,6 @@ object KnnGraph {
     val histCand = bucketPairs(hist, delta)
       .unionByName(base.select(col("u"), col("v"))).distinct()
     val updated = topKPerNode(score(histCand, all), k)
-    updated.unionByName(newEdges).localCheckpoint(eager = false)
+    Checkpoints.truncate(updated.unionByName(newEdges), eager = false)
   }
 }

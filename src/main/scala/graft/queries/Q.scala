@@ -40,6 +40,7 @@ object Q {
     "q131_observed_metrics", // observed full-table copy
     "q138_persistent_ann_index", // builds + appends the stored index
     "q170_persistent_graph_index", // builds + swaps the stored graph
+    "q175_layered_graph_search", // builds + stamps the layered store
     "q145_xml_roundtrip", // rewrites the XML scratch copy
     "q150_ann_recall", // builds its own stored index to audit
     "q152_sql_delete_frontdoor", // rewrites its scratch table via SQL

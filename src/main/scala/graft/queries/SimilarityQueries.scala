@@ -970,6 +970,29 @@ object SimilarityQueries {
     * when cached and re-registers after a clearCache (the bench
     * clears between timed runs — each run still pays its own
     * materialization). */
+  /** Data-generation + code-generation stamp for the stored graph
+    * indexes (q170/q175): source path, content length and max mtime
+    * via Hadoop FileSystem (works for any FS and for directory-shaped
+    * parquet, where java.io.File length/mtime silently read 0), plus
+    * the graph parameters the index meta's own fields don't capture
+    * (graphBits shapes the bucket VALUES, not the bucket column
+    * names) and a format-version constant. A testdata refresh or a
+    * constant change forces the rebuild; anything else reuses the
+    * stored index — the amortization a persistent index exists for. */
+  private def dataStamp(s: SparkSession, d: String): String = {
+    val srcP = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(srcP)
+    val (len, mtime) =
+      if (st.isDirectory) {
+        val kids = fs.listStatus(srcP).filter(_.isFile)
+        (kids.map(_.getLen).sum,
+          if (kids.isEmpty) st.getModificationTime
+          else kids.map(_.getModificationTime).max)
+      } else (st.getLen, st.getModificationTime)
+    s"$d:$len:$mtime:bits=$graphBits:fmt=2"
+  }
+
   private val graphVecsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def graphVecs(s: SparkSession, d: String): DataFrame = {
@@ -1524,26 +1547,7 @@ object SimilarityQueries {
       val idx = s"/tmp/graft_graph_index/$tag"
       val vecs = graphVecs(s, d)
       val isDelta = (col("vec_id") % graphDeltaMod) >= graphDeltaFrom
-      // stamp = data generation + code generation: source path,
-      // content length and max mtime via Hadoop FileSystem (works for
-      // any FS and for directory-shaped parquet, where java.io.File
-      // length/mtime silently read 0), plus the graph parameters the
-      // meta's (k, rounds, buckets) fields don't capture (graphBits
-      // shapes the bucket VALUES, not the bucket column names) and a
-      // format-version constant. A testdata refresh or a constant
-      // change forces the rebuild; anything else reuses the stored
-      // index (that amortization is what q170 demonstrates).
-      val srcP = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val fs = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(srcP)
-      val (len, mtime) =
-        if (st.isDirectory) {
-          val kids = fs.listStatus(srcP).filter(_.isFile)
-          (kids.map(_.getLen).sum,
-            if (kids.isEmpty) st.getModificationTime
-            else kids.map(_.getModificationTime).max)
-        } else (st.getLen, st.getModificationTime)
-      val stamp = s"$d:$len:$mtime:bits=$graphBits:fmt=2"
+      val stamp = dataStamp(s, d)
       graft.ops.GraphIndex.ensure(s, idx, vecs, isDelta, graphK,
         graphRounds, bc, stamp)
       graft.ops.GraphIndex.search(s, idx, vecs, queryVecId, graphBeam,
@@ -1552,7 +1556,185 @@ object SimilarityQueries {
     Some(s"WITH $graphCorpusSql,\n$graphMaintSqlCtes,\n" +
       graphSearchSql("maint")))
 
+  /** q174 — BATCH-QUERY RETRIEVAL: the production serving shape.
+    * q23/q56/q68/q165/q167/q169 all serve exactly ONE query vector via
+    * a 1-row broadcast; a retrieval system serves a query SET — here
+    * every vec_id % $batchQMod = 0 (the sampled query batch — 20 queries at sf0.1) gets its
+    * own IVF-probed top-$topK in ONE dataflow:
+    *
+    *  - coarse, per (cell, query): centroid cosine, window-ranked to
+    *    the best $probes cells PER QUERY — the probe set is a small
+    *    (|Q|·probes)-row relation, broadcastable;
+    *  - fine: corpus ⋈ probe-set on the cell id (an equi join — each
+    *    corpus row fans out only to the queries that probed its cell,
+    *    ≈ N·|Q|·probes/C scored pairs, never corpus × |Q|), exact
+    *    cosine, rank-bounded top-k per query via one window.
+    *
+    * No cartesian anywhere: the only corpus-sized input enters one
+    * broadcast-hash equi join keyed on the cell. At 100 TB the corpus
+    * is partitioned by cell id, so the probe join doubles as partition
+    * pruning, and |Q| scales to millions because per-query state is
+    * probes + k rows — this is exactly the batch (offline) serving
+    * layout. Self-matches excluded per query. */
+  val q174 = {
+    val batchQMod = 100L
+    Q("q174_batch_retrieval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = intVecs(s, d)
+          .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val qs = e.filter(col("vec_id") % batchQMod === 0)
+          .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
+            col("nrm").as("qnrm"))
+        // coarse stage over exploded dims (integer centroids, q24's
+        // quantizer: the stored `label` cell)
+        val dims = e.select(col("vec_id"), col("label"),
+            posexplode(col("iv")))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+        val cent = dims.groupBy(col("label"), col("p"))
+          .agg(round(sum(col("x")).cast("double") / count(lit(1)))
+            .cast("bigint").as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cnrm = cent.groupBy(col("label"))
+          .agg(sum(col("c") * col("c")).cast("double").as("cnrm"))
+        val qdims = qs.select(col("query_id"), posexplode(col("qiv")))
+          .withColumnRenamed("pos", "qp").withColumnRenamed("col", "qx")
+        val cdot = cent.join(broadcast(qdims), col("p") === col("qp"))
+          .groupBy(col("label"), col("query_id"))
+          .agg(sum(col("c") * col("qx")).cast("double").as("cdot"))
+        val cellW = Window.partitionBy(col("query_id"))
+          .orderBy(col("cscore").desc, col("label"))
+        val cells = cdot.join(cnrm, "label")
+          .join(broadcast(qs.select(col("query_id"), col("qnrm"))),
+            "query_id")
+          .select(col("query_id"), col("label"),
+            (col("cdot") / sqrt(col("cnrm") * col("qnrm"))).as("cscore"))
+          .withColumn("rn", row_number().over(cellW))
+          .filter(col("rn") <= probes)
+          .select(col("query_id"), col("label"))
+        // fine stage: ONE equi join corpus ⋈ probe-set on the cell
+        val rankW = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        e.join(broadcast(cells), "label")
+          .filter(col("vec_id") =!= col("query_id"))
+          .join(broadcast(qs), "query_id")
+          .select(col("query_id"), col("vec_id"),
+            Similarity.cosineFrom(col("iv"), col("qiv"),
+              col("nrm"), col("qnrm")).as("cosine"))
+          .withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= topK)
+          .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+            col("vec_id"), col("cosine"))
+      },
+      Some(
+        s"""WITH iv AS ($intVecsSql),
+           |n AS (SELECT *, CAST(list_aggregate(list_transform(iv,
+           |        x -> x * x), 'sum') AS DOUBLE) AS nrm FROM iv),
+           |q AS (SELECT vec_id AS query_id, iv AS qiv, nrm AS qnrm
+           |      FROM n WHERE vec_id % $batchQMod = 0),
+           |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+           |dims AS (SELECT vec_id, label, p, iv[p] AS x FROM iv, pos),
+           |cent AS (SELECT label, p,
+           |           CAST(round(CAST(sum(x) AS DOUBLE) / count(*))
+           |             AS BIGINT) AS c
+           |         FROM dims GROUP BY 1, 2),
+           |cnrm AS (SELECT label, CAST(sum(c * c) AS DOUBLE) AS cnrm
+           |         FROM cent GROUP BY 1),
+           |qdims AS (SELECT query_id, p AS qp, qiv[p] AS qx
+           |          FROM q, pos),
+           |cdot AS (SELECT c.label, d.query_id,
+           |           CAST(sum(c.c * d.qx) AS DOUBLE) AS cdot
+           |         FROM cent c JOIN qdims d ON c.p = d.qp GROUP BY 1, 2),
+           |cells AS (SELECT query_id, label FROM (
+           |    SELECT t.query_id, t.label,
+           |      row_number() OVER (PARTITION BY t.query_id
+           |        ORDER BY t.cdot / sqrt(n.cnrm * q.qnrm) DESC, t.label)
+           |        AS rn
+           |    FROM cdot t JOIN cnrm n USING (label)
+           |      JOIN q ON q.query_id = t.query_id) WHERE rn <= $probes)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+           |FROM (
+           |  SELECT c.query_id, a.vec_id,
+           |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+           |      i -> a.iv[i] * q.qiv[i]), 'sum') AS DOUBLE)
+           |      / sqrt(a.nrm * q.qnrm) AS cosine,
+           |    row_number() OVER (PARTITION BY c.query_id
+           |      ORDER BY CAST(list_aggregate(list_transform(
+           |          generate_series(1, 64), i -> a.iv[i] * q.qiv[i]),
+           |          'sum') AS DOUBLE) / sqrt(a.nrm * q.qnrm) DESC,
+           |        a.vec_id) AS rank
+           |  FROM n a JOIN cells c ON a.label = c.label
+           |    JOIN q ON q.query_id = c.query_id
+           |  WHERE a.vec_id <> c.query_id)
+           |WHERE rank <= $topK""".stripMargin))
+  }
+
+  private val layerMod = 10L
+  private val layerLevels = 2
+
+  /** q175 — LAYERED GRAPH SEARCH over a STORED index (true HNSW
+    * hierarchy): [[graft.ops.KnnGraph.buildLayers]] persists one
+    * (u, v, layer) relation — layer 0 the full graph, layer ℓ a graph
+    * over the deterministic 1/$layerMod^ℓ node sample — and search
+    * greedy-descends: score the (tiny) top layer outright, then one
+    * bounded hop + re-beam per layer, two hops + exact rerank at
+    * layer 0. Depth is O(log N) layers where q165's flat search pays
+    * a bucket scan (~N/2^bits entry candidates) + fixed 2-hop
+    * frontier; here the entry stage scores N/$layerMod^$layerLevels
+    * nodes and each descent step ≤ beam·(2k+1). Same stamped stored
+    * lifecycle as q170 (repeat runs reuse the store). The oracle
+    * replays every layer's construction chain and the full descent —
+    * hash-green pins hierarchy + descent end to end. */
+  val q175 = Q("q175_layered_graph_search",
+    (s, d) => {
+      val tag = java.nio.file.Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"/tmp/graft_graph_index_layered/$tag"
+      val vecs = graphVecs(s, d)
+      graft.ops.GraphIndex.ensureLayered(s, idx, vecs, graphK,
+        graphRounds, Seq("sb1", "sb2"), layerMod, layerLevels,
+        dataStamp(s, d))
+      graft.ops.GraphIndex.searchLayered(s, idx, vecs, queryVecId,
+        graphBeam, topK, layerMod, layerLevels)
+    },
+    Some {
+      val topMod = math.pow(layerMod.toDouble, layerLevels.toDouble).toLong
+      s"""WITH $graphCorpusSql,
+         |${graphChainSql("n", "")},
+         |nx1 AS MATERIALIZED (SELECT * FROM n WHERE vec_id % $layerMod = 0),
+         |${graphChainSql("nx1", "x1")},
+         |q AS (SELECT iv AS qiv, nrm AS qnrm FROM n
+         |      WHERE vec_id = $queryVecId),
+         |ent2 AS (SELECT vec_id FROM (
+         |    SELECT a.vec_id,
+         |      row_number() OVER (ORDER BY ${cosQSql("a")} DESC, a.vec_id)
+         |        AS rn
+         |    FROM n a, q WHERE a.vec_id % $topMod = 0)
+         |  WHERE rn <= $graphBeam),
+         |symr1 AS (SELECT u, v FROM refx1
+         |          UNION SELECT v AS u, u AS v FROM refx1),
+         |c1 AS (SELECT vec_id FROM ent2
+         |       UNION SELECT s.v FROM ent2 e JOIN symr1 s ON e.vec_id = s.u),
+         |ent1 AS (SELECT vec_id FROM (
+         |    SELECT a.vec_id,
+         |      row_number() OVER (ORDER BY ${cosQSql("a")} DESC, a.vec_id)
+         |        AS rn
+         |    FROM n a JOIN c1 USING (vec_id), q)
+         |  WHERE rn <= $graphBeam),
+         |symr0 AS (SELECT u, v FROM ref
+         |          UNION SELECT v AS u, u AS v FROM ref),
+         |h1 AS (SELECT vec_id FROM ent1
+         |       UNION SELECT s.v FROM ent1 e JOIN symr0 s ON e.vec_id = s.u),
+         |h2 AS (SELECT vec_id FROM h1
+         |       UNION SELECT s.v FROM h1 e JOIN symr0 s ON e.vec_id = s.u)
+         |SELECT a.vec_id, ${cosQSql("a")} AS cosine
+         |FROM n a JOIN h2 USING (vec_id), q
+         |WHERE a.vec_id <> $queryVecId
+         |ORDER BY cosine DESC, a.vec_id LIMIT $topK""".stripMargin
+    })
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
-      q164, q165, q166, q167, q168, q169, q170, q171)
+      q164, q165, q166, q167, q168, q169, q170, q171, q174, q175)
 }

@@ -184,6 +184,50 @@ class KnnGraphSpec extends SparkSuite {
     assert(scores.forall(s => s > 0 && s <= 2 * math.round(1e12 / 61)))
   }
 
+  test("q174 batch retrieval: per-query ranks, no self-match, and the batch path equals the single-query IVF path") {
+    val out = SimilarityQueries.q174.run(spark, sf)
+    val perQ = out.groupBy("query_id").count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == 10))
+    assert(out.filter(col("vec_id") === col("query_id")).count() == 0)
+    val ranks = out.filter(col("query_id") === 0L)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(ranks == (1L to 10L))
+    // the batch dataflow must reproduce q24's single-query IVF result
+    // for the query they share (same quantizer, probes, k)
+    val batch0 = out.filter(col("query_id") === 0L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val single = SimilarityQueries.q24.run(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batch0 == single,
+      s"batch != single for query 0: ${batch0.diff(single)} vs ${single.diff(batch0)}")
+  }
+
+  test("q175 layered search: 10 descending hits, recall >= flat search") {
+    val out = SimilarityQueries.q175.run(spark, sf).collect()
+    assert(out.length == 10)
+    val cosines = out.map(_.getDouble(1)).toSeq
+    assert(cosines == cosines.sorted.reverse)
+    // recall@10 vs brute truth, layered must not lose to the flat
+    // 2-hop search (the hierarchy exists to match recall at less work)
+    val e = Catalog.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    val brute = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.CosineScaled(col("embedding"), col("qe"))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val layered = out.map(_.getLong(0)).toSet
+    val flat = SimilarityQueries.q165.run(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rLayered = layered.intersect(brute).size
+    val rFlat = flat.intersect(brute).size
+    assert(rLayered >= rFlat,
+      s"layered recall $rLayered must be >= flat recall $rFlat")
+  }
+
   test("q165 search returns topK ranked hits consistent with its own rerank") {
     val out = SimilarityQueries.q165.run(spark, sf).collect()
     assert(out.length == 10)
