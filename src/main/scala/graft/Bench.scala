@@ -35,6 +35,34 @@ object Bench {
     *    diagnosable from the driver artifact alone (VERDICT r6 #8).
     * The DETAIL stdout line above it keeps full names + ms precision
     * for humans. */
+  /** Recorded DuckDB-oracle yardstick (ORACLE_BENCH.json, written by
+    * tools/bench_oracle.py): the sum of oracle seconds over exactly
+    * the TIMED query names (plus the shared `_fixture:` rebuild
+    * entries the BPE oracles amortize into), so the spark-vs-oracle
+    * ratio is computable from the driver's bench artifact alone
+    * (VERDICT r8 #1). None when the file is absent or records a
+    * different scale factor than this run's. */
+  private[graft] def oracleTimedSec(timedNames: Seq[String], sfDir: String,
+      dir: String = "."): Option[Double] = {
+    try {
+      val p = java.nio.file.Paths.get(dir, "ORACLE_BENCH.json")
+      if (!java.nio.file.Files.exists(p)) return None
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val sfRec = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(text)
+        .map(_.group(1)).getOrElse("")
+      if (new java.io.File(sfDir).getName != new java.io.File(sfRec).getName)
+        return None
+      val entries = """"((?:q|_fixture:)[^"]+)":\s*(-?[0-9.]+)""".r
+        .findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val wanted = timedNames.toSet
+      val sum = entries.collect {
+        case (n, v) if v > 0 && (n.startsWith("_fixture:") || wanted(n)) => v
+      }.sum
+      if (sum > 0) Some(sum) else None
+    } catch { case _: Throwable => None }
+  }
+
   def compactLine(results: Seq[(String, Double)], sfDir: String,
       stats: Map[String, RunStats] = Map.empty,
       trailing: Map[String, Double] = Map.empty): String = {
@@ -72,9 +100,16 @@ object Bench {
       .map { case (k, x) => "\"" + k.takeWhile(_ != '_') + "\":" + x }
       .mkString("{", ",", "}")
     val sfShort = new java.io.File(sfDir).getName
+    val oracleField = oracleTimedSec(results.map(_._1), sfDir) match {
+      case Some(o) if total > 0 =>
+        s""""oracle_timed_sec":${r3(o)},""" +
+          s""""spark_vs_oracle":${BigDecimal(total / o).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP)},"""
+      case _ => ""
+    }
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
-      s""""queries":$heavy,"qcs":"$qcs","top":$top,"env":$env,""" +
-      s""""note":"queries=those >=0.95s; qcs=centisec per query in name-sorted registry order (CORRECTNESS order); top={cs,shuffle MB,driver GC ms}; env=time/trailing-median for queries >2x it (likely container noise)","sf":"$sfShort"}"""
+      s"""$oracleField"queries":$heavy,"qcs":"$qcs","top":$top,"env":$env,""" +
+      s""""note":"queries=those >=0.95s; qcs=centisec per query, name-sorted (CORRECTNESS order); top={cs,shuffle MB,GC ms}; env=time/trailing-median >2x (container noise); oracle_timed_sec=recorded DuckDB yardstick (ORACLE_BENCH.json) over the timed set","sf":"$sfShort"}"""
   }
 
   /** Trailing per-query time medians from prior rounds' driver

@@ -246,14 +246,20 @@ object SqlScript {
       s"unbound table in script: $name (bound: ${ctx.tables.keys.mkString(", ")})"))
   }
 
-  /** (Re-)register every bound table that exists as a temp view, and
-    * drop views of tables that no longer exist — statements see
-    * post-mutation state. */
-  private def registerBound(ctx: Ctx): Unit =
+  /** (Re-)register the bound tables a statement actually REFERENCES
+    * as temp views (and drop stale views of dropped tables) —
+    * statements see post-mutation state. Scoped to the statement text
+    * because each registration is a parquet footer read: a script has
+    * many statements and few table references, and re-registering the
+    * whole binding per statement was measurable protocol overhead. */
+  private def registerBound(ctx: Ctx, stmtText: String): Unit =
     ctx.tables.foreach { case (name, path) =>
-      if (ctx.fs(path).exists(new Path(path)))
-        ctx.spark.read.parquet(path).createOrReplaceTempView(name)
-      else ctx.spark.catalog.dropTempView(name)
+      if (("(?i)(?<![A-Za-z0-9_])" + Regex.quote(name) +
+          "(?![A-Za-z0-9_])").r.findFirstIn(stmtText).isDefined) {
+        if (ctx.fs(path).exists(new Path(path)))
+          ctx.spark.read.parquet(path).createOrReplaceTempView(name)
+        else ctx.spark.catalog.dropTempView(name)
+      }
     }
 
   // ------------------------------------------------------------ publish
@@ -289,7 +295,7 @@ object SqlScript {
 
   private def exec(ctx: Ctx, node: Node): Unit = node match {
     case IfNode(cond, t, e) =>
-      registerBound(ctx)
+      registerBound(ctx, cond)
       val b = ctx.spark
         .sql(s"SELECT coalesce((${subst(ctx, cond)}), FALSE)")
         .first().getBoolean(0)
@@ -317,7 +323,7 @@ object SqlScript {
     case setRe(name, expr) =>
       val v = ctx.vars.getOrElse(name.toLowerCase,
         throw new IllegalArgumentException(s"SET of undeclared variable $name"))
-      registerBound(ctx)
+      registerBound(ctx, expr)
       // render through SQL so the stored string round-trips as a typed
       // literal: timestamps keep full micros, ints/doubles normalize
       val rendering = v.sqlType match {
@@ -383,7 +389,7 @@ object SqlScript {
       ctx.rowCount = total - kept
 
     case t if t.matches("(?is)^INSERT\\b.*") =>
-      registerBound(ctx)
+      registerBound(ctx, t)
       ctx.rowCount = SqlMutations.insert(ctx.spark, subst(ctx, t),
         name => pathFor(ctx, name))
 

@@ -78,4 +78,17 @@ class BenchLineSpec extends SparkSuite {
     SparkEntry.registry.filter(q => queries.Q.benchExcluded(q.name))
       .foreach(q => assert(q.oracle.nonEmpty, s"${q.name} has no oracle"))
   }
+
+  test("oracle yardstick attaches for the recorded sf only, over the timed set") {
+    val timed = SparkEntry.registry.map(_.name)
+      .filterNot(queries.Q.benchExcluded)
+    val at01 = Bench.oracleTimedSec(timed, "/root/testdata/sf0.1")
+    assert(at01.exists(_ > 0), "recorded sf0.1 yardstick must attach")
+    // excluding the audit queries must shrink the sum vs the full set
+    val full = Bench.oracleTimedSec(SparkEntry.registry.map(_.name),
+      "/root/testdata/sf0.1")
+    assert(full.exists(f => at01.exists(t => t < f)))
+    assert(Bench.oracleTimedSec(timed, "/root/testdata/sf0.01").isEmpty,
+      "yardstick recorded at sf0.1 must not attach to an sf0.01 run")
+  }
 }
