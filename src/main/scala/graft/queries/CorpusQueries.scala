@@ -678,6 +678,101 @@ object CorpusQueries {
       })
   }
 
+  /** q176 — CROSS-DOC EXACT-SUBSTRING DEDUP (the EXACTSUBSTR shape
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): find every maximal token span that is covered
+    * by word $substrK-grams appearing in ≥ 2 DISTINCT documents — the
+    * operator that removes verbatim boilerplate/quotation overlap
+    * which document- (q18) and paragraph-level (q63) dedup cannot
+    * see. Suffix arrays are the single-machine formulation; the
+    * Spark-first reading is the inverted n-gram index:
+    *
+    *  1. normalize + tokenize (the q18 fingerprint normalization);
+    *  2. rolling $substrK-gram per position — a map-side generate;
+    *  3. grams in ≥2 docs via one groupBy on the gram (the inverted-
+    *     index shuffle — at 100 TB the key becomes xxhash64(gram),
+    *     kept as the string here for bit-exact oracle parity);
+    *  4. covered token positions = dup-gram starts × k offsets;
+    *  5. maximal spans via gaps-and-islands (per-doc window).
+    *
+    * Output per affected doc: span count, duplicated-token count,
+    * total tokens — the removal ledger (the cleaned corpus is one
+    * `slice` away; counts make the hash check exact). Scale notes:
+    * every stage is keyed shuffle or per-doc window; ultra-common
+    * grams skew the dup-join — production salts that join or caps
+    * gram document-frequency (the q19 DF-cap precedent). */
+  val q176 = {
+    val substrK = 8
+    Q("q176_substring_dedup",
+      (s, d) => {
+        val toks = Catalog.documents(s, d)
+          .select(col("doc_id"),
+            split(normalizeText(col("text")), " ").as("w"))
+          .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val grams = toks.select(col("doc_id"),
+            posexplode(expr(
+              s"""CASE WHEN n >= $substrK
+                 |THEN transform(sequence(1, n - ${substrK - 1}),
+                 |  p -> array_join(slice(w, p, $substrK), ' '))
+                 |ELSE CAST(array() AS array<string>) END""".stripMargin)))
+          .select(col("doc_id"), (col("pos") + 1).as("p"),
+            col("col").as("gram"))
+        val dup = grams.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("gram"))
+        val covered = grams.join(dup, "gram")
+          .select(col("doc_id"),
+            explode(sequence(col("p"), col("p") + (substrK - 1))).as("t"))
+          .distinct()
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+        val spans = covered
+          .withColumn("newi",
+            when(col("t") - lag(col("t"), 1).over(w) === 1, 0).otherwise(1))
+          .withColumn("island", sum(col("newi")).over(w))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(count(lit(1)).as("span_len"))
+        spans.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_len")).as("n_dup_tokens"))
+          .join(toks.select(col("doc_id"), col("n")), "doc_id")
+          .select(col("doc_id"), col("n_spans"), col("n_dup_tokens"),
+            col("n").cast("bigint").as("n_tokens"))
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id,
+           |             string_split(${TextQueries.normSql}, ' ') AS w
+           |           FROM documents),
+           |tk AS (SELECT doc_id, w, len(w) AS n FROM t),
+           |g AS (SELECT doc_id, p,
+           |        list_aggregate(w[p:p + ${substrK - 1}], 'string_agg', ' ')
+           |          AS gram
+           |      FROM tk, unnest(generate_series(1, greatest(n - ${substrK - 1}, 0)))
+           |        AS u(p)),
+           |dup AS (SELECT gram FROM g GROUP BY gram
+           |        HAVING count(DISTINCT doc_id) >= 2),
+           |cov AS (SELECT DISTINCT s.doc_id, v.tt AS t
+           |        FROM (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)) s,
+           |             unnest(generate_series(s.p, s.p + ${substrK - 1}))
+           |               AS v(tt)),
+           |isl AS (SELECT doc_id, t,
+           |          CASE WHEN t - lag(t) OVER (PARTITION BY doc_id
+           |                                     ORDER BY t) = 1
+           |               THEN 0 ELSE 1 END AS newi
+           |        FROM cov),
+           |isl2 AS (SELECT doc_id,
+           |           sum(newi) OVER (PARTITION BY doc_id ORDER BY t)
+           |             AS island
+           |         FROM isl),
+           |spans AS (SELECT doc_id, island, count(*) AS span_len
+           |          FROM isl2 GROUP BY 1, 2)
+           |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(sum(sp.span_len) AS BIGINT) AS n_dup_tokens,
+           |  CAST(max(tk.n) AS BIGINT) AS n_tokens
+           |FROM spans sp JOIN tk ON sp.doc_id = tk.doc_id
+           |GROUP BY 1""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91, q93,
-    q99, q100, q140, q142, q143, q157)
+    q99, q100, q140, q142, q143, q157, q176)
 }

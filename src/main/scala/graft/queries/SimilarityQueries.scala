@@ -999,7 +999,7 @@ object SimilarityQueries {
     val df = graphVecsMemo.getOrElseUpdate((s, d), {
       val iv = Similarity.intVec(col("embedding"))
       Catalog.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), col("embedding"), col("label"),
           graft.ops.KnnGraph.signBucket(iv, graphBits).as("sb1"),
           graft.ops.KnnGraph.signBucket(iv, graphBits, graphBits).as("sb2"))
     })
@@ -1064,7 +1064,7 @@ object SimilarityQueries {
     * CTE precedes it — factored out so q168 can feed the dup-injected
     * corpus through the identical derivation. */
   private val graphNSql: String =
-    s"""n AS MATERIALIZED (SELECT vec_id, iv,
+    s"""n AS MATERIALIZED (SELECT vec_id, iv, label,
        |        CAST(list_aggregate(list_transform(iv, x -> x * x), 'sum')
        |          AS DOUBLE) AS nrm,
        |        list_aggregate(list_transform(generate_series(1, $graphBits),
@@ -1438,11 +1438,11 @@ object SimilarityQueries {
       },
       Some(
         s"""WITH RECURSIVE e AS (
-           |  SELECT vec_id, embedding FROM embeddings
+           |  SELECT vec_id, label, embedding FROM embeddings
            |  UNION ALL
-           |  SELECT vec_id + 100000, embedding FROM embeddings
+           |  SELECT vec_id + 100000, label, embedding FROM embeddings
            |  WHERE vec_id % 5 = 0),
-           |iv AS (SELECT vec_id,
+           |iv AS (SELECT vec_id, label,
            |         list_transform(embedding,
            |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
            |             AS BIGINT)) AS iv
@@ -1734,7 +1734,78 @@ object SimilarityQueries {
          |ORDER BY cosine DESC, a.vec_id LIMIT $topK""".stripMargin
     })
 
+  /** q177 — HARD-NEGATIVE MINING: the contrastive-training data prep
+    * (DPR/SimCSE recipe) — for every sampled anchor
+    * (vec_id % $graphAuditMod = 0), its best same-label neighbor (the
+    * positive) and the $negK highest-cosine DIFFERENT-label neighbors
+    * (the hard negatives: near in embedding space, wrong by label —
+    * exactly the pairs a contrastive loss learns most from; random
+    * negatives are trivially separable). Candidates come from the
+    * multi-table sign-bucket blocks (the q164 init key), so the pair
+    * set is Σ n_b² bounded — never anchors × corpus; scoring is two
+    * hash joins + one per-anchor window. Integer-scaled cosines keep
+    * the ranking bit-reproducible for the oracle replay. */
+  val q177 = {
+    val negK = 3
+    Q("q177_hard_negative_mining",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vecs = graphVecs(s, d)
+        val anchors = vecs.filter(col("vec_id") % graphAuditMod === 0)
+        val pairs = Seq("sb1", "sb2").map { c =>
+          anchors.as("a").join(vecs.as("b"),
+              col(s"a.$c") === col(s"b.$c") &&
+                col("a.vec_id") =!= col("b.vec_id"))
+            .select(col("a.vec_id").as("anchor_id"),
+              col("b.vec_id").as("cand_id"))
+        }.reduce(_ unionByName _).distinct()
+        val scored = pairs
+          .join(vecs.select(col("vec_id").as("anchor_id"),
+            col("label").as("alabel"), col("embedding").as("ea")),
+            "anchor_id")
+          .join(vecs.select(col("vec_id").as("cand_id"),
+            col("label").as("clabel"), col("embedding").as("eb")),
+            "cand_id")
+          .select(col("anchor_id"), col("cand_id"),
+            (col("alabel") === col("clabel")).as("same"),
+            graft.functions.CosineScaled(col("ea"), col("eb"))
+              .as("cosine"))
+        val w = Window.partitionBy(col("anchor_id"), col("same"))
+          .orderBy(col("cosine").desc, col("cand_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter((col("same") && col("rn") === 1) ||
+            (!col("same") && col("rn") <= negK))
+          .select(col("anchor_id"),
+            when(col("same"), lit("pos")).otherwise(lit("neg")).as("kind"),
+            col("rn").cast("bigint").as("rank"), col("cand_id"),
+            col("cosine"))
+      },
+      Some(
+        s"""WITH $graphCorpusSql,
+           |anch AS (SELECT * FROM n WHERE vec_id % $graphAuditMod = 0),
+           |pairs AS (SELECT DISTINCT a.vec_id AS anchor_id,
+           |            b.vec_id AS cand_id
+           |          FROM anch a JOIN n b
+           |            ON (a.sb1 = b.sb1 OR a.sb2 = b.sb2)
+           |              AND a.vec_id <> b.vec_id),
+           |sc AS (SELECT p.anchor_id, p.cand_id,
+           |         (na.label = nb.label) AS same,
+           |         ${cosSql("na", "nb")} AS cosine
+           |       FROM pairs p JOIN n na ON p.anchor_id = na.vec_id
+           |         JOIN n nb ON p.cand_id = nb.vec_id),
+           |rk AS (SELECT *, row_number() OVER (
+           |         PARTITION BY anchor_id, same
+           |         ORDER BY cosine DESC, cand_id) AS rn
+           |       FROM sc)
+           |SELECT anchor_id,
+           |  CASE WHEN same THEN 'pos' ELSE 'neg' END AS kind,
+           |  CAST(rn AS BIGINT) AS rank, cand_id, cosine
+           |FROM rk
+           |WHERE (same AND rn = 1) OR (NOT same AND rn <= $negK)"""
+          .stripMargin))
+  }
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
-      q164, q165, q166, q167, q168, q169, q170, q171, q174, q175)
+      q164, q165, q166, q167, q168, q169, q170, q171, q174, q175, q177)
 }

@@ -189,4 +189,21 @@ class CorpusStreamingSpec extends SparkSuite {
     assertSameRows(spark.table("corpus_clean"),
       clean(docs.toDF("doc_id", "text")))
   }
+
+  test("q176 substring dedup: spans are k-gram unions, counts consistent") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.CorpusQueries.q176.run(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "synthetic docs share 8-grams — output must be non-empty")
+    rows.foreach { r =>
+      val (spans, dup, total) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every span is a union of 8-token windows, so each has >= 8 tokens
+      assert(dup >= spans * 8, s"doc ${r.getLong(0)}: $spans spans but only $dup dup tokens")
+      assert(dup <= total, s"doc ${r.getLong(0)}: more dup tokens than tokens")
+    }
+    // duplicated coverage is symmetric-ish: a shared 8-gram marks BOTH
+    // docs, so at least two docs are affected
+    assert(rows.length >= 2)
+    assert(out.filter(col("n_spans") <= 0).count() == 0)
+  }
 }

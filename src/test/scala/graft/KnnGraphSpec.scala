@@ -228,6 +228,31 @@ class KnnGraphSpec extends SparkSuite {
       s"layered recall $rLayered must be >= flat recall $rFlat")
   }
 
+  test("q177 hard negatives: one positive, ranked negatives, labels honored") {
+    val out = SimilarityQueries.q177.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byAnchor = out.groupBy(_.getLong(0))
+    byAnchor.foreach { case (a, rows) =>
+      val pos = rows.filter(_.getString(1) == "pos")
+      val neg = rows.filter(_.getString(1) == "neg").sortBy(_.getLong(2))
+      assert(pos.length <= 1, s"anchor $a has ${pos.length} positives")
+      assert(neg.length <= 3)
+      assert(neg.map(_.getLong(2)).toSeq == (1L to neg.length))
+      // negatives ranked by descending cosine
+      val cosines = neg.map(_.getDouble(4)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+    // labels honored: a positive shares the anchor's label, negatives don't
+    val labels = Catalog.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val same = labels(r.getLong(0)) == labels(r.getLong(3))
+      assert(same == (r.getString(1) == "pos"),
+        s"kind/label mismatch for ${r.getLong(0)} -> ${r.getLong(3)}")
+    }
+  }
+
   test("q165 search returns topK ranked hits consistent with its own rerank") {
     val out = SimilarityQueries.q165.run(spark, sf).collect()
     assert(out.length == 10)
