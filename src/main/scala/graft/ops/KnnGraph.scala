@@ -254,9 +254,23 @@ object KnnGraph {
       .select(col("u"), col("v")).filter(col("u") =!= col("v"))
     val newEdges = topKPerNode(
       score(bucketPairs(delta, all).unionByName(hop).distinct(), all), k)
-    val histCand = bucketPairs(hist, delta)
-      .unionByName(base.select(col("u"), col("v"))).distinct()
+    // Only AFFECTED history nodes (those with at least one delta
+    // bucket-mate) re-rank; an unaffected node's edges pass through
+    // UNTOUCHED and unscored — re-ranking a node's own edge set is
+    // the identity (the spec-pinned fixpoint), so results are
+    // unchanged, but scoring drops from O(N·k) to O(|affected|·k) —
+    // the delta-proportionality the operator promises. At a
+    // production delta fraction (~1%) almost every history node
+    // skips the rescore entirely.
+    val deltaPairs = bucketPairs(hist, delta)
+    val affected = deltaPairs.select(col("u")).distinct()
+    val histCand = deltaPairs
+      .unionByName(base.join(affected, "u").select(col("u"), col("v")))
+      .distinct()
     val updated = topKPerNode(score(histCand, all), k)
-    Checkpoints.truncate(updated.unionByName(newEdges), eager = false)
+    val untouched = base.join(affected, Seq("u"), "left_anti")
+    Checkpoints.truncate(
+      untouched.unionByName(updated).unionByName(newEdges),
+      eager = false)
   }
 }
