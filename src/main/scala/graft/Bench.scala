@@ -154,8 +154,19 @@ object Bench {
             .findFirstMatchIn(bench).map(_.group(1).split(',').toSeq)
           val names = """"(q[0-9][^"]*)"\s*:\s*\{""".r
             .findAllMatchIn(corr).map(_.group(1)).toSeq.distinct.sorted
-          qcs.filter(_.size == names.size).foreach { cs =>
-            names.zip(cs).foreach { case (n, c) =>
+          // qcs covers the TIMED set only; the CORRECTNESS file lists
+          // the whole registry. When they differ by exactly the
+          // current benchExcluded names, align by dropping those —
+          // otherwise the round's sizes don't reconcile and it is
+          // skipped (best-effort).
+          val timedNames =
+            names.filterNot(queries.Q.benchExcluded.contains)
+          val aligned =
+            if (qcs.exists(_.size == names.size)) Some(names)
+            else if (qcs.exists(_.size == timedNames.size)) Some(timedNames)
+            else None
+          for (cs <- qcs; ns <- aligned if cs.size == ns.size) {
+            ns.zip(cs).foreach { case (n, c) =>
               perQuery(n) = (c.toDouble / 100.0) :: perQuery.getOrElse(n, Nil)
             }
           }

@@ -174,10 +174,14 @@ object SqlScript {
     case head :: rest if isIfHead(head) =>
       val m = ifHead.findFirstMatchIn(head).get
       val (cond, firstThen) = (m.group(1), m.group(2).trim)
-      // collect until matching END IF
+      // collect until matching END IF. The THEN-remainder re-enters
+      // the scan as a standalone statement: it may itself be a nested
+      // IF head (`IF a THEN IF b THEN s` parses as one `;`-statement),
+      // and the depth count must see it.
       var depth = 1
       val inner = mutable.ListBuffer.empty[String]
-      var remaining = rest
+      var remaining =
+        if (firstThen.nonEmpty) firstThen :: rest else rest
       while (depth > 0) {
         remaining match {
           case Nil => throw new IllegalArgumentException(
@@ -203,7 +207,7 @@ object SqlScript {
             case "" => inner.drop(split + 1).toList
             case first => first :: inner.drop(split + 1).toList
           })
-      IfNode(cond, group((firstThen :: thenRaw).filter(_.nonEmpty)),
+      IfNode(cond, group(thenRaw.filter(_.nonEmpty)),
         group(elseRaw)) :: group(remaining)
     case head :: rest => Stmt(head) :: group(rest)
   }

@@ -150,6 +150,29 @@ class KnnGraphSpec extends SparkSuite {
       expected.except(again).count() == 0)
   }
 
+  test("persistent index recovers a crash between rename-aside and rename-in") {
+    val bc = Seq("sb")
+    val idx = "/tmp/graft_graph_spec/crash"
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(idx))
+    graft.ops.GraphIndex.build(spark, vecs, k, 1, bc, idx)
+    val before = graft.ops.GraphIndex.readEdges(spark, idx)
+      .collect().map(_.toString).sorted.toSeq
+    // simulate the crash window: live dir renamed aside, staging never
+    // renamed in — exactly the state between the two publish renames
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/edges"),
+      new org.apache.hadoop.fs.Path(s"$idx/edges__old")))
+    val after = graft.ops.GraphIndex.readEdges(spark, idx)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "readEdges must restore the aside generation")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/edges")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/edges__old")))
+  }
+
   test("q164 audit rows exist and recall is positive") {
     val out = SimilarityQueries.q164.run(spark, sf).collect()
     assert(out.nonEmpty)

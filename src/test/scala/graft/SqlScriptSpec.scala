@@ -144,6 +144,32 @@ class SqlScriptSpec extends SparkSuite {
     assert(got == Seq("hello", 42L, 7L))
   }
 
+  test("nested IF and IF-without-ELSE resolve correctly") {
+    val res = SqlScript.execute(spark,
+      """BEGIN
+        |DECLARE v_a int64;
+        |DECLARE v_b int64;
+        |SET v_a = 0;
+        |SET v_b = 0;
+        |IF 1 = 1 THEN
+        |  IF 2 = 3 THEN
+        |    SET v_a = 10;
+        |  ELSE
+        |    SET v_a = 20;
+        |  END IF;
+        |  SET v_b = 1;
+        |ELSE
+        |  SET v_a = 99;
+        |END IF;
+        |IF 5 > 4 THEN
+        |  SET v_b = v_b + 100;
+        |END IF;
+        |END;""".stripMargin,
+      Map.empty)
+    assert(res.vars("v_a") == Some("20"), s"got ${res.vars("v_a")}")
+    assert(res.vars("v_b") == Some("101"), s"got ${res.vars("v_b")}")
+  }
+
   test("unsupported statements and unbound tables throw") {
     intercept[IllegalArgumentException] {
       SqlScript.execute(spark, "BEGIN GRANT ALL ON x TO y; END;", Map.empty)
