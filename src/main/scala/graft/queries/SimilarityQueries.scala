@@ -1805,7 +1805,242 @@ object SimilarityQueries {
           .stripMargin))
   }
 
+  /** q179 — INT8 SCALAR-QUANTIZED ANN: per-dimension global min/max →
+    * 8-bit codes (floor-scaled to 0..255), integer-dot-product scan for
+    * candidates, exact full-precision rerank of the top 50. The
+    * production memory play: codes are 8× smaller than the float
+    * vectors (64 B vs 512 B per vector here), so the scan stage streams
+    * 8× more corpus per byte of I/O and stays SIMD-friendly; accuracy
+    * is recovered by reranking a candidate set that is O(k), not O(N).
+    *
+    * Everything is integer arithmetic — quantization uses `div` (floor
+    * division on int64, exact in both engines; x ≥ mn so the dividend is
+    * never negative), scores are int64 sums — so candidate selection is
+    * bit-reproducible, and the final cosines reuse q23's exact integer
+    * formulation. The min/max relation is one row per dimension (64),
+    * broadcast; at 100 TB it is a metadata-sized artifact computed in
+    * one map-side-combined pass.
+    */
+  val q179 = {
+    val rerankK = 50
+    Q("q179_int8_quantized_ann",
+      (s, d) => {
+        val dims = intVecs(s, d)
+          .select(col("vec_id"), col("label"), posexplode(col("iv")))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mm = dims.groupBy(col("p"))
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx")) // 64 rows
+        // r = 255·x̂ — the dequantized value scaled integer-exact: the
+        // stored artifact is the one-byte code c; r is recomputed at
+        // scan time from c + the per-dim (mn, mx) metadata. Scoring raw
+        // codes would be wrong: the 0..255 offset shifts every
+        // dimension positive and the bias term swamps the dot product
+        // (measured recall 0/10 vs 10/10 for reconstructed values).
+        val codes = dims.join(broadcast(mm), Seq("p"))
+          .select(col("vec_id"), col("label"), col("p"),
+            expr("255 * mn + (CASE WHEN mx = mn THEN CAST(0 AS BIGINT)" +
+              " ELSE ((x - mn) * 255) div (mx - mn) END) * (mx - mn)")
+              .as("r"))
+        val qc = codes.filter(col("vec_id") === queryVecId)
+          .select(col("p").as("qp"), col("r").as("qr"))
+        val cand = codes.filter(col("vec_id") =!= queryVecId)
+          .join(broadcast(qc), col("p") === col("qp"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum(col("r") * col("qr")).as("score8"))
+          .orderBy(col("score8").desc, col("vec_id")).limit(rerankK)
+        val e = intVecs(s, d)
+          .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
+        val q = e.filter(col("vec_id") === queryVecId)
+          .select(col("iv").as("qiv"), col("nrm").as("qnrm"))
+        cand.join(e.select(col("vec_id"), col("iv"), col("nrm")), Seq("vec_id"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"), col("score8"),
+            Similarity.cosineFrom(col("iv"), col("qiv"), col("nrm"),
+              col("qnrm")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+      },
+      Some(
+        s"""WITH iv AS ($intVecsSql),
+           |dims AS (
+           |  SELECT vec_id, label, i AS p, iv[i] AS x
+           |  FROM iv, unnest(generate_series(1, 64)) t(i)),
+           |mm AS (SELECT p, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1),
+           |codes AS (
+           |  SELECT vec_id, label, p,
+           |    255 * mn + (CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+           |         ELSE ((x - mn) * 255) // (mx - mn) END) * (mx - mn) AS r
+           |  FROM dims JOIN mm USING (p)),
+           |qc AS (SELECT p, r AS qr FROM codes WHERE vec_id = $queryVecId),
+           |cand AS (
+           |  SELECT vec_id, label, sum(r * qr) AS score8
+           |  FROM codes JOIN qc USING (p) WHERE vec_id <> $queryVecId
+           |  GROUP BY 1, 2 ORDER BY score8 DESC, vec_id LIMIT $rerankK),
+           |n AS (SELECT *, CAST(list_aggregate(list_transform(iv, x -> x * x),
+           |        'sum') AS DOUBLE) AS nrm FROM iv),
+           |q AS (SELECT iv AS qiv, nrm AS qnrm FROM n WHERE vec_id = $queryVecId)
+           |SELECT c.vec_id, c.label, c.score8,
+           |  CAST(list_aggregate(list_transform(generate_series(1, 64),
+           |    i -> iv[i] * qiv[i]), 'sum') AS DOUBLE) / sqrt(nrm * qnrm)
+           |    AS cosine
+           |FROM cand c JOIN n USING (vec_id), q
+           |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
+  }
+
+  /** q181 — MATRYOSHKA TRUNCATION EVAL: search with only the first 16 of
+    * 64 dimensions (the MRL deployment trick — a prefix of the embedding
+    * is itself a usable lower-cost embedding) and grade each truncated
+    * top-k hit against the full-precision top-k. The truncated scan
+    * reads 1/4 of the vector bytes; the output is the truncated ranking
+    * with an `in_full_topk` flag per row, so recall@k is `sum(hit)` for
+    * the dial-turner reading it.
+    *
+    * Both rankings are exact integer dot products (q23's formulation) —
+    * the comparison itself introduces no approximation. Scale shape: two
+    * broadcast-query scans + a k-row join; the flag join is k×k at most.
+    */
+  val q181 = {
+    val prefixDims = 16
+    Q("q181_matryoshka_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = intVecs(s, d)
+          .select(col("vec_id"), col("label"), col("iv"),
+            slice(col("iv"), 1, prefixDims).as("iv16"))
+          .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
+          .withColumn("nrm16", Similarity.norm2(col("iv16")).cast("double"))
+        val q = e.filter(col("vec_id") === queryVecId)
+          .select(col("iv").as("qiv"), col("iv16").as("qiv16"),
+            col("nrm").as("qnrm"), col("nrm16").as("qnrm16"))
+        val body = e.filter(col("vec_id") =!= queryVecId)
+          .crossJoin(broadcast(q))
+        val trunc = body.select(col("vec_id"), col("label"),
+          Similarity.cosineFrom(col("iv16"), col("qiv16"), col("nrm16"),
+            col("qnrm16")).as("cosine16"))
+          .orderBy(col("cosine16").desc, col("vec_id")).limit(topK)
+          .withColumn("trunc_rank", row_number().over(
+            Window.orderBy(col("cosine16").desc, col("vec_id")))
+            .cast("bigint"))
+        val full = body.select(col("vec_id"),
+          Similarity.cosineFrom(col("iv"), col("qiv"), col("nrm"),
+            col("qnrm")).as("cosf"))
+          .orderBy(col("cosf").desc, col("vec_id")).limit(topK)
+          .select(col("vec_id"), lit(true).as("in_full_topk"))
+        trunc.join(full, Seq("vec_id"), "left")
+          .select(col("trunc_rank"), col("vec_id"), col("label"),
+            col("cosine16"),
+            coalesce(col("in_full_topk"), lit(false)).as("in_full_topk"))
+      },
+      Some(
+        s"""WITH iv AS ($intVecsSql),
+           |n AS (SELECT vec_id, label, iv, iv[1:$prefixDims] AS iv16,
+           |  CAST(list_aggregate(list_transform(iv, x -> x * x),
+           |    'sum') AS DOUBLE) AS nrm,
+           |  CAST(list_aggregate(list_transform(iv[1:$prefixDims],
+           |    x -> x * x), 'sum') AS DOUBLE) AS nrm16
+           |  FROM iv),
+           |q AS (SELECT iv AS qiv, iv16 AS qiv16, nrm AS qnrm,
+           |        nrm16 AS qnrm16 FROM n WHERE vec_id = $queryVecId),
+           |trunc AS (
+           |  SELECT vec_id, label,
+           |    CAST(list_aggregate(list_transform(generate_series(1, $prefixDims),
+           |      i -> iv16[i] * qiv16[i]), 'sum') AS DOUBLE)
+           |      / sqrt(nrm16 * qnrm16) AS cosine16
+           |  FROM n, q WHERE vec_id <> $queryVecId
+           |  ORDER BY cosine16 DESC, vec_id LIMIT $topK),
+           |tr AS (SELECT *, CAST(row_number() OVER (
+           |         ORDER BY cosine16 DESC, vec_id) AS BIGINT) AS trunc_rank
+           |       FROM trunc),
+           |full_k AS (
+           |  SELECT vec_id, TRUE AS in_full_topk
+           |  FROM (SELECT vec_id,
+           |          CAST(list_aggregate(list_transform(generate_series(1, 64),
+           |            i -> iv[i] * qiv[i]), 'sum') AS DOUBLE)
+           |            / sqrt(nrm * qnrm) AS cosf
+           |        FROM n, q WHERE vec_id <> $queryVecId
+           |        ORDER BY cosf DESC, vec_id LIMIT $topK))
+           |SELECT trunc_rank, vec_id, label, cosine16,
+           |  coalesce(in_full_topk, FALSE) AS in_full_topk
+           |FROM tr LEFT JOIN full_k USING (vec_id)""".stripMargin))
+  }
+
+  /** q182 — BATCH LATE-INTERACTION RETRIEVAL: q167's ColBERT MaxSim
+    * served for a query SET in one dataflow (the production serving
+    * shape — q167 answers one query per plan; a retrieval tier answers
+    * a batch). The whole query bag (|Q| docs × 5 token vectors)
+    * broadcasts; ONE corpus scan computes every (doc token × query
+    * token) cosine map-side; both aggregations stay partial-agg
+    * combinable keyed by (query, doc[, qt]); per-query top-k is a
+    * row_number window partitioned by query — rank-bounded, never
+    * corpus × |Q| rows past the first aggregation. Scores are the same
+    * micro-quantized exact integers as q167, so the shared query doc's
+    * ranking is bit-identical to q167's single-query answer
+    * (TrainingPrepSpec pins it). */
+  val q182 = {
+    val tokensPerDoc = 5L
+    val queryDocs = Seq(0L, 1L, 2L)
+    val inList = queryDocs.mkString(", ")
+    Q("q182_late_interaction_batch",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = intVecs(s, d)
+          .select(col("vec_id"),
+            expr(s"vec_id div $tokensPerDoc").as("doc_id"), col("iv"))
+          .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
+        val q = toks.filter(col("doc_id").isin(queryDocs: _*))
+          .select(col("doc_id").as("query_id"), col("vec_id").as("qt"),
+            col("iv").as("qiv"), col("nrm").as("qnrm"))
+        toks
+          .crossJoin(broadcast(q))
+          // each query excludes only ITSELF from its candidates, so the
+          // shared query doc's answer is exactly q167's single-query one
+          .filter(col("doc_id") =!= col("query_id"))
+          .select(col("query_id"), col("doc_id"), col("qt"),
+            Similarity.cosineFrom(col("iv"), col("qiv"),
+              col("nrm"), col("qnrm")).as("cosine"))
+          // max per (query, doc, QUERY token) — each query token finds
+          // its best match inside the document, exactly q167's MaxSim
+          .groupBy(col("query_id"), col("doc_id"), col("qt"))
+          .agg(max(col("cosine")).as("best"))
+          .select(col("query_id"), col("doc_id"),
+            round(col("best") * 1e12).cast("bigint").as("best_micro"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("best_micro")).as("maxsim"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("maxsim").desc, col("doc_id"))).cast("bigint"))
+          .filter(col("rank") <= topK)
+          .select(col("query_id"), col("rank"), col("doc_id"), col("maxsim"))
+      },
+      Some(
+        s"""WITH iv AS ($intVecsSql),
+           |t AS (SELECT vec_id, vec_id // $tokensPerDoc AS doc_id, iv,
+           |        CAST(list_aggregate(list_transform(iv, x -> x * x),
+           |          'sum') AS DOUBLE) AS nrm
+           |      FROM iv),
+           |q AS (SELECT doc_id AS query_id, vec_id AS qt, iv AS qiv,
+           |        nrm AS qnrm
+           |      FROM t WHERE doc_id IN ($inList)),
+           |best AS (SELECT query_id, t.doc_id, qt,
+           |    max(CAST(list_aggregate(list_transform(generate_series(1, 64),
+           |      i -> iv[i] * qiv[i]), 'sum') AS DOUBLE)
+           |      / sqrt(nrm * qnrm)) AS best
+           |  FROM t, q WHERE t.doc_id <> query_id GROUP BY 1, 2, 3),
+           |scored AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(sum(CAST(round(best * 1e12) AS BIGINT)) AS BIGINT)
+           |      AS maxsim
+           |  FROM best GROUP BY 1, 2)
+           |SELECT query_id,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, maxsim
+           |FROM scored
+           |QUALIFY rank <= $topK""".stripMargin))
+  }
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
-      q164, q165, q166, q167, q168, q169, q170, q171, q174, q175, q177)
+      q164, q165, q166, q167, q168, q169, q170, q171, q174, q175, q177,
+      q179, q181, q182)
 }

@@ -505,7 +505,139 @@ object TextQueries {
          |SELECT doc_id, n_bpe, array_to_string(toks, '|') AS toks_str
          |FROM dt""".stripMargin))
 
+  /** q178 — INTERPOLATED BIGRAM LM PERPLEXITY, the CCNet-style quality
+    * filter (train a cheap LM on the corpus, score each document by how
+    * surprising its text is to that LM; outliers on either end are
+    * boilerplate or garbage). The LM is Jelinek-Mercer interpolated:
+    * p(w2|w1) = 0.7·c(w1,w2)/c(w1·) + 0.3·c(w2)/N, with c(w1·) the
+    * CONTEXT count (row sum of the bigram table), so every probability
+    * is an exact ratio of exact counts. Per-doc score = mean −log2 p
+    * over the doc's bigrams, micro-rounded like q66.
+    *
+    * Scale shape: bigram extraction is array-local (slice/zip inside the
+    * row — no window shuffle, no self-join); the three count relations
+    * are vocabulary-sized (≪ corpus) groupBys with map-side combine, and
+    * at a bounded vocabulary the count joins broadcast. No driver state.
+    */
+  val q178 = Q("q178_bigram_perplexity",
+    (s, d) => {
+      val docs = Catalog.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val toks = docs.select(explode(col("t")).as("w"))
+      val bi = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val cw = bi.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+      val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        .withColumnRenamed("w", "w2")
+      val n = toks.agg(count(lit(1)).cast("double").as("n")) // 1 row
+      bi.join(bc, Seq("w1", "w2")).join(cw, Seq("w1"))
+        .join(cu, Seq("w2")).crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+          round(avg(-log2(
+            lit(0.7) * col("cb").cast("double") / col("cw").cast("double")
+              + lit(0.3) * col("cu").cast("double") / col("n")))
+            * 1e6).cast("bigint").as("nll_micro"))
+    },
+    Some(
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, u.w FROM docs d, unnest(d.t) u(w)),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM docs WHERE len(t) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |cw AS (SELECT w1, count(*) AS cw FROM bi GROUP BY 1),
+        |cu AS (SELECT w AS w2, count(*) AS cu FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(round(avg(-log2(
+        |      0.7 * CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE)
+        |        + 0.3 * CAST(cu AS DOUBLE) / n)) * 1000000) AS BIGINT)
+        |    AS nll_micro
+        |FROM bi JOIN bc USING (w1, w2) JOIN cw USING (w1)
+        |     JOIN cu USING (w2), n
+        |GROUP BY doc_id""".stripMargin))
+
+  /** q180 — PREFERENCE-PAIR CONSTRUCTION (the DPO/RLHF data-prep op):
+    * within each language group, pair the top-quality documents
+    * ("chosen") with the bottom-quality ones ("rejected"), rank-aligned
+    * (best↔worst, 2nd↔2nd-worst, …), keeping only pairs with a strict
+    * quality margin. Quality is q16's composite, QUANTIZED to micro
+    * units BEFORE ranking so the rank order is integer-exact in both
+    * engines (ranking raw doubles would let a 1-ulp disagreement flip
+    * near-ties).
+    *
+    * Scale shape: two row_number windows partitioned by the group key +
+    * one equi join on (group, rank) — per-group top-k, never a cross
+    * product; pairs per group are capped at 3. The classic skew caveat
+    * (one giant group) is bounded by the window's top-k retention.
+    */
+  val q180 = {
+    val pairK = 3
+    val stopHits = langMarkers.head._2
+      .map(m => occSql("(' ' || text || ' ')", m)).mkString(" + ")
+    val qmSql =
+      s"""CAST(round((least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) * 0.3
+         |  + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |    / nullif(CAST(length(text) AS DOUBLE), 0) * 0.4
+         |  + least(CAST($stopHits AS DOUBLE)
+         |      / nullif(CAST($tokSql AS DOUBLE), 0) * 5.0, 1.0) * 0.3)
+         |  * 1000000) AS BIGINT)""".stripMargin
+    Q("q180_preference_pairs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Catalog.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          round((least(tokenCount(col("text")).cast("double") / 100.0,
+            lit(1.0)) * 0.3
+            + alphaRatio(col("text")) * 0.4
+            + least(stopwordRatio(col("text")) * 5.0, lit(1.0)) * 0.3)
+            * 1e6).cast("bigint").as("qm"))
+        val top = scored.withColumn("pair_rank",
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("qm").desc, col("doc_id").asc)))
+          .filter(col("pair_rank") <= pairK)
+          .select(col("lang"), col("pair_rank").cast("bigint").as("pair_rank"),
+            col("doc_id").as("chosen_doc_id"), col("qm").as("cq"))
+        val bot = scored.withColumn("pair_rank",
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("qm").asc, col("doc_id").desc)))
+          .filter(col("pair_rank") <= pairK)
+          .select(col("lang"), col("pair_rank").cast("bigint").as("pair_rank"),
+            col("doc_id").as("rejected_doc_id"), col("qm").as("rq"))
+        top.join(bot, Seq("lang", "pair_rank"))
+          .filter(col("cq") > col("rq"))
+          .select(col("lang"), col("pair_rank"), col("chosen_doc_id"),
+            col("rejected_doc_id"), (col("cq") - col("rq")).as("margin_micro"))
+      },
+      Some(
+        s"""WITH scored AS (SELECT doc_id, lang, $qmSql AS qm FROM documents),
+           |top AS (
+           |  SELECT lang,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY qm DESC, doc_id ASC) AS BIGINT) AS pair_rank,
+           |    doc_id AS chosen_doc_id, qm AS cq
+           |  FROM scored QUALIFY pair_rank <= $pairK),
+           |bot AS (
+           |  SELECT lang,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY qm ASC, doc_id DESC) AS BIGINT) AS pair_rank,
+           |    doc_id AS rejected_doc_id, qm AS rq
+           |  FROM scored QUALIFY pair_rank <= $pairK)
+           |SELECT lang, pair_rank, chosen_doc_id, rejected_doc_id,
+           |  cq - rq AS margin_micro
+           |FROM top JOIN bot USING (lang, pair_rank)
+           |WHERE cq > rq""".stripMargin))
+  }
+
   val all: Seq[Q] =
     Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137,
-      q155, q162)
+      q155, q162, q178, q180)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+import graft.queries.{SimilarityQueries, TextQueries}
+import graft.tables.Catalog
+
+/** Round-9 training-data-prep additions: bigram-LM perplexity scoring
+  * (q178), int8 scalar-quantized ANN (q179), preference-pair
+  * construction (q180), and matryoshka truncation eval (q181). */
+class TrainingPrepSpec extends SparkSuite {
+
+  private def byName(n: String) =
+    SparkEntry.registry.find(_.name == n).get.run(spark, sf)
+
+  test("q178: one score per multi-token doc; n_bigrams = tokens - 1") {
+    val got = byName("q178_bigram_perplexity")
+    val expect = Catalog.documents(spark, sf)
+      .select(col("doc_id"),
+        (size(TextAnalysis.tokens(col("text"))) - 1).cast("bigint")
+          .as("want"))
+      .filter(col("want") >= 1)
+    assert(got.select(col("doc_id")).distinct().count() == got.count())
+    val joined = got.join(expect, Seq("doc_id"), "full")
+    assert(joined.filter(col("n_bigrams").isNull || col("want").isNull ||
+      col("n_bigrams") =!= col("want")).count() == 0)
+    // interpolated probabilities are < 1 → mean −log2 p strictly positive
+    assert(got.filter(col("nll_micro") <= 0).count() == 0)
+  }
+
+  test("q179: int8 candidates + exact rerank reproduce the brute top-k") {
+    val brute = byName("q23_similarity_topk_brute")
+    val got = byName("q179_int8_quantized_ann")
+      .select(col("vec_id"), col("label"), col("cosine"))
+    assertSameRows(got, brute)
+  }
+
+  test("q180: pairs have strict positive margin, bounded rank, distinct sides") {
+    val got = byName("q180_preference_pairs").cache()
+    assert(got.filter(col("margin_micro") <= 0).count() == 0)
+    assert(got.filter(col("pair_rank") > 3).count() == 0)
+    assert(got.filter(col("chosen_doc_id") === col("rejected_doc_id"))
+      .count() == 0)
+    // at most pairK pairs per language group
+    assert(got.groupBy(col("lang")).count()
+      .filter(col("count") > 3).count() == 0)
+    got.unpersist()
+  }
+
+  test("q182: batch MaxSim's shared query reproduces q167 exactly") {
+    val single = byName("q167_late_interaction")
+      .select(col("doc_id"), col("maxsim"))
+    val batch0 = byName("q182_late_interaction_batch")
+      .filter(col("query_id") === 0)
+      .select(col("doc_id"), col("maxsim"))
+    assertSameRows(batch0, single)
+  }
+
+  test("q181: flags agree with an independent full-precision top-k") {
+    val got = byName("q181_matryoshka_recall").cache()
+    assert(got.count() == 10)
+    assert(got.agg(max(col("trunc_rank"))).head.getLong(0) == 10L)
+    val fullIds = byName("q23_similarity_topk_brute")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val flagged = got.filter(col("in_full_topk"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val unflagged = got.filter(!col("in_full_topk"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(flagged.subsetOf(fullIds))
+    assert(unflagged.intersect(fullIds).isEmpty)
+    got.unpersist()
+  }
+}
