@@ -325,5 +325,116 @@ object PipelineQueries {
          |    AS BIGINT) AS rate_ppm
          |FROM w, tot""".stripMargin))
 
-  val all: Seq[Q] = Seq(q41, q42, q46, q47, q77, q123, q141, q154)
+  /** q183 — SFT CHAT FLATTENING + LOSS MASKING: the supervised-
+    * fine-tuning data-prep op. Each document's token stream is cut into
+    * alternating user/assistant turns (12 tokens per turn), every turn
+    * carries its loss-token count (assistant turns train, user turns are
+    * masked to 0 — the standard SFT loss mask), and turns are assigned
+    * to fixed-capacity training sequences (32 tokens) by running token
+    * offset, so a sequence never splits mid-turn bookkeeping.
+    *
+    * Scale shape: turn extraction is array-local row arithmetic (one
+    * generate-series per doc, no shuffle); the sequence assignment is a
+    * per-doc cumulative-sum window — partitioned by doc_id, so it scales
+    * with documents, not corpus length. All counts are exact integers.
+    */
+  val q183 = {
+    val turnTok = 12L
+    val seqCap = 32L
+    Q("q183_chat_sft_prep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val turns = Catalog.documents(s, d)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n"))
+          .select(col("doc_id"), col("n"),
+            explode(sequence(lit(0L),
+              expr(s"(n + ${turnTok - 1}) div $turnTok - 1"))).as("turn_idx"))
+          .select(col("doc_id"), col("turn_idx"),
+            when(col("turn_idx") % 2 === 0, "user").otherwise("assistant")
+              .as("role"),
+            least(lit(turnTok), col("n") - col("turn_idx") * turnTok)
+              .as("n_tokens"))
+        turns
+          .withColumn("off",
+            coalesce(sum(col("n_tokens")).over(
+              Window.partitionBy(col("doc_id")).orderBy(col("turn_idx"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("doc_id"), col("turn_idx"), col("role"),
+            col("n_tokens"),
+            when(col("role") === "assistant", col("n_tokens"))
+              .otherwise(lit(0L)).as("loss_tokens"),
+            expr(s"off div $seqCap").as("seq_id"))
+      },
+      Some(
+        s"""WITH docs AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n
+           |  FROM documents),
+           |turns AS (
+           |  SELECT doc_id, i AS turn_idx,
+           |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           |    least($turnTok, n - i * $turnTok) AS n_tokens
+           |  FROM (SELECT doc_id, n,
+           |          unnest(generate_series(0, (n + ${turnTok - 1}) // $turnTok - 1)) AS i
+           |        FROM docs))
+           |SELECT doc_id, turn_idx, role, n_tokens,
+           |  CASE WHEN role = 'assistant' THEN n_tokens
+           |       ELSE CAST(0 AS BIGINT) END AS loss_tokens,
+           |  coalesce(sum(n_tokens) OVER (PARTITION BY doc_id
+           |    ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND 1 PRECEDING), 0) // $seqCap AS seq_id
+           |FROM turns""".stripMargin))
+  }
+
+  /** q184 — GROUP-RELATIVE ADVANTAGE (the GRPO reward-normalization
+    * prep): within each (lang, source) group — the prompt-group proxy —
+    * normalize a per-document reward to advantage (r − mean)/std. The
+    * whole computation is algebraic over three exact integer group sums
+    * (n, Σr, Σr²): advantage = (r·n − S) / sqrt(n·Q − S²), one sqrt and
+    * one division of exactly-agreed integers — no accumulation-order
+    * dependence, so the micro-rounded output is bit-stable across
+    * engines and partitionings. Zero-variance groups get advantage 0.
+    *
+    * Scale shape: one map-side-combinable aggregation to a groups-sized
+    * relation, broadcast back over the scan. Never a shuffle of the
+    * corpus by group key.
+    */
+  val q184 = Q("q184_group_advantage",
+    (s, d) => {
+      val scored = Catalog.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        round(TextAnalysis.alphaRatio(col("text")) * 1e6)
+          .cast("bigint").as("reward"))
+      val g = scored.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("gn"), sum(col("reward")).as("gs"),
+          sum(col("reward") * col("reward")).as("gq"))
+      scored.join(broadcast(g), Seq("lang", "source"))
+        .select(col("doc_id"), col("lang"), col("source"), col("reward"),
+          when(col("gn") * col("gq") - col("gs") * col("gs") <= 0, lit(0L))
+            .otherwise(round(
+              (col("reward") * col("gn") - col("gs")).cast("double")
+                / sqrt((col("gn") * col("gq") - col("gs") * col("gs"))
+                  .cast("double")) * 1e6).cast("bigint"))
+            .as("adv_micro"))
+    },
+    Some(
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |        AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0)
+        |      * 1000000) AS BIGINT) AS reward
+        |  FROM documents),
+        |g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS gn,
+        |        sum(reward) AS gs, sum(reward * reward) AS gq
+        |      FROM scored GROUP BY 1, 2)
+        |SELECT doc_id, lang, source, reward,
+        |  CASE WHEN gn * gq - gs * gs <= 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(round(CAST(reward * gn - gs AS DOUBLE)
+        |         / sqrt(CAST(gn * gq - gs * gs AS DOUBLE)) * 1000000)
+        |         AS BIGINT) END AS adv_micro
+        |FROM scored JOIN g USING (lang, source)""".stripMargin))
+
+  val all: Seq[Q] = Seq(q41, q42, q46, q47, q77, q123, q141, q154, q183,
+    q184)
 }

@@ -529,11 +529,20 @@ object TextQueries {
           "transform(sequence(1, size(t) - 1)," +
             " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      // context counts c(w1·) and the token total N derive from the
+      // VOCABULARY-sized count relations, not fresh corpus passes —
+      // c(w1·) = Σ_w2 c(w1,w2) exactly. The two count relations persist
+      // (vocab-sized — safe at any corpus scale) because each is read
+      // twice and Spark re-executes lineage per reference: without the
+      // persist the plan pays 5 corpus scans, with it 3 (bigram count,
+      // unigram count, scoring join).
       val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      val cw = bi.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cw = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
       val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
         .withColumnRenamed("w", "w2")
-      val n = toks.agg(count(lit(1)).cast("double").as("n")) // 1 row
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = cu.agg(sum(col("cu")).cast("double").as("n")) // 1 row
       bi.join(bc, Seq("w1", "w2")).join(cw, Seq("w1"))
         .join(cu, Seq("w2")).crossJoin(broadcast(n))
         .groupBy(col("doc_id"))
@@ -553,9 +562,9 @@ object TextQueries {
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
         |        FROM docs WHERE len(t) >= 2)),
         |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
-        |cw AS (SELECT w1, count(*) AS cw FROM bi GROUP BY 1),
+        |cw AS (SELECT w1, sum(cb) AS cw FROM bc GROUP BY 1),
         |cu AS (SELECT w AS w2, count(*) AS cu FROM toks GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+        |n AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM cu)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(round(avg(-log2(
         |      0.7 * CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE)

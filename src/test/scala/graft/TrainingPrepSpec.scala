@@ -57,6 +57,43 @@ class TrainingPrepSpec extends SparkSuite {
     assertSameRows(batch0, single)
   }
 
+  test("q183: turns partition each doc's tokens; only assistant turns train") {
+    val got = byName("q183_chat_sft_prep").cache()
+    val want = Catalog.documents(spark, sf)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n"))
+    // Σ n_tokens per doc == the doc's token count (no token lost/dup'd)
+    val sums = got.groupBy(col("doc_id"))
+      .agg(sum(col("n_tokens")).as("got_n"))
+    assert(sums.join(want, Seq("doc_id"))
+      .filter(col("got_n") =!= col("n")).count() == 0)
+    // the loss mask: user turns contribute 0, assistant turns all tokens
+    assert(got.filter(col("role") === "user" && col("loss_tokens") =!= 0)
+      .count() == 0)
+    assert(got.filter(col("role") === "assistant" &&
+      col("loss_tokens") =!= col("n_tokens")).count() == 0)
+    // sequence ids are non-decreasing in turn order within a doc
+    import org.apache.spark.sql.expressions.Window
+    val lagged = got.withColumn("prev", lag(col("seq_id"), 1).over(
+      Window.partitionBy(col("doc_id")).orderBy(col("turn_idx"))))
+    assert(lagged.filter(col("prev").isNotNull &&
+      col("seq_id") < col("prev")).count() == 0)
+    got.unpersist()
+  }
+
+  test("q184: advantages are group-centered and zero for no-variance groups") {
+    val got = byName("q184_group_advantage").cache()
+    assert(got.count() ==
+      Catalog.documents(spark, sf).count())
+    // micro-rounded advantages sum to ~0 within every group (|Σ| ≤ n/2
+    // micro from per-row rounding)
+    val bad = got.groupBy(col("lang"), col("source"))
+      .agg(sum(col("adv_micro")).as("s"), count(lit(1)).as("n"))
+      .filter(abs(col("s")) > col("n"))
+    assert(bad.count() == 0)
+    got.unpersist()
+  }
+
   test("q181: flags agree with an independent full-precision top-k") {
     val got = byName("q181_matryoshka_recall").cache()
     assert(got.count() == 10)
