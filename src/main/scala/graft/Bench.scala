@@ -24,7 +24,7 @@ object Bench {
     * ~2000 chars of stdout). At 149+ queries a full qNN→seconds object
     * no longer fits, so the line is layered (BenchLineSpec pins the
     * rendered size):
-    *  - "queries": ONLY the heavy hitters (≥0.95 s, top 24 by time) at
+    *  - "queries": ONLY the heavy hitters (≥0.95 s, top 20 by time) at
     *    the r1–r6 rendering — the entries a round-over-round comparison
     *    actually tabulates, kept name-keyed for continuity;
     *  - "qcs": EVERY query's time as integer centiseconds, one
@@ -76,7 +76,7 @@ object Bench {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def cs(v: Double): String = math.round(v * 100).toString
-    val heavy = results.filter(_._2 >= 0.95).sortBy(-_._2).take(24)
+    val heavy = results.filter(_._2 >= 0.95).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rq(v) }
       .mkString("{", ",", "}")
     val qcs = results.map { case (_, v) => cs(v) }.mkString(",")
@@ -125,7 +125,7 @@ object Bench {
     }
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
       s"""$oracleField"queries":$heavy,"qcs":"$qcs","top":$top,"env":$env,""" +
-      s""""note":"queries=those >=0.95s; qcs=centisec per query, name-sorted (CORRECTNESS order); top={cs,shuffle MB,GC ms}; env=time/trailing-median >2x (container noise); oracle_timed_sec=recorded DuckDB yardstick (ORACLE_BENCH.json) over the timed set","sf":"$sfShort"}"""
+      s""""note":"qcs=centisec/query name-sorted; queries=>=0.95s; top={cs,shuffleMB,gcMs}; env=x over trailing median (noise); oracle: ORACLE_BENCH.json","sf":"$sfShort"}"""
   }
 
   /** Trailing per-query time medians from prior rounds' driver

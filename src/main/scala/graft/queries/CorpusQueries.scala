@@ -773,6 +773,75 @@ object CorpusQueries {
            |GROUP BY 1""".stripMargin))
   }
 
+  /** q185 — FILL-IN-MIDDLE TRANSFORM (the FIM pretraining data op for
+    * code/infilling models): each document's token stream splits at
+    * n/3 and 2n/3 into (prefix, middle, suffix), then re-serializes
+    * with sentinel markers in PSM order (`<PRE> P <SUF> S <MID> M` —
+    * the model learns the middle from both sides) or SPM order
+    * (`<SUF> S <PRE> P <MID> M`), deterministically alternating by
+    * doc_id parity the way real pipelines mix the two modes. The full
+    * reordered stream is emitted ('|'-joined, injective over the
+    * corpus alphabet), so the oracle pins the transform token-exactly,
+    * not just the segment lengths.
+    *
+    * Scale shape: pure array-local row arithmetic — slice/concat inside
+    * the row, zero shuffles, scan speed. Docs with <3 tokens can't
+    * split three ways and are excluded (mirrored in the oracle). */
+  val q185 = Q("q185_fim_transform",
+    (s, d) => {
+      val t = tokens(col("text"))
+      Catalog.documents(s, d)
+        .select(col("doc_id"), t.as("t"),
+          size(t).cast("bigint").as("n"))
+        .filter(col("n") >= 3)
+        .select(col("doc_id"),
+          expr("n div 3").as("c1"), expr("(2 * n) div 3").as("c2"),
+          col("n"), col("t"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "psm").otherwise("spm")
+            .as("fim_order"),
+          col("c1").as("n_prefix"), (col("c2") - col("c1")).as("n_middle"),
+          (col("n") - col("c2")).as("n_suffix"),
+          array_join(
+            when(col("doc_id") % 2 === 0,
+              concat(array(lit("<PRE>")),
+                slice(col("t"), lit(1), col("c1").cast("int")),
+                array(lit("<SUF>")),
+                slice(col("t"), (col("c2") + 1).cast("int"),
+                  (col("n") - col("c2")).cast("int")),
+                array(lit("<MID>")),
+                slice(col("t"), (col("c1") + 1).cast("int"),
+                  (col("c2") - col("c1")).cast("int"))))
+              .otherwise(
+                concat(array(lit("<SUF>")),
+                  slice(col("t"), (col("c2") + 1).cast("int"),
+                    (col("n") - col("c2")).cast("int")),
+                  array(lit("<PRE>")),
+                  slice(col("t"), lit(1), col("c1").cast("int")),
+                  array(lit("<MID>")),
+                  slice(col("t"), (col("c1") + 1).cast("int"),
+                    (col("c2") - col("c1")).cast("int")))),
+            "|").as("fim_str"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, $tokSqlArr AS t,
+         |    CAST(len($tokSqlArr) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (SELECT doc_id, t, n, n // 3 AS c1, (2 * n) // 3 AS c2
+         |      FROM d WHERE n >= 3)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS fim_order,
+         |  c1 AS n_prefix, c2 - c1 AS n_middle, n - c2 AS n_suffix,
+         |  array_to_string(
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN ['<PRE>'] || t[1:c1] || ['<SUF>'] ||
+         |             t[c2 + 1:n] || ['<MID>'] || t[c1 + 1:c2]
+         |      ELSE ['<SUF>'] || t[c2 + 1:n] || ['<PRE>'] ||
+         |             t[1:c1] || ['<MID>'] || t[c1 + 1:c2] END,
+         |    '|') AS fim_str
+         |FROM c""".stripMargin))
+
   val all: Seq[Q] = Seq(q79, q80, q81, q82, q83, q86, q87, q88, q91, q93,
-    q99, q100, q140, q142, q143, q157, q176)
+    q99, q100, q140, q142, q143, q157, q176, q185)
 }

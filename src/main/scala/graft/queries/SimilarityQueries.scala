@@ -2039,8 +2039,111 @@ object SimilarityQueries {
            |QUALIFY rank <= $topK""".stripMargin))
   }
 
+  /** q186 — RAG INDEXING PIPELINE end-to-end: the retrieval analog of
+    * q157's training composite. One dataflow chunks every document
+    * (16-token windows, array-local), embeds each chunk with a
+    * deterministic hashed bag-of-tokens projection (dim j = Σ_tok
+    * (hash60(tok:j) mod 2001 − 1000) — integer-exact, so the whole
+    * pipeline replays bit-for-bit in the oracle; a real deployment
+    * swaps in a model via mapInPandas at exactly this seam), buckets
+    * chunks by 4-bit embedding sign (the LSH cell), and serves a query
+    * chunk from its bucket with an exact integer-cosine rerank.
+    *
+    * Scale shape: chunking + embedding are scan-local (one corpus pass,
+    * map-side 16-way hash sums with partial agg); the index relation is
+    * chunks-sized, keyed by bucket; the query probes ONE bucket (~1/16
+    * of chunks) and reranks only that — never corpus². */
+  val q186 = {
+    val chunkTok = 16L
+    val dims = 16
+    val signBits = 4
+    val ragK = 5
+    Q("q186_rag_pipeline",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        import org.apache.spark.sql.expressions.Window
+        val toks = Catalog.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(0L),
+              expr(s"(size(t) - 1) div $chunkTok"))).as("ci"))
+          .select(col("doc_id"), col("ci"),
+            explode(slice(col("t"), (col("ci") * chunkTok + 1).cast("int"),
+              lit(chunkTok.toInt))).as("tok"))
+        val sums = (1 to dims).map(j =>
+          sum(TextAnalysis.hash60(concat(col("tok"), lit(s":$j")))
+            % 2001 - 1000).as(s"e$j"))
+        val emb = toks.groupBy(col("doc_id"), col("ci"))
+          .agg(sums.head, sums.tail: _*)
+          .select(col("doc_id"), col("ci"),
+            array((1 to dims).map(j => col(s"e$j")): _*).as("iv"),
+            (1 to signBits).map(j =>
+              when(col(s"e$j") > 0, 1L << (j - 1)).otherwise(0L))
+              .reduce(_ + _).as("bucket"))
+          .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
+          // the built index: chunks-sized, read twice (query row lookup
+          // + serve scan) — without the persist each reference re-runs
+          // the whole chunk+embed pass over the corpus
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val q = emb.filter(col("doc_id") === 0 && col("ci") === 0)
+          .select(col("iv").as("qiv"), col("bucket").as("qb"),
+            col("nrm").as("qnrm"))
+        emb.join(broadcast(q), col("bucket") === col("qb"))
+          .filter(!(col("doc_id") === 0 && col("ci") === 0))
+          .select(col("doc_id"), col("ci"),
+            Similarity.cosineFrom(col("iv"), col("qiv"), col("nrm"),
+              col("qnrm")).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_id"), col("ci"))
+          .limit(ragK)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cosine").desc, col("doc_id"), col("ci")))
+            .cast("bigint"))
+          .select(col("rank"), col("doc_id"),
+            col("ci").cast("bigint").as("chunk_idx"), col("cosine"))
+      },
+      Some {
+        def h(j: Int) = TextQueries.hash60Sql(s"tok || ':$j'")
+        val sumCols = (1 to dims)
+          .map(j => s"sum(${h(j)} % 2001 - 1000) AS e$j").mkString(",\n  ")
+        val nrm = (1 to dims).map(j => s"e$j * e$j").mkString(" + ")
+        val dot = (1 to dims).map(j => s"e$j * qe$j").mkString(" + ")
+        val qCols = (1 to dims).map(j => s"e$j AS qe$j").mkString(", ")
+        val bucket = (1 to signBits)
+          .map(j => s"(CASE WHEN e$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH d AS (
+           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n
+           |  FROM documents),
+           |ch AS (
+           |  SELECT doc_id, i AS ci,
+           |    t[i * $chunkTok + 1 : least((i + 1) * $chunkTok, n)] AS ct
+           |  FROM (SELECT doc_id, t, n,
+           |          unnest(generate_series(0, (n - 1) // $chunkTok)) AS i
+           |        FROM d)),
+           |tok AS (SELECT doc_id, ci, u.tok FROM ch, unnest(ch.ct) u(tok)),
+           |emb AS (SELECT doc_id, ci,
+           |  $sumCols
+           |  FROM tok GROUP BY 1, 2),
+           |n2 AS (SELECT *, $nrm AS nrm, $bucket AS bucket FROM emb),
+           |q AS (SELECT $qCols, nrm AS qnrm, bucket AS qb
+           |      FROM n2 WHERE doc_id = 0 AND ci = 0),
+           |hits AS (
+           |  SELECT doc_id, ci,
+           |    CAST($dot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)
+           |      * CAST(qnrm AS DOUBLE)) AS cosine
+           |  FROM n2, q
+           |  WHERE bucket = qb AND NOT (doc_id = 0 AND ci = 0)
+           |  ORDER BY cosine DESC, doc_id, ci LIMIT $ragK)
+           |SELECT CAST(row_number() OVER (
+           |    ORDER BY cosine DESC, doc_id, ci) AS BIGINT) AS rank,
+           |  doc_id, CAST(ci AS BIGINT) AS chunk_idx, cosine
+           |FROM hits""".stripMargin
+      })
+  }
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
       q164, q165, q166, q167, q168, q169, q170, q171, q174, q175, q177,
-      q179, q181, q182)
+      q179, q181, q182, q186)
 }

@@ -94,6 +94,56 @@ class TrainingPrepSpec extends SparkSuite {
     got.unpersist()
   }
 
+  test("q185: FIM segments conserve tokens and reorder by mode") {
+    val got = byName("q185_fim_transform").cache()
+    val want = Catalog.documents(spark, sf)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n"))
+      .filter(col("n") >= 3)
+    assert(got.count() == want.count())
+    // segments partition the token stream
+    assert(got.join(want, Seq("doc_id"))
+      .filter(col("n_prefix") + col("n_middle") + col("n_suffix")
+        =!= col("n")).count() == 0)
+    // the serialized stream carries all tokens + 3 sentinels
+    assert(got.join(want, Seq("doc_id"))
+      .filter(size(split(col("fim_str"), "\\|")) =!= col("n") + 3)
+      .count() == 0)
+    // mode follows doc parity, and the stream leads with its sentinel
+    assert(got.filter((col("doc_id") % 2 === 0) =!=
+      (col("fim_order") === "psm")).count() == 0)
+    assert(got.filter(col("fim_order") === "psm" &&
+      !col("fim_str").startsWith("<PRE>")).count() == 0)
+    assert(got.filter(col("fim_order") === "spm" &&
+      !col("fim_str").startsWith("<SUF>")).count() == 0)
+    got.unpersist()
+  }
+
+  test("q186: retrieval ranks are consecutive with non-increasing cosine") {
+    val got = byName("q186_rag_pipeline")
+      .orderBy(col("rank")).collect()
+    assert(got.nonEmpty && got.length <= 5)
+    assert(got.map(_.getLong(0)).toSeq == (1L to got.length).toSeq)
+    val cos = got.map(_.getDouble(3)).toSeq
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    // the query chunk itself never appears
+    assert(!got.exists(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
+  test("round-9 training-prep windows stay keyed") {
+    // q180 partitions by lang, q182 by query_id, q183 by doc_id — an
+    // unkeyed window would serialize the corpus through one task.
+    // (q181's window IS global by design: it ranks a 10-row post-limit
+    // set, the q129 exemption.)
+    for (name <- Seq("q180_preference_pairs", "q182_late_interaction_batch",
+        "q183_chat_sft_prep")) {
+      val plan = SparkEntry.registry.find(_.name == name).get
+        .run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$name plans an unkeyed window:\n$plan")
+    }
+  }
+
   test("q181: flags agree with an independent full-precision top-k") {
     val got = byName("q181_matryoshka_recall").cache()
     assert(got.count() == 10)
