@@ -329,9 +329,12 @@ object PipelineQueries {
     * fine-tuning data-prep op. Each document's token stream is cut into
     * alternating user/assistant turns (12 tokens per turn), every turn
     * carries its loss-token count (assistant turns train, user turns are
-    * masked to 0 — the standard SFT loss mask), and turns are assigned
-    * to fixed-capacity training sequences (32 tokens) by running token
-    * offset, so a sequence never splits mid-turn bookkeeping.
+    * masked to 0 — the standard SFT loss mask), and turns are laid
+    * head-to-tail on a 32-token sequence grid using the START-OFFSET
+    * convention (q79's packing shape): a turn belongs to the sequence
+    * where its first token lands, so turn bookkeeping never splits and
+    * a sequence holds at most 32 + turnTok − 1 tokens — a grid
+    * assignment, not a hard 32-token capacity.
     *
     * Scale shape: turn extraction is array-local row arithmetic (one
     * generate-series per doc, no shuffle); the sequence assignment is a
@@ -389,12 +392,15 @@ object PipelineQueries {
 
   /** q184 — GROUP-RELATIVE ADVANTAGE (the GRPO reward-normalization
     * prep): within each (lang, source) group — the prompt-group proxy —
-    * normalize a per-document reward to advantage (r − mean)/std. The
-    * whole computation is algebraic over three exact integer group sums
-    * (n, Σr, Σr²): advantage = (r·n − S) / sqrt(n·Q − S²), one sqrt and
-    * one division of exactly-agreed integers — no accumulation-order
-    * dependence, so the micro-rounded output is bit-stable across
-    * engines and partitionings. Zero-variance groups get advantage 0.
+    * normalize a per-document reward to advantage (r − mean)/std as
+    * (r·n − S) / sqrt(n·Q − S²) from the three group sums (n, S = Σr,
+    * Q = Σr²). The SUMS are exact int64 (milli-scale reward keeps
+    * Q ≤ n·10⁶, overflow-free to ~10¹²-doc groups) with no
+    * accumulation-order dependence; the discriminant n·Q − S² is then
+    * computed in DOUBLE — a single fixed-shape IEEE expression, so both
+    * engines produce bit-identical values even where n·Q would overflow
+    * int64 (n ≳ 3000 at this reward scale) — and clamped to advantage 0
+    * when non-positive (true zero variance, or cancellation rounding).
     *
     * Scale shape: one map-side-combinable aggregation to a groups-sized
     * relation, broadcast back over the scan. Never a shuffle of the
@@ -404,18 +410,19 @@ object PipelineQueries {
     (s, d) => {
       val scored = Catalog.documents(s, d).select(
         col("doc_id"), col("lang"), col("source"),
-        round(TextAnalysis.alphaRatio(col("text")) * 1e6)
+        round(TextAnalysis.alphaRatio(col("text")) * 1e3)
           .cast("bigint").as("reward"))
       val g = scored.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("gn"), sum(col("reward")).as("gs"),
           sum(col("reward") * col("reward")).as("gq"))
+      val disc = col("gn").cast("double") * col("gq").cast("double") -
+        col("gs").cast("double") * col("gs").cast("double")
       scored.join(broadcast(g), Seq("lang", "source"))
         .select(col("doc_id"), col("lang"), col("source"), col("reward"),
-          when(col("gn") * col("gq") - col("gs") * col("gs") <= 0, lit(0L))
+          when(disc <= 0, lit(0L))
             .otherwise(round(
               (col("reward") * col("gn") - col("gs")).cast("double")
-                / sqrt((col("gn") * col("gq") - col("gs") * col("gs"))
-                  .cast("double")) * 1e6).cast("bigint"))
+                / sqrt(disc) * 1e6).cast("bigint"))
             .as("adv_micro"))
     },
     Some(
@@ -423,15 +430,18 @@ object PipelineQueries {
         |  SELECT doc_id, lang, source,
         |    CAST(round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
         |        AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0)
-        |      * 1000000) AS BIGINT) AS reward
+        |      * 1000) AS BIGINT) AS reward
         |  FROM documents),
         |g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS gn,
         |        sum(reward) AS gs, sum(reward * reward) AS gq
         |      FROM scored GROUP BY 1, 2)
         |SELECT doc_id, lang, source, reward,
-        |  CASE WHEN gn * gq - gs * gs <= 0 THEN CAST(0 AS BIGINT)
+        |  CASE WHEN CAST(gn AS DOUBLE) * CAST(gq AS DOUBLE)
+        |         - CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE) <= 0
+        |       THEN CAST(0 AS BIGINT)
         |       ELSE CAST(round(CAST(reward * gn - gs AS DOUBLE)
-        |         / sqrt(CAST(gn * gq - gs * gs AS DOUBLE)) * 1000000)
+        |         / sqrt(CAST(gn AS DOUBLE) * CAST(gq AS DOUBLE)
+        |             - CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)) * 1000000)
         |         AS BIGINT) END AS adv_micro
         |FROM scored JOIN g USING (lang, source)""".stripMargin))
 

@@ -604,11 +604,10 @@ object TextQueries {
         import org.apache.spark.sql.expressions.Window
         val scored = Catalog.documents(s, d).select(
           col("doc_id"), col("lang"),
-          round((least(tokenCount(col("text")).cast("double") / 100.0,
-            lit(1.0)) * 0.3
-            + alphaRatio(col("text")) * 0.4
-            + least(stopwordRatio(col("text")) * 5.0, lit(1.0)) * 0.3)
-            * 1e6).cast("bigint").as("qm"))
+          // the CANONICAL composite (TextAnalysis.qualityScore, the one
+          // q16/q41 use) — not re-derived inline, so a heuristic tweak
+          // can never diverge this query from the canonical score
+          round(qualityScore(col("text")) * 1e6).cast("bigint").as("qm"))
         val top = scored.withColumn("pair_rank",
           row_number().over(Window.partitionBy(col("lang"))
             .orderBy(col("qm").desc, col("doc_id").asc)))
