@@ -231,5 +231,81 @@ object StreamQueries {
          |FROM documents JOIN dt USING (doc_id)
          |GROUP BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(q124, q125, q134, q156)
+  /** q187 — STREAMING LM-COUNT MAINTENANCE: the corpus bigram table
+    * (q178's LM training statistic) kept fresh by the streaming engine
+    * as documents arrive. Distinct from q156's complete-mode dashboard
+    * in all three dimensions that matter at scale: the state is
+    * VOCABULARY-wide (every bigram key, not |sources| rows), the sink
+    * sees UPDATE-mode deltas (only keys whose totals changed in a
+    * micro-batch — re-emitting the whole vocabulary per trigger is
+    * exactly what complete mode cannot afford at a real vocabulary),
+    * and the run genuinely spans MULTIPLE micro-batches
+    * (maxFilesPerTrigger=1 over a two-file split), so the ledger
+    * reconciliation — last emitted total per key by batch id — is
+    * exercised, not vacuous. With all input processed, the reconciled
+    * totals must equal the batch bigram counts exactly (top-50 by
+    * count, bounded deterministic output).
+    *
+    * Scale shape: bigram extraction is the same array-local transform
+    * as q178 (narrow, no pre-shuffle); the only stateful operator is
+    * the keyed count; the ledger append is delta-sized per batch. The
+    * batch-id argmax runs over the ledger (updates-sized), never the
+    * corpus. */
+  val q187 = Q("q187_stream_lm_counts",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = s"/tmp/graft_stream/q187_${java.nio.file.Paths.get(d).getFileName}"
+      val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val docs = graft.tables.Catalog.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      // two arrival waves -> two micro-batches under maxFilesPerTrigger=1
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      val counts = stream
+        .select(graft.ops.TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+        .groupBy(col("b.w1"), col("b.w2")).count()
+      withStatePartitions(s, 8) {
+        val q = counts.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("update")
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.withColumn("b", lit(id))
+              .write.mode("append").parquet(s"$base/ledger")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      // reconcile: the LAST total emitted per key is the current count
+      s.read.parquet(s"$base/ledger")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("w1"), col("w2")).orderBy(col("b").desc)))
+        .filter(col("rn") === 1)
+        .select(col("w1"), col("w2"), col("count").cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(50)
+    },
+    Some(
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM docs WHERE len(t) >= 2))
+        |SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        |FROM bi GROUP BY 1, 2
+        |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin))
+
+  val all: Seq[Q] = Seq(q124, q125, q134, q156, q187)
 }

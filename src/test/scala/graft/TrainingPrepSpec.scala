@@ -130,6 +130,32 @@ class TrainingPrepSpec extends SparkSuite {
     assert(!got.exists(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
   }
 
+  test("q187: streaming LM counts span real micro-batches and reconcile") {
+    val got = byName("q187_stream_lm_counts")
+    // independent batch recount of the same top-50
+    val expect = Catalog.documents(spark, sf)
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .groupBy(col("b.w1"), col("b.w2"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(50)
+    assertSameRows(got, expect)
+    // the run really was incremental: >= 2 micro-batches hit the ledger,
+    // and the first batch saw only part of the vocabulary (update mode)
+    val ledger = spark.read.parquet(
+      s"/tmp/graft_stream/q187_${java.nio.file.Paths.get(sf).getFileName}/ledger")
+    val batches = ledger.select(col("b")).distinct().count()
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+    val firstKeys = ledger.filter(col("b") === 0)
+      .select(col("w1"), col("w2")).distinct().count()
+    val allKeys = ledger.select(col("w1"), col("w2")).distinct().count()
+    assert(firstKeys < allKeys,
+      "update mode should not emit the whole vocabulary in batch 0")
+  }
+
   test("round-9 training-prep windows stay keyed") {
     // q180 partitions by lang, q182 by query_id, q183 by doc_id — an
     // unkeyed window would serialize the corpus through one task.
