@@ -445,6 +445,79 @@ object PipelineQueries {
         |         AS BIGINT) END AS adv_micro
         |FROM scored JOIN g USING (lang, source)""".stripMargin))
 
+  /** q193 — CURRICULUM SCHEDULE: order the corpus for staged training —
+    * phase 1..4 by global LM-perplexity quartile (easy → hard, the
+    * curriculum-learning recipe), then a deterministic within-phase
+    * shuffle expressed as (shard, pos): shard = hash60(doc_id) mod 64,
+    * pos = rank within (phase, shard) by (hash, doc_id). A trainer reads
+    * phase-major, shard-round-robin — the schedule is fully determined
+    * by the data, never by rand() or a global sort.
+    *
+    * Scale shape: quartile cutoffs come off the global milli-histogram
+    * (bounded grid, q188's technique) and broadcast back; the only
+    * per-row window is partitioned by (phase × shard) = 256 balanced
+    * partitions — no single-partition global row_number anywhere.
+    */
+  val q193 = Q("q193_curriculum_schedule",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextQueries.bigramNll(s, d)
+        .withColumn("nll_milli", expr("nll_micro div 1000")) // ≥0
+        .withColumn("h",
+          TextAnalysis.hash60(col("doc_id").cast("string")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wCum = Window.orderBy(col("nll_milli"))
+      val cuts = scored.groupBy(col("nll_milli")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("tot"))))
+        .agg(
+          min(when(col("cum") * 4 >= col("tot"), col("nll_milli"))).as("c1"),
+          min(when(col("cum") * 4 >= col("tot") * 2, col("nll_milli")))
+            .as("c2"),
+          min(when(col("cum") * 4 >= col("tot") * 3, col("nll_milli")))
+            .as("c3"))
+      val phased = scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("h"),
+          when(col("nll_milli") <= col("c1"), 1L)
+            .when(col("nll_milli") <= col("c2"), 2L)
+            .when(col("nll_milli") <= col("c3"), 3L)
+            .otherwise(4L).as("phase"),
+          (col("h") % 64).as("shard"))
+      val wPos = Window.partitionBy(col("phase"), col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      phased.select(col("doc_id"), col("phase"),
+        col("shard").cast("bigint").as("shard"),
+        row_number().over(wPos).cast("bigint").as("pos"))
+    },
+    Some(
+      s"""WITH ${TextQueries.nllCtes},
+         |sm AS (SELECT doc_id, nll_micro // 1000 AS nll_milli,
+         |         ${TextQueries.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |       FROM score),
+         |hist AS (SELECT nll_milli, count(*) AS c FROM sm GROUP BY 1),
+         |cum AS (SELECT nll_milli,
+         |          sum(c) OVER (ORDER BY nll_milli) AS cum
+         |        FROM hist),
+         |tot AS (SELECT count(*) AS tot FROM sm),
+         |cuts AS (SELECT
+         |    min(CASE WHEN cum * 4 >= tot THEN nll_milli END) AS c1,
+         |    min(CASE WHEN cum * 4 >= 2 * tot THEN nll_milli END) AS c2,
+         |    min(CASE WHEN cum * 4 >= 3 * tot THEN nll_milli END) AS c3
+         |  FROM cum, tot),
+         |phased AS (
+         |  SELECT doc_id, h,
+         |    CASE WHEN nll_milli <= c1 THEN 1
+         |         WHEN nll_milli <= c2 THEN 2
+         |         WHEN nll_milli <= c3 THEN 3
+         |         ELSE 4 END AS phase,
+         |    h % 64 AS shard
+         |  FROM sm, cuts)
+         |SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+         |  CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY phase, shard
+         |    ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM phased""".stripMargin))
+
   val all: Seq[Q] = Seq(q41, q42, q46, q47, q77, q123, q141, q154, q183,
-    q184)
+    q184, q193)
 }

@@ -2142,8 +2142,104 @@ object SimilarityQueries {
       })
   }
 
+  /** q192 — PCA TOP COMPONENT BY POWER ITERATION (embedding whitening /
+    * compression prep — the OPQ/PCA rotation step before quantized ANN):
+    * mean-center the corpus, then 4 power-iteration rounds of v ←
+    * normalize(Σ_rows xᶜ·(xᶜ·v)) — the leading eigenvector of the
+    * (unnormalized) covariance — entirely in fixed-point: vectors and v
+    * are micro-quantized ints, every per-row dot product is an exact
+    * integer, each round's per-dimension matvec contribution is
+    * micro-rounded BEFORE the sum (exact integer aggregation, no FP
+    * order), and the only floating math is fixed-shape scalar
+    * normalization (max-abs rescale then 1/√ss) both engines compute
+    * identically. Degenerate (all-zero-variance) corpora are guarded by
+    * greatest(·,1) clamps on both divisors.
+    *
+    * Scale shape: K+2 corpus passes, each ONE map-side-combinable
+    * aggregate of 64 columns (no explode, no shuffle of row-sized data);
+    * driver state is the 64-entry v (the KMeans-codebook precedent).
+    * Per-dim sums are int64 here; a 10¹²-row corpus wants decimal(38)
+    * accumulators — same plan shape. The oracle replays the identical
+    * arithmetic as K unrolled CTE rounds over the exploded layout.
+    */
+  val q192 = {
+    val iters = 4
+    val dims = 64
+    Q("q192_pca_power_iteration",
+      (s, d) => {
+        import s.implicits._
+        def halfUp(x: Double): Long = new java.math.BigDecimal(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        val xm = Catalog.embeddings(s, d).select(
+          expr("transform(embedding, e -> cast(round(cast(e AS DOUBLE)" +
+            " * 1000000) AS BIGINT))").as("xm"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nRows = xm.count()
+        val sums = xm.agg(sum(col("xm")(0)).as("s0"),
+          (1 until dims).map(i => sum(col("xm")(i)).as(s"s$i")): _*).head()
+        val mu = Array.tabulate(dims)(i =>
+          halfUp(sums.getLong(i).toDouble / nRows))
+        val muLit = array(mu.map(lit): _*)
+        val cx = xm.select(zip_with(col("xm"), muLit,
+          (a, b) => a - b).as("xc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var v = Array.fill(dims)(125000L) // 1e6/√64 — unit-norm uniform
+        for (_ <- 1 to iters) {
+          val vLit = array(v.map(lit): _*)
+          val dotS = aggregate(zip_with(col("xc"), vLit, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12)
+          val y = cx.agg(
+            sum(round(col("xc")(0) * dotS).cast("bigint")).as("y0"),
+            (1 until dims).map(i =>
+              sum(round(col("xc")(i) * dotS).cast("bigint")).as(s"y$i")): _*)
+            .head()
+          val ys = Array.tabulate(dims)(y.getLong)
+          val ma = math.max(ys.map(math.abs).max.toDouble, 1.0)
+          val u = ys.map(yv => halfUp(yv.toDouble / ma * 1e6))
+          val ss = u.map(uv => uv * uv).sum
+          val den = math.max(math.sqrt(ss.toDouble), 1.0)
+          v = u.map(uv => halfUp(uv.toDouble * 1e6 / den))
+        }
+        xm.unpersist(); cx.unpersist()
+        (0 until dims).map(i => (i.toLong, mu(i), v(i)))
+          .toDF("d", "mu_micro", "v_micro")
+      },
+      Some {
+        val rounds = (1 to iters).map { t =>
+          s"""dot$t AS (SELECT vec_id, sum(xc * v) AS dot
+             |  FROM cx JOIN v${t - 1} USING (d) GROUP BY vec_id),
+             |y$t AS (SELECT d, sum(CAST(round(CAST(xc AS DOUBLE)
+             |    * (CAST(dot AS DOUBLE) / 1e12)) AS BIGINT)) AS y
+             |  FROM cx JOIN dot$t USING (vec_id) GROUP BY d),
+             |ma$t AS (SELECT greatest(CAST(max(abs(y)) AS DOUBLE), 1.0)
+             |    AS ma FROM y$t),
+             |u$t AS (SELECT d, CAST(round(CAST(y AS DOUBLE) / ma * 1000000)
+             |    AS BIGINT) AS u FROM y$t, ma$t),
+             |ss$t AS (SELECT greatest(sqrt(CAST(sum(u * u) AS DOUBLE)), 1.0)
+             |    AS den FROM u$t),
+             |v$t AS (SELECT d, CAST(round(CAST(u AS DOUBLE) * 1000000 / den)
+             |    AS BIGINT) AS v FROM u$t, ss$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ex AS (
+           |  SELECT vec_id, i - 1 AS d,
+           |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+           |      AS BIGINT) AS x
+           |  FROM (SELECT vec_id, embedding,
+           |          unnest(generate_series(1, len(embedding))) AS i
+           |        FROM embeddings)),
+           |nr AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings),
+           |mu AS (SELECT d, CAST(round(CAST(sum(x) AS DOUBLE) / nn)
+           |    AS BIGINT) AS mu FROM ex, nr GROUP BY d, nn),
+           |cx AS (SELECT vec_id, d, x - mu AS xc FROM ex JOIN mu USING (d)),
+           |v0 AS (SELECT DISTINCT d, CAST(125000 AS BIGINT) AS v FROM ex),
+           |$rounds
+           |SELECT d, mu AS mu_micro, v AS v_micro
+           |FROM v$iters JOIN mu USING (d)""".stripMargin
+      })
+  }
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
       q164, q165, q166, q167, q168, q169, q170, q171, q174, q175, q177,
-      q179, q181, q182, q186)
+      q179, q181, q182, q186, q192)
 }

@@ -519,60 +519,134 @@ object TextQueries {
     * are vocabulary-sized (≪ corpus) groupBys with map-side combine, and
     * at a bounded vocabulary the count joins broadcast. No driver state.
     */
+  /** Shared bigram-LM scorer (q178/q188/q193): doc_id, lang, n_bigrams,
+    * nll_micro. lang rides through the per-doc groupBy (functionally
+    * dependent on doc_id) so downstream per-language consumers never
+    * rejoin the corpus. See q178's Scaladoc for the LM and scale shape.
+    */
+  private[queries] def bigramNll(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Catalog.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+    val toks = docs.select(explode(col("t")).as("w"))
+    val bi = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+    // context counts c(w1·) and the token total N derive from the
+    // VOCABULARY-sized count relations, not fresh corpus passes —
+    // c(w1·) = Σ_w2 c(w1,w2) exactly. The two count relations persist
+    // (vocab-sized — safe at any corpus scale) because each is read
+    // twice and Spark re-executes lineage per reference: without the
+    // persist the plan pays 5 corpus scans, with it 3 (bigram count,
+    // unigram count, scoring join).
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cw = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("w", "w2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cu.agg(sum(col("cu")).cast("double").as("n")) // 1 row
+    bi.join(bc, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .join(cu, Seq("w2")).crossJoin(broadcast(n))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        round(avg(-log2(
+          lit(0.7) * col("cb").cast("double") / col("cw").cast("double")
+            + lit(0.3) * col("cu").cast("double") / col("n")))
+          * 1e6).cast("bigint").as("nll_micro"))
+  }
+
+  /** DuckDB mirror of [[bigramNll]]: CTE chain ending in `score`
+    * (doc_id, lang, n_bigrams, nll_micro). */
+  private[queries] val nllCtes =
+    """docs AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS t
+      |  FROM documents),
+      |toks AS (SELECT doc_id, u.w FROM docs d, unnest(d.t) u(w)),
+      |bi AS (
+      |  SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, lang, t,
+      |               unnest(generate_series(1, len(t) - 1)) AS i
+      |        FROM docs WHERE len(t) >= 2)),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+      |cw AS (SELECT w1, sum(cb) AS cw FROM bc GROUP BY 1),
+      |cu AS (SELECT w AS w2, count(*) AS cu FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM cu),
+      |score AS (
+      |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(round(avg(-log2(
+      |        0.7 * CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE)
+      |          + 0.3 * CAST(cu AS DOUBLE) / n)) * 1000000) AS BIGINT)
+      |      AS nll_micro
+      |  FROM bi JOIN bc USING (w1, w2) JOIN cw USING (w1)
+      |       JOIN cu USING (w2), n
+      |  GROUP BY doc_id, lang)""".stripMargin
+
   val q178 = Q("q178_bigram_perplexity",
+    (s, d) => bigramNll(s, d)
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro")),
+    Some(
+      s"""WITH $nllCtes
+         |SELECT doc_id, n_bigrams, nll_micro FROM score""".stripMargin))
+
+  /** q188 — CCNET PERPLEXITY BUCKETS: split each language's documents
+    * into head/middle/tail thirds by LM perplexity (q178's bigram LM) —
+    * the CCNet curation step that keeps "head" for training and routes
+    * "tail" to filtering. Cutoffs are VALUE thresholds read off a
+    * per-language histogram of MILLI-quantized scores (ties inclusive),
+    * not per-row ntile: c1 = smallest milli value with cum·3 ≥ total,
+    * c2 = smallest with cum·3 ≥ 2·total.
+    *
+    * Scale shape: the cutoff computation runs on the (lang × milli-grid)
+    * HISTOGRAM — map-side-combined counts on a bounded grid, a window
+    * over grid-sized data, and a 5-row broadcast back. No per-row ntile
+    * (a per-language global sort of the corpus) anywhere; the corpus is
+    * touched by one groupBy and one broadcast join.
+    */
+  val q188 = Q("q188_ccnet_buckets",
     (s, d) => {
-      val docs = Catalog.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-      val toks = docs.select(explode(col("t")).as("w"))
-      val bi = docs.filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(t) - 1)," +
-            " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
-        .select(col("doc_id"), col("b.w1"), col("b.w2"))
-      // context counts c(w1·) and the token total N derive from the
-      // VOCABULARY-sized count relations, not fresh corpus passes —
-      // c(w1·) = Σ_w2 c(w1,w2) exactly. The two count relations persist
-      // (vocab-sized — safe at any corpus scale) because each is read
-      // twice and Spark re-executes lineage per reference: without the
-      // persist the plan pays 5 corpus scans, with it 3 (bigram count,
-      // unigram count, scoring join).
-      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      import org.apache.spark.sql.expressions.Window
+      val scored = bigramNll(s, d)
+        .withColumn("nll_milli", expr("nll_micro div 1000")) // ≥0 — trunc = floor
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cw = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
-      val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-        .withColumnRenamed("w", "w2")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = cu.agg(sum(col("cu")).cast("double").as("n")) // 1 row
-      bi.join(bc, Seq("w1", "w2")).join(cw, Seq("w1"))
-        .join(cu, Seq("w2")).crossJoin(broadcast(n))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
-          round(avg(-log2(
-            lit(0.7) * col("cb").cast("double") / col("cw").cast("double")
-              + lit(0.3) * col("cu").cast("double") / col("n")))
-            * 1e6).cast("bigint").as("nll_micro"))
+      val hist = scored.groupBy(col("lang"), col("nll_milli"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("nll_milli"))
+      val wTot = Window.partitionBy(col("lang"))
+      val cuts = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("tot", sum(col("c")).over(wTot))
+        .groupBy(col("lang"))
+        .agg(
+          min(when(col("cum") * 3 >= col("tot"), col("nll_milli"))).as("c1"),
+          min(when(col("cum") * 3 >= col("tot") * 2, col("nll_milli")))
+            .as("c2"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("nll_micro"),
+          when(col("nll_milli") <= col("c1"), "head")
+            .when(col("nll_milli") <= col("c2"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
     },
     Some(
-      """WITH docs AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
-        |  FROM documents),
-        |toks AS (SELECT doc_id, u.w FROM docs d, unnest(d.t) u(w)),
-        |bi AS (
-        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        |        FROM docs WHERE len(t) >= 2)),
-        |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
-        |cw AS (SELECT w1, sum(cb) AS cw FROM bc GROUP BY 1),
-        |cu AS (SELECT w AS w2, count(*) AS cu FROM toks GROUP BY 1),
-        |n AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM cu)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(round(avg(-log2(
-        |      0.7 * CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE)
-        |        + 0.3 * CAST(cu AS DOUBLE) / n)) * 1000000) AS BIGINT)
-        |    AS nll_micro
-        |FROM bi JOIN bc USING (w1, w2) JOIN cw USING (w1)
-        |     JOIN cu USING (w2), n
-        |GROUP BY doc_id""".stripMargin))
+      s"""WITH $nllCtes,
+         |sm AS (SELECT *, nll_micro // 1000 AS nll_milli FROM score),
+         |hist AS (SELECT lang, nll_milli, count(*) AS c
+         |         FROM sm GROUP BY 1, 2),
+         |cum AS (SELECT lang, nll_milli,
+         |          sum(c) OVER (PARTITION BY lang ORDER BY nll_milli) AS cum,
+         |          sum(c) OVER (PARTITION BY lang) AS tot
+         |        FROM hist),
+         |cuts AS (SELECT lang,
+         |           min(CASE WHEN cum * 3 >= tot THEN nll_milli END) AS c1,
+         |           min(CASE WHEN cum * 3 >= 2 * tot THEN nll_milli END) AS c2
+         |         FROM cum GROUP BY lang)
+         |SELECT doc_id, lang, nll_micro,
+         |  CASE WHEN nll_milli <= c1 THEN 'head'
+         |       WHEN nll_milli <= c2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM sm JOIN cuts USING (lang)""".stripMargin))
 
   /** q180 — PREFERENCE-PAIR CONSTRUCTION (the DPO/RLHF data-prep op):
     * within each language group, pair the top-quality documents
@@ -645,7 +719,274 @@ object TextQueries {
            |WHERE cq > rq""".stripMargin))
   }
 
+  /** q189 — DSIR IMPORTANCE RESAMPLING (data selection for language
+    * models): weight every document by how much its unigram distribution
+    * looks like a TARGET domain (here lang='en') versus the RAW corpus,
+    * then keep the top fifth by weight. Per-token importance
+    * log2(p_target(w)/p_raw(w)) with add-one smoothing over the raw
+    * vocabulary; both probabilities are ratios of exact counts, each
+    * token's contribution is micro-rounded BEFORE the per-doc sum, so the
+    * doc weight is an exact integer sum (no FP accumulation order).
+    * The keep cutoff is a value threshold off the global milli-histogram
+    * of weights (largest milli value covering ≥20% of docs, ties
+    * inclusive) — the same bounded-grid technique as q188, never a
+    * global per-row sort.
+    *
+    * Scale shape: two vocabulary-sized count relations (map-side
+    * combine), one corpus-sized token join against them (vocab
+    * broadcasts at a bounded vocabulary), a grid-sized histogram window,
+    * and a 1-row broadcast threshold. No driver state.
+    */
+  val q189 = {
+    val etaPct = 20 // keep the top fifth
+    Q("q189_dsir_importance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Catalog.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val cr = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ct = Catalog.documents(s, d).filter(col("lang") === "en")
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+        val totals = cr.agg(
+          sum(col("cr")).cast("double").as("nr"),
+          count(lit(1)).cast("double").as("v"))
+        val nt = ct.agg(sum(col("ct")).cast("double").as("nt"))
+        val scored = toks
+          .join(cr, Seq("w")).join(ct, Seq("w"), "left")
+          .crossJoin(broadcast(totals)).crossJoin(broadcast(nt))
+          .select(col("doc_id"),
+            round(log2(
+              ((coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
+                / (col("nt") + col("v")))
+                / ((col("cr").cast("double") + 1.0)
+                  / (col("nr") + col("v")))) * 1e6)
+              .cast("bigint").as("lw"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_toks"),
+            sum(col("lw")).cast("bigint").as("lw_micro"))
+          .withColumn("lw_milli",
+            floor(col("lw_micro").cast("double") / 1000.0).cast("bigint"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wCum = Window.orderBy(col("lw_milli").desc)
+        val cut = scored.groupBy(col("lw_milli")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .crossJoin(broadcast(
+            scored.agg(count(lit(1)).as("tot"))))
+          .agg(max(when(col("cum") * 100 >= col("tot") * etaPct,
+            col("lw_milli"))).as("cth"))
+        scored.crossJoin(broadcast(cut))
+          .select(col("doc_id"), col("n_toks"), col("lw_micro"),
+            when(col("lw_milli") >= col("cth"), 1L).otherwise(0L)
+              .cast("bigint").as("keep"))
+      },
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, u.w
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+           |        FROM documents) d, unnest(d.t) u(w)),
+           |cr AS (SELECT w, count(*) AS cr FROM toks GROUP BY 1),
+           |ct AS (SELECT u.w, count(*) AS ct
+           |       FROM (SELECT regexp_split_to_array(text, '\\s+') AS t
+           |             FROM documents WHERE lang = 'en') d,
+           |            unnest(d.t) u(w)
+           |       GROUP BY 1),
+           |tr AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+           |              CAST(count(*) AS DOUBLE) AS v FROM cr),
+           |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt FROM ct),
+           |scored AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           |    CAST(sum(CAST(round(log2(
+           |      ((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / (nt + v))
+           |        / ((CAST(cr AS DOUBLE) + 1.0) / (nr + v))) * 1000000)
+           |      AS BIGINT)) AS BIGINT) AS lw_micro
+           |  FROM toks JOIN cr USING (w) LEFT JOIN ct USING (w), tr, tt
+           |  GROUP BY doc_id),
+           |sm AS (SELECT *,
+           |         CAST(floor(CAST(lw_micro AS DOUBLE) / 1000.0) AS BIGINT)
+           |           AS lw_milli
+           |       FROM scored),
+           |hist AS (SELECT lw_milli, count(*) AS c FROM sm GROUP BY 1),
+           |cum AS (SELECT lw_milli,
+           |          sum(c) OVER (ORDER BY lw_milli DESC) AS cum
+           |        FROM hist),
+           |tot AS (SELECT count(*) AS tot FROM sm),
+           |cut AS (SELECT max(CASE WHEN cum * 100 >= tot * $etaPct
+           |                        THEN lw_milli END) AS cth
+           |        FROM cum, tot)
+           |SELECT doc_id, n_toks, lw_micro,
+           |  CAST(CASE WHEN lw_milli >= cth THEN 1 ELSE 0 END AS BIGINT)
+           |    AS keep
+           |FROM sm, cut""".stripMargin))
+  }
+
+  /** q190 — T5 SPAN CORRUPTION (masked span-infilling data prep): break
+    * each document's token stream into 3-token blocks, deterministically
+    * drop ~20% of blocks (hash60(doc_id:block) % 5 = 0), and emit the
+    * (input, target) pair — input has each dropped block replaced by an
+    * ordinal `<extra_id_K>` sentinel, target lists each sentinel followed
+    * by the tokens it hides. The span choice is salted-hash-deterministic
+    * (same rows every run, both engines), never rand().
+    *
+    * Scale shape: everything is doc-local — block explode, one window
+    * partitioned by doc_id for sentinel ordinals, one groupBy doc_id to
+    * reassemble (sorted-struct array join, the deterministic string_agg).
+    * No cross-doc joins at all; parallelism is per-document.
+    */
+  val q190 = Q("q190_span_corruption",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val blocks = Catalog.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(t) - 1) div 3)," +
+            " b -> array_join(slice(t, b * 3 + 1, 3), ' '))")))
+        .withColumnRenamed("pos", "b").withColumnRenamed("col", "btext")
+        .withColumn("dropped",
+          graft.ops.TextAnalysis.hash60(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("b").cast("string"))) % 5 === 0)
+      val wS = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+      val marked = blocks.withColumn("sidx",
+        sum(when(col("dropped"), 1L).otherwise(0L)).over(wS) - 1)
+      marked.groupBy(col("doc_id")).agg(
+        sum(when(col("dropped"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_spans"),
+        array_join(expr("transform(sort_array(collect_list(struct(b, " +
+          "CASE WHEN dropped THEN concat('<extra_id_', sidx, '>') " +
+          "ELSE btext END AS piece))), x -> x.piece)"), " ").as("input_str"),
+        coalesce(array_join(expr("transform(sort_array(collect_list(" +
+          "CASE WHEN dropped THEN struct(b, concat('<extra_id_', sidx, " +
+          "'> ', btext) AS piece) END)), x -> x.piece)"), " "), lit(""))
+          .as("target_str"))
+    },
+    Some(
+      s"""WITH docs AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t[i] AS tok, (i - 1) // 3 AS b, i
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+         |        FROM docs)),
+         |blocks AS (
+         |  SELECT doc_id, b, string_agg(tok, ' ' ORDER BY i) AS btext,
+         |    ${hash60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")} % 5 = 0
+         |      AS dropped
+         |  FROM pos GROUP BY doc_id, b),
+         |marked AS (
+         |  SELECT *, sum(CASE WHEN dropped THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY b) - 1 AS sidx
+         |  FROM blocks)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spans,
+         |  string_agg(CASE WHEN dropped THEN '<extra_id_' || sidx || '>'
+         |                  ELSE btext END, ' ' ORDER BY b) AS input_str,
+         |  coalesce(string_agg(CASE WHEN dropped
+         |      THEN '<extra_id_' || sidx || '> ' || btext END,
+         |    ' ' ORDER BY b), '') AS target_str
+         |FROM marked GROUP BY doc_id""".stripMargin))
+
+  /** q191 — IN-ENGINE QUALITY-CLASSIFIER TRAINING (the fastText-style
+    * filter model, trained inside the engine): full-batch gradient
+    * descent for a logistic-like classifier over 4 handcrafted document
+    * features (bias, length score, alpha ratio, capped stopword ratio —
+    * q16's components), label = "is the target language". Three exact
+    * steps: features are micro-quantized ints, each row's gradient
+    * contribution is micro-rounded before the sum (exact integer
+    * aggregation — no FP accumulation order), and the link function is
+    * the RATIONAL sigmoid 0.5 + z/(2(1+|z|)) — pure arithmetic, so both
+    * engines compute bit-identical probabilities (exp() implementations
+    * may differ across engines; +,×,/,abs may not).
+    *
+    * Scale shape: T+1 corpus passes, each a 4-value map-side-combinable
+    * aggregate; driver state is the 4 weights (bounded — the KMeans
+    * codebook precedent). The oracle replays the identical training as
+    * T unrolled CTE stages.
+    */
+  val q191 = {
+    val steps = 3
+    val lr = 4.0
+    val stopHits = langMarkers.head._2
+      .map(m => occSql("(' ' || text || ' ')", m)).mkString(" + ")
+    val featSqls = Seq(
+      "CAST(1000000 AS BIGINT)",
+      s"CAST(round(least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) * 1000000) AS BIGINT)",
+      "CAST(round(coalesce(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0), 0) * 1000000) AS BIGINT)",
+      s"CAST(round(least(coalesce(CAST($stopHits AS DOUBLE) / nullif(CAST($tokSql AS DOUBLE), 0), 0) * 5.0, 1.0) * 1000000) AS BIGINT)")
+    val stepCtes = {
+      val sb = new StringBuilder
+      sb ++= "p0 AS (SELECT *, CAST(0.0 AS DOUBLE) AS z, CAST(0.5 AS DOUBLE) AS p FROM feats),\n"
+      for (t <- 1 to steps) {
+        val gdefs = (0 to 3)
+          .map(j => s"sum(CAST(round((p - y) * f$j) AS BIGINT)) AS g$j")
+          .mkString(", ")
+        sb ++= s"g$t AS (SELECT $gdefs FROM p${t - 1}),\n"
+        val wdefs = (0 to 3).map { j =>
+          val base = if (t == 1) "0" else s"w${t - 1}.w$j"
+          s"CAST($base - round($lr * g$j / nn) AS BIGINT) AS w$j"
+        }.mkString(", ")
+        sb ++= s"w$t AS (SELECT $wdefs FROM g$t, n" +
+          (if (t == 1) "" else s", w${t - 1}") + "),\n"
+        sb ++= s"z$t AS (SELECT f.*, CAST(f.f0 * w.w0 + f.f1 * w.w1" +
+          s" + f.f2 * w.w2 + f.f3 * w.w3 AS DOUBLE) / 1e12 AS z" +
+          s" FROM feats f, w$t w),\n"
+        sb ++= s"p$t AS (SELECT *, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p" +
+          s" FROM z$t)" + (if (t < steps) ",\n" else "")
+      }
+      sb.toString
+    }
+    Q("q191_quality_classifier",
+      (s, d) => {
+        val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+        val feats = Catalog.documents(s, d).select(
+          col("doc_id"), y.as("y"),
+          lit(1000000L).as("f0"),
+          round(least(tokenCount(col("text")).cast("double") / 100.0,
+            lit(1.0)) * 1e6).cast("bigint").as("f1"),
+          round(coalesce(alphaRatio(col("text")), lit(0.0)) * 1e6)
+            .cast("bigint").as("f2"),
+          round(least(coalesce(stopwordRatio(col("text")), lit(0.0)) * 5.0,
+            lit(1.0)) * 1e6).cast("bigint").as("f3"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDocs = feats.count()
+        // HALF_UP away from zero — the rounding DuckDB's round() and
+        // Spark SQL's round() share (Scala math.round differs at -x.5).
+        def halfUp(x: Double): Long = new java.math.BigDecimal(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        var w = Array(0L, 0L, 0L, 0L)
+        def zc = (col("f0") * w(0) + col("f1") * w(1) + col("f2") * w(2)
+          + col("f3") * w(3)).cast("double") / lit(1e12)
+        def pc = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
+        for (_ <- 1 to steps) {
+          val g = feats.agg(
+            sum(round((pc - col("y")) * col("f0")).cast("bigint")),
+            sum(round((pc - col("y")) * col("f1")).cast("bigint")),
+            sum(round((pc - col("y")) * col("f2")).cast("bigint")),
+            sum(round((pc - col("y")) * col("f3")).cast("bigint"))).head()
+          w = Array.tabulate(4)(j =>
+            w(j) - halfUp(lr * g.getLong(j) / nDocs))
+        }
+        feats.select(col("doc_id"), col("y").cast("bigint").as("y"),
+          round(pc * 1e6).cast("bigint").as("p_micro"),
+          when(zc > 0, 1L).otherwise(0L).cast("bigint").as("pred"))
+      },
+      Some(
+        s"""WITH feats AS (
+           |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |    ${featSqls.zipWithIndex
+                 .map { case (e, j) => s"$e AS f$j" }.mkString(",\n    ")}
+           |  FROM documents),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM feats),
+           |$stepCtes
+           |SELECT doc_id, CAST(y AS BIGINT) AS y,
+           |  CAST(round(p * 1000000) AS BIGINT) AS p_micro,
+           |  CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+           |FROM p$steps""".stripMargin))
+  }
+
   val all: Seq[Q] =
     Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137,
-      q155, q162, q178, q180)
+      q155, q162, q178, q180, q188, q189, q190, q191)
 }

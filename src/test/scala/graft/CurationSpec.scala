@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+import graft.tables.Catalog
+
+/** Round-9 corpus-curation additions: CCNet perplexity buckets (q188),
+  * DSIR importance resampling (q189), T5 span corruption (q190),
+  * in-engine classifier training (q191), PCA power iteration (q192),
+  * and the curriculum schedule (q193). Each test pins the SEMANTIC
+  * property the operator exists for, not the oracle hash (the
+  * correctness gate owns that).
+  */
+class CurationSpec extends SparkSuite {
+
+  private def byName(n: String) =
+    SparkEntry.registry.find(_.name == n).get.run(spark, sf)
+
+  test("q188: buckets are value-monotone per language and cover all scored docs") {
+    val got = byName("q188_ccnet_buckets").cache()
+    // value-threshold buckets: every head score < every middle score
+    // < every tail score within a language (strict at milli granularity)
+    val m = got.groupBy(col("lang")).agg(
+      max(when(col("ppl_bucket") === "head", col("nll_micro") / 1000))
+        .as("h_max"),
+      min(when(col("ppl_bucket") === "middle", col("nll_micro") / 1000))
+        .as("m_min"),
+      max(when(col("ppl_bucket") === "middle", col("nll_micro") / 1000))
+        .as("m_max"),
+      min(when(col("ppl_bucket") === "tail", col("nll_micro") / 1000))
+        .as("t_min")).collect()
+    m.foreach { r =>
+      if (!r.isNullAt(1) && !r.isNullAt(2))
+        assert(r.getDouble(1) <= r.getDouble(2) + 1, r.toString)
+      if (!r.isNullAt(3) && !r.isNullAt(4))
+        assert(r.getDouble(3) <= r.getDouble(4) + 1, r.toString)
+    }
+    // one row per multi-token doc, same coverage as q178
+    assert(got.count() == byName("q178_bigram_perplexity").count())
+    got.unpersist()
+  }
+
+  test("q189: keep set is a weight superlevel set covering >= 20% of docs") {
+    val got = byName("q189_dsir_importance").cache()
+    val total = got.count()
+    val kept = got.filter(col("keep") === 1).cache()
+    assert(kept.count() * 5 >= total, s"${kept.count()} of $total kept")
+    val minKept = kept.agg(min(col("lw_micro"))).head().getLong(0)
+    // threshold at milli granularity: no dropped doc may exceed the
+    // lowest kept weight by a full milli step
+    val overs = got.filter(col("keep") === 0)
+      .filter(col("lw_micro") >= minKept + 1000).count()
+    assert(overs == 0)
+    kept.unpersist(); got.unpersist()
+  }
+
+  test("q190: sentinel substitution reconstructs the original token stream") {
+    val rows = byName("q190_span_corruption")
+      .join(Catalog.documents(spark, sf), Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("input_str"),
+        col("target_str"), col("text")).collect()
+    assert(rows.nonEmpty)
+    val sentinel = "<extra_id_(\\d+)>".r
+    rows.foreach { r =>
+      val (nSpans, input, target, text) =
+        (r.getLong(1), r.getString(2), r.getString(3), r.getString(4))
+      // parse target: sentinel k -> hidden tokens
+      val spans = scala.collection.mutable.Map[Int, Seq[String]]()
+      var cur = -1
+      target.split("\\s+").filter(_.nonEmpty).foreach {
+        case sentinel(k) => cur = k.toInt; spans(cur) = Seq.empty
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.size == nSpans, s"doc ${r.getLong(0)}")
+      assert(spans.keys.toSeq.sorted == (0 until nSpans.toInt),
+        s"doc ${r.getLong(0)}: sentinel ordinals not contiguous")
+      val rebuilt = input.split("\\s+").filter(_.nonEmpty).flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case tok => Seq(tok)
+      }
+      val orig = text.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(rebuilt.toSeq == orig, s"doc ${r.getLong(0)} reconstruction")
+    }
+  }
+
+  test("q191: trained classifier separates the target language") {
+    val got = byName("q191_quality_classifier").cache()
+    val m = got.groupBy(col("y")).agg(avg(col("p_micro")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) > m(0L),
+      s"mean p(en)=${m(1L)} must exceed mean p(other)=${m(0L)}")
+    // the model must have moved off the 0.5 init for at least one class
+    assert(got.filter(col("p_micro") =!= 500000).count() > 0)
+    got.unpersist()
+  }
+
+  test("q192: component is unit-norm and beats the uniform direction") {
+    val rows = byName("q192_pca_power_iteration").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length == 64)
+    val v = rows.map(_._3.toDouble / 1e6)
+    val mu = rows.map(_._2.toDouble / 1e6)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 0.02, s"norm $norm")
+    // Rayleigh quotient v'Cv must beat the uniform init's — the
+    // iteration made progress toward the leading eigenvector
+    val data = Catalog.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    def rayleigh(dir: Array[Double]): Double = {
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      val u = dir.map(_ / n)
+      data.map { x =>
+        val dot = x.indices.map(i => (x(i) - mu(i)) * u(i)).sum
+        dot * dot
+      }.sum
+    }
+    val uniform = Array.fill(64)(1.0)
+    assert(rayleigh(v) >= rayleigh(uniform) * 0.999,
+      s"rayleigh ${rayleigh(v)} vs uniform ${rayleigh(uniform)}")
+  }
+
+  test("q193: positions are dense per (phase, shard) and phases are difficulty-monotone") {
+    val got = byName("q193_curriculum_schedule").cache()
+    // pos is 1..count within each (phase, shard)
+    val bad = got.groupBy(col("phase"), col("shard"))
+      .agg(count(lit(1)).as("c"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("c") || col("mn") =!= 1).count()
+    assert(bad == 0)
+    // phases ordered by difficulty: max nll of phase p stays within a
+    // milli step of min nll of phase p+1
+    val withNll = got.join(
+      byName("q178_bigram_perplexity").select(col("doc_id"),
+        col("nll_micro")), Seq("doc_id"))
+    val stats = withNll.groupBy(col("phase"))
+      .agg(min(col("nll_micro")).as("mn"), max(col("nll_micro")).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    stats.sliding(2).foreach {
+      case Array((_, _, loMx), (_, hiMn, _)) =>
+        assert(loMx <= hiMn + 1000, s"phases overlap: $loMx vs $hiMn")
+      case _ =>
+    }
+    got.unpersist()
+  }
+}
