@@ -486,6 +486,133 @@ object DedupQueries {
       })
   }
 
+  /** q194 — LSH COLLISION HISTOGRAM / DUPLICATE-RATE ESTIMATE: the
+    * bucket-size distribution of the MinHash band index (q19's exact
+    * signature pipeline), WITHOUT running the candidate pair join —
+    * Σ_buckets C(size,2) per size estimates the near-dup pair volume a
+    * full LSH pass would generate. The production use: size the dedup
+    * job (and catch a degenerate corpus that would explode the bucket
+    * join) from one aggregation pass before paying for it.
+    *
+    * Scale shape: one groupBy on the band-hash (corpus×4 rows, map-side
+    * combine) then a bucket-size histogram (grid-sized). No self-join
+    * anywhere — that's the point.
+    */
+  val q194 = Q("q194_lsh_collision_stats",
+    (s, d) => {
+      val hs = Dedup.capHashed(
+        Dedup.hashedShingles(docsNear(s, d), 3), shingleMaxDf)
+      val bands = Dedup.lshBands(Dedup.minhashSignature(hs))
+      bands.groupBy(col("bh")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy(col("c")).agg(count(lit(1)).as("n_buckets"))
+        .select(col("c").cast("bigint").as("bucket_size"),
+          col("n_buckets").cast("bigint").as("n_buckets"),
+          (col("n_buckets") * expr("(c * (c - 1)) div 2")).cast("bigint")
+            .as("cand_pairs"))
+    },
+    Some(
+      s"""WITH ${shinglesSql(docsNearSql)},
+         |hashed0 AS (SELECT doc_id, ${ringHashSql("shingle")} AS h FROM shingles),
+         |${capSql("hashed0")},
+         |sigs AS (SELECT doc_id,
+         |    $sigColsSql
+         |  FROM capped GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |bsz AS (SELECT bh, count(*) AS c FROM bands GROUP BY 1)
+         |SELECT CAST(c AS BIGINT) AS bucket_size,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(count(*) * ((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs
+         |FROM bsz WHERE c >= 2 GROUP BY c""".stripMargin))
+
+  /** q195 — TEMPLATE-FINGERPRINT DEDUP (synthetic/boilerplate data
+    * dedup): cluster documents whose text is identical AFTER masking
+    * every digit run — catches "the same generated template filled with
+    * different numbers", which exact dedup (q18) misses and near-dup
+    * may only partially group. Fingerprint = md5 of (lowercase, digit
+    * runs → '#', whitespace collapsed). The corpus injects two
+    * numbered variants per 7th doc; the injection lives in both engines
+    * and defines the contract.
+    *
+    * Scale shape: identical to exact dedup — map-side fingerprints, one
+    * groupBy with combinable aggregates.
+    */
+  val q195 = Q("q195_template_dedup",
+    (s, d) => {
+      val docs = Catalog.documents(s, d).select(col("doc_id"), col("text"))
+      def variant(off: Long, mult: Int) = docs
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(" v "),
+            (col("doc_id") * mult).cast("string")).as("text"))
+      val corpus = docs.unionAll(variant(2000000L, 7))
+        .unionAll(variant(3000000L, 13))
+      val tpl = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[0-9]+", "#"), "\\s+", " "))
+      corpus.select(col("doc_id"), md5(tpl.cast("binary")).as("tpl_fp"),
+          md5(col("text").cast("binary")).as("txt_fp"))
+        .groupBy(col("tpl_fp")).agg(
+          min(col("doc_id")).as("keep_id"),
+          count(lit(1)).cast("bigint").as("n_members"),
+          countDistinct(col("txt_fp")).cast("bigint").as("n_distinct_texts"))
+    },
+    Some(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         text || ' v ' || CAST(doc_id * 7 AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |         text || ' v ' || CAST(doc_id * 13 AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[0-9]+', '#', 'g'), '\s+', ' ', 'g'))) AS tpl_fp,
+        |  min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        |FROM corpus GROUP BY 1""".stripMargin))
+
+  /** q196 — N-GRAM NOVELTY SCORE: per document, the fraction of its
+    * distinct 3-shingles that appear in NO other document — high
+    * novelty = unique content worth keeping, low novelty = boilerplate
+    * assembled from corpus-common phrases. The complement of the
+    * decontamination/dedup family: instead of dropping overlap, score
+    * it. novel_ppm is an exact integer ratio (integer division — no FP).
+    *
+    * Scale shape: one distinct over hashed shingles, one
+    * vocabulary-sized document-frequency groupBy, one join back
+    * (broadcastable at bounded vocabulary), one per-doc groupBy — all
+    * map-side-combinable counts.
+    */
+  val q196 = Q("q196_ngram_novelty",
+    (s, d) => {
+      val sh = Dedup.hashedShingles(
+        Catalog.documents(s, d).select(col("doc_id"), col("text")), 3)
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      sh.join(df, Seq("h"))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).cast("bigint").as("n_sh"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).cast("bigint")
+            .as("n_novel"))
+        .withColumn("novel_ppm",
+          expr("(n_novel * 1000000) div n_sh").cast("bigint"))
+    },
+    Some(
+      s"""WITH ${shinglesSql("SELECT doc_id, text FROM documents")},
+         |sh AS (SELECT DISTINCT doc_id, ${ringHashSql("shingle")} AS h
+         |       FROM shingles),
+         |dfr AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS novel_ppm
+         |FROM sh JOIN dfr USING (h) GROUP BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67, q78, q96,
-    q110)
+    q110, q194, q195, q196)
 }

@@ -491,7 +491,7 @@ object PipelineQueries {
     },
     Some(
       s"""WITH ${TextQueries.nllCtes},
-         |sm AS (SELECT doc_id, nll_micro // 1000 AS nll_milli,
+         |sm AS MATERIALIZED (SELECT doc_id, nll_micro // 1000 AS nll_milli,
          |         ${TextQueries.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
          |       FROM score),
          |hist AS (SELECT nll_milli, count(*) AS c FROM sm GROUP BY 1),

@@ -574,7 +574,7 @@ object TextQueries {
       |cw AS (SELECT w1, sum(cb) AS cw FROM bc GROUP BY 1),
       |cu AS (SELECT w AS w2, count(*) AS cu FROM toks GROUP BY 1),
       |n AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM cu),
-      |score AS (
+      |score AS MATERIALIZED (
       |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
       |    CAST(round(avg(-log2(
       |        0.7 * CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE)
@@ -631,7 +631,8 @@ object TextQueries {
     },
     Some(
       s"""WITH $nllCtes,
-         |sm AS (SELECT *, nll_micro // 1000 AS nll_milli FROM score),
+         |sm AS MATERIALIZED (SELECT *, nll_micro // 1000 AS nll_milli
+         |      FROM score),
          |hist AS (SELECT lang, nll_milli, count(*) AS c
          |         FROM sm GROUP BY 1, 2),
          |cum AS (SELECT lang, nll_milli,
@@ -803,7 +804,7 @@ object TextQueries {
            |      AS BIGINT)) AS BIGINT) AS lw_micro
            |  FROM toks JOIN cr USING (w) LEFT JOIN ct USING (w), tr, tt
            |  GROUP BY doc_id),
-           |sm AS (SELECT *,
+           |sm AS MATERIALIZED (SELECT *,
            |         CAST(floor(CAST(lw_micro AS DOUBLE) / 1000.0) AS BIGINT)
            |           AS lw_milli
            |       FROM scored),
@@ -973,7 +974,7 @@ object TextQueries {
           when(zc > 0, 1L).otherwise(0L).cast("bigint").as("pred"))
       },
       Some(
-        s"""WITH feats AS (
+        s"""WITH feats AS MATERIALIZED (
            |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
            |    ${featSqls.zipWithIndex
                  .map { case (e, j) => s"$e AS f$j" }.mkString(",\n    ")}

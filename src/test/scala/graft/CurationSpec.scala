@@ -122,6 +122,49 @@ class CurationSpec extends SparkSuite {
       s"rayleigh ${rayleigh(v)} vs uniform ${rayleigh(uniform)}")
   }
 
+  test("q194: collision histogram bounds the true LSH candidate-pair count") {
+    val stats = byName("q194_lsh_collision_stats").collect()
+    val estPairs = stats.map(r => r.getLong(2)).sum
+    val truePairs = byName("q19_dedup_minhash_lsh").count()
+    // Σ C(size,2) counts each candidate pair once PER shared bucket —
+    // an upper bound on the distinct-pair count q19 materializes
+    assert(estPairs >= truePairs, s"$estPairs < $truePairs")
+    assert(truePairs > 0 && estPairs > 0)
+    // histogram is consistent: pairs = buckets * C(size,2) per row
+    stats.foreach { r =>
+      val (sz, nb, cp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(cp == nb * sz * (sz - 1) / 2, r.toString)
+    }
+  }
+
+  test("q195: numbered variants cluster by template, not by exact text") {
+    val got = byName("q195_template_dedup").cache()
+    // every 7th doc got two variants with DIFFERENT numbers — same
+    // template → a cluster with 2 members but 2 distinct texts
+    // (doc 0 is the exception: 0·7 = 0·13, so its variants are
+    // byte-identical — 2 members, 1 distinct text)
+    val variantClusters = got.filter(col("n_members") === 2)
+    val expected = Catalog.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(variantClusters.count() == expected)
+    assert(variantClusters.filter(col("n_distinct_texts") === 2).count()
+      == expected - 1)
+    // keep_id is the minimum member id: variants keep the +2000000 copy
+    assert(variantClusters.filter(col("keep_id") < 2000000).count() == 0)
+    got.unpersist()
+  }
+
+  test("q196: novelty is a valid ppm ratio and unique docs score high") {
+    val got = byName("q196_ngram_novelty").cache()
+    assert(got.filter(col("novel_ppm") < 0 || col("novel_ppm") > 1000000)
+      .count() == 0)
+    assert(got.filter(col("n_novel") > col("n_sh")).count() == 0)
+    // novel_ppm = (n_novel * 1e6) div n_sh exactly
+    assert(got.filter(expr("novel_ppm != (n_novel * 1000000) div n_sh"))
+      .count() == 0)
+    got.unpersist()
+  }
+
   test("q193: positions are dense per (phase, shard) and phases are difficulty-monotone") {
     val got = byName("q193_curriculum_schedule").cache()
     // pos is 1..count within each (phase, shard)
