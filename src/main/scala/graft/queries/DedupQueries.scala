@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Similarity}
@@ -613,6 +614,243 @@ object DedupQueries {
          |    // count(*) AS BIGINT) AS novel_ppm
          |FROM sh JOIN dfr USING (h) GROUP BY doc_id""".stripMargin))
 
+  /** q198 — SEMANTIC DECONTAMINATION: the embedding-space sibling of
+    * q67 (exact fingerprint) and q110 (13-gram): flag every corpus
+    * vector whose cosine against ANY held-out benchmark vector (every
+    * 50th embedding stands in for the eval set) reaches 0.9 — catching
+    * paraphrased/reformatted contamination that text matching misses.
+    * The corpus injects verbatim copies of every 100th benchmark vector
+    * under shifted ids (same injection in the oracle), which must be
+    * caught at cosine ~1.
+    *
+    * Scale shape: eval sets are bounded (thousands), so the operator is
+    * a broadcast nested-loop over the corpus — ONE corpus scan, zero
+    * shuffles of corpus data, embarrassingly parallel; the
+    * [[graft.functions.CosineScaled]] fused expression (q22/q36's,
+    * proved bit-identical to the oracle's integer-quantized arithmetic)
+    * does scale+dot+norm in one codegen'd loop per pair. */
+  val q198 = Q("q198_semantic_decontaminate",
+    (s, d) => {
+      val e = Catalog.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val bench = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
+      val corpus = e.unionAll(bench.filter(col("bench_id") % 100 === 0)
+        .select((col("bench_id") + 200000L).as("vec_id"),
+          col("bvec").as("embedding")))
+      corpus.crossJoin(broadcast(bench))
+        .select(col("vec_id"), col("bench_id"),
+          graft.functions.CosineScaled(col("embedding"), col("bvec"))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.9)
+        .groupBy(col("vec_id")).agg(
+          count(lit(1)).cast("bigint").as("n_bench_hits"),
+          min(col("bench_id")).cast("bigint").as("first_bench_id"),
+          max(col("cosine")).as("max_cosine"))
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |bench AS (SELECT vec_id AS bench_id, embedding AS bvec FROM e
+        |          WHERE vec_id % 50 = 0),
+        |corpus AS (SELECT vec_id, embedding FROM e
+        |           UNION ALL
+        |           SELECT bench_id + 200000, bvec FROM bench
+        |           WHERE bench_id % 100 = 0),
+        |iv AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+        |       FROM corpus),
+        |ivb AS (SELECT bench_id,
+        |         list_transform(bvec,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+        |       FROM bench),
+        |n AS (SELECT *, CAST(list_aggregate(list_transform(iv, x -> x * x),
+        |        'sum') AS DOUBLE) AS nrm FROM iv),
+        |nb AS (SELECT *, CAST(list_aggregate(list_transform(iv, x -> x * x),
+        |        'sum') AS DOUBLE) AS nrm FROM ivb),
+        |pairs AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> c.iv[i] * b.iv[i]), 'sum') AS DOUBLE)
+        |      / sqrt(c.nrm * b.nrm) AS cosine
+        |  FROM n c, nb b)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+        |  CAST(min(bench_id) AS BIGINT) AS first_bench_id,
+        |  max(cosine) AS max_cosine
+        |FROM pairs WHERE cosine >= 0.9 GROUP BY 1""".stripMargin))
+
+  /** q199 — CORPUS-OVERLAP ESTIMATION (KMV/bottom-k MinHash sketch):
+    * per-source bottom-256 sketches over hashed 3-shingles, then for
+    * every source pair the KMV Jaccard estimate (fraction of the k
+    * smallest union hashes present in both sketches) NEXT TO the exact
+    * Jaccard from the full shingle sets — the "how much does crawl B
+    * add over crawl A" question answered from kilobyte sketches before
+    * paying for a full comparison. All outputs are exact integers
+    * (ppm via integer division).
+    *
+    * Scale shape: the full-set pass is one distinct + one
+    * vocabulary-sized membership groupBy; sketches are bounded (k per
+    * source) and the pair matrix is |sources|² — at 100 TB the exact
+    * columns are the expensive audit one RUNS ONCE, while the sketch
+    * path is what ships per-crawl; here both fit one query and the
+    * hash-equality proves the estimator's arithmetic. */
+  val q199 = {
+    val k = 256
+    Q("q199_corpus_overlap",
+      (s, d) => {
+        val docs = Catalog.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val sv = Dedup.hashedShingles(
+            docs.select(col("doc_id"), col("text")), 3)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("h")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val srcs = sv.select(col("source")).distinct()
+        val pairs = srcs.select(col("source").as("src_a"))
+          .crossJoin(srcs.select(col("source").as("src_b")))
+          .filter(col("src_a") < col("src_b"))
+        def tagged(rel: DataFrame): DataFrame =
+          rel.join(broadcast(pairs),
+              col("source") === col("src_a") ||
+                col("source") === col("src_b"))
+            .groupBy(col("src_a"), col("src_b"), col("h")).agg(
+              max(when(col("source") === col("src_a"), 1).otherwise(0))
+                .as("in_a"),
+              max(when(col("source") === col("src_b"), 1).otherwise(0))
+                .as("in_b"))
+        val sk = sv.withColumn("rk",
+            row_number().over(Window.partitionBy(col("source"))
+              .orderBy(col("h")))).filter(col("rk") <= k).drop("rk")
+        val est = tagged(sk)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("src_a"), col("src_b"))
+              .orderBy(col("h"))))
+          .filter(col("rk") <= k)
+          .groupBy(col("src_a"), col("src_b")).agg(
+            count(lit(1)).cast("bigint").as("k_eff"),
+            sum(col("in_a") * col("in_b")).cast("bigint").as("inter_k"))
+        val exact = tagged(sv)
+          .groupBy(col("src_a"), col("src_b")).agg(
+            sum(col("in_a") * col("in_b")).cast("bigint").as("inter_exact"),
+            count(lit(1)).cast("bigint").as("union_exact"))
+        est.join(exact, Seq("src_a", "src_b"))
+          .select(col("src_a"), col("src_b"), col("k_eff"),
+            col("inter_k"),
+            expr("(inter_k * 1000000) div k_eff").cast("bigint")
+              .as("est_ppm"),
+            col("inter_exact"), col("union_exact"),
+            expr("(inter_exact * 1000000) div union_exact").cast("bigint")
+              .as("exact_ppm"))
+      },
+      Some(
+        s"""WITH t AS (SELECT source, regexp_split_to_array(text, '\\s+') AS toks
+           |           FROM documents),
+           |shingles AS (
+           |  SELECT t.source, u.shingle
+           |  FROM (SELECT source,
+           |          list_transform(generate_series(1, len(toks) - 2),
+           |            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+           |        FROM t) t,
+           |       unnest(t.shs) u(shingle)),
+           |sv AS (SELECT DISTINCT source, ${ringHashSql("shingle")} AS h
+           |       FROM shingles),
+           |srcs AS (SELECT DISTINCT source FROM sv),
+           |pa AS (SELECT a.source AS src_a, b.source AS src_b
+           |       FROM srcs a JOIN srcs b ON a.source < b.source),
+           |sk AS (SELECT source, h FROM (
+           |         SELECT source, h, row_number() OVER (
+           |           PARTITION BY source ORDER BY h) AS rk FROM sv)
+           |       WHERE rk <= $k),
+           |mk AS (SELECT p.src_a, p.src_b, s.h,
+           |         max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+           |         max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+           |       FROM pa p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+           |       GROUP BY 1, 2, 3),
+           |unionk AS (SELECT * FROM (
+           |             SELECT *, row_number() OVER (
+           |               PARTITION BY src_a, src_b ORDER BY h) AS rk FROM mk)
+           |           WHERE rk <= $k),
+           |est AS (SELECT src_a, src_b,
+           |          CAST(count(*) AS BIGINT) AS k_eff,
+           |          CAST(sum(in_a * in_b) AS BIGINT) AS inter_k
+           |        FROM unionk GROUP BY 1, 2),
+           |me AS (SELECT p.src_a, p.src_b, s.h,
+           |         max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+           |         max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+           |       FROM pa p JOIN sv s ON s.source IN (p.src_a, p.src_b)
+           |       GROUP BY 1, 2, 3),
+           |exact AS (SELECT src_a, src_b,
+           |            CAST(sum(in_a * in_b) AS BIGINT) AS inter_exact,
+           |            CAST(count(*) AS BIGINT) AS union_exact
+           |          FROM me GROUP BY 1, 2)
+           |SELECT e.src_a, e.src_b, e.k_eff, e.inter_k,
+           |  CAST((e.inter_k * 1000000) // e.k_eff AS BIGINT) AS est_ppm,
+           |  x.inter_exact, x.union_exact,
+           |  CAST((x.inter_exact * 1000000) // x.union_exact AS BIGINT) AS exact_ppm
+           |FROM est e JOIN exact x USING (src_a, src_b)""".stripMargin))
+  }
+
+  /** q200 — LEAKAGE-SAFE SPLIT: train/val/test assignment that is
+    * atomic per NEAR-DUP CLUSTER (q61's exact connected components over
+    * the LSH candidate pairs), so two near-duplicates can never land on
+    * opposite sides of a split — the eval-leakage failure mode of
+    * row-hash splitting (q46). The split of a cluster is a pure hash of
+    * its representative (Knuth multiplicative, 80/10/10), deterministic
+    * and shuffle-free once components exist; output is the per-split
+    * summary (docs, clusters, largest cluster, multi-doc clusters).
+    * Hash-green against the oracle's recursive-CTE closure + identical
+    * integer hash proves both the exact clustering and the atomicity of
+    * the assignment. */
+  val q200 = Q("q200_leakage_safe_split",
+    (s, d) => {
+      val docs = docsNear(s, d)
+      val pairs = Dedup.minhashCandidates(docs, 3, shingleMaxDf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cc = Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+      val assigned = cc
+        .withColumn("bucket", (col("rep") * lit(2654435761L)) % 1000)
+        .withColumn("split",
+          when(col("bucket") < 800, "train")
+            .when(col("bucket") < 900, "val").otherwise("test"))
+      assigned.groupBy(col("split"), col("rep"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("split")).agg(
+          sum(col("sz")).cast("bigint").as("n_docs"),
+          count(lit(1)).cast("bigint").as("n_clusters"),
+          max(col("sz")).cast("bigint").as("max_cluster_size"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).cast("bigint")
+            .as("n_multi_clusters"))
+    },
+    Some(
+      s"""WITH RECURSIVE ${shinglesSql(docsNearSql)},
+         |hashed0 AS (SELECT doc_id, ${ringHashSql("shingle")} AS h FROM shingles),
+         |${capSql("hashed0")},
+         |sigs AS (SELECT doc_id,
+         |    $sigColsSql
+         |  FROM capped GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.v = e.b),
+         |comp AS (SELECT v AS doc_id, min(r) AS rep FROM reach GROUP BY 1),
+         |assigned AS (SELECT doc_id, rep,
+         |    CASE WHEN (rep * 2654435761) % 1000 < 800 THEN 'train'
+         |         WHEN (rep * 2654435761) % 1000 < 900 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM comp),
+         |szs AS (SELECT split, rep, count(*) AS sz FROM assigned GROUP BY 1, 2)
+         |SELECT split, CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(max(sz) AS BIGINT) AS max_cluster_size,
+         |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_multi_clusters
+         |FROM szs GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67, q78, q96,
-    q110, q194, q195, q196)
+    q110, q194, q195, q196, q198, q199, q200)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextAnalysis._
@@ -987,7 +988,136 @@ object TextQueries {
            |FROM p$steps""".stripMargin))
   }
 
+  /** q197 — GOPHER QUALITY RULESET: the published rule-based document
+    * filter (Rae et al. 2021 §A1.1 "quality filtering", the ruleset
+    * every modern curation pipeline starts from), as per-rule integer
+    * flags plus the conjunction. Unlike q16's blended score, each rule
+    * is an independent 0/1 verdict at the paper's thresholds:
+    * word count ∈ [50, 100k]; mean word length ∈ [3, 10]; symbol-to-word
+    * ratio (# and …) ≤ 0.1; ≤90% of lines bullet-started; ≤30% of lines
+    * ellipsis-ended; ≥80% of words containing an alphabetic char; ≥2 of
+    * the 8 designated stop words present.
+    *
+    * The corpus has no line structure, so the query injects it
+    * deterministically (same CASE in the oracle, which defines the
+    * contract): every 11th doc gains two bullet lines, every 13th two
+    * ellipsis-terminated lines, every 66th becomes a pure bullet list
+    * (fails bullet/length/stopword rules).
+    *
+    * All rule arithmetic is INTEGER (cross-multiplied thresholds — no FP
+    * ratios anywhere), line/marker counts are length/replace arithmetic
+    * (byte-identical across engines, codegen'd). One scan, zero
+    * shuffles: a pure map-side verdict at any scale. */
+  val q197 = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val bulletList = (1 to 10).map(i => s"- item $i").mkString("\n")
+    Q("q197_gopher_rules",
+      (s, d) => {
+        val base = Catalog.documents(s, d).select(col("doc_id"), col("text"))
+        val t0 = when(col("doc_id") % 11 === 0,
+          concat(lit("- bullet alpha\n- bullet beta\n"), col("text")))
+          .otherwise(col("text"))
+        val t1 = when(col("doc_id") % 13 === 0,
+          concat(t0, lit("\nto be continued...\nand more soon...")))
+          .otherwise(t0)
+        val t = when(col("doc_id") % 66 === 0, lit(bulletList)).otherwise(t1)
+        val docs = base.select(col("doc_id"), t.as("text"))
+        val txt = col("text")
+        val padded = concat(lit(" "),
+          regexp_replace(txt, "\\s+", " "), lit(" "))
+        def cnt(src: Column, m: String): Column =
+          ((length(src) - length(replace(src, lit(m), lit("")))) /
+            m.length).cast("bigint")
+        val nStop = stops.map(w =>
+          when(cnt(padded, s" $w ") > 0, 1L).otherwise(0L)).reduce(_ + _)
+        val counted = docs.select(
+          col("doc_id"),
+          tokenCount(txt).cast("bigint").as("n_words"),
+          length(regexp_replace(txt, "\\s+", "")).cast("bigint")
+            .as("sum_wlen"),
+          size(filter(tokens(txt), w => w.rlike("[A-Za-z]")))
+            .cast("bigint").as("n_alpha_words"),
+          (cnt(txt, "#") + cnt(txt, "...")).as("n_symbols"),
+          (lit(1L) + cnt(txt, "\n")).as("n_lines"),
+          cnt(concat(lit("\n"), txt), "\n- ").as("n_bullet_lines"),
+          cnt(concat(txt, lit("\n")), "...\n").as("n_ellipsis_lines"),
+          nStop.cast("bigint").as("n_stop_hits"))
+        def flag(c: Column): Column =
+          when(c, 1L).otherwise(0L).cast("bigint")
+        counted.select(col("doc_id"), col("n_words"), col("n_lines"),
+          col("n_stop_hits"),
+          flag(col("n_words") >= 50 && col("n_words") <= 100000)
+            .as("r_word_count"),
+          flag(col("sum_wlen") >= col("n_words") * 3 &&
+            col("sum_wlen") <= col("n_words") * 10).as("r_mean_word_len"),
+          flag(col("n_symbols") * 10 <= col("n_words")).as("r_symbol_ratio"),
+          flag(col("n_bullet_lines") * 10 <= col("n_lines") * 9)
+            .as("r_bullet_lines"),
+          flag(col("n_ellipsis_lines") * 10 <= col("n_lines") * 3)
+            .as("r_ellipsis_lines"),
+          flag(col("n_alpha_words") * 5 >= col("n_words") * 4)
+            .as("r_alpha_words"),
+          flag(col("n_stop_hits") >= 2).as("r_stop_words"))
+          .withColumn("gopher_pass",
+            (col("r_word_count") * col("r_mean_word_len") *
+              col("r_symbol_ratio") * col("r_bullet_lines") *
+              col("r_ellipsis_lines") * col("r_alpha_words") *
+              col("r_stop_words")).cast("bigint"))
+      },
+      Some {
+        def cntSql(src: String, m: String, len: Int): String =
+          s"CAST((length($src) - length(replace($src, $m, ''))) / $len AS BIGINT)"
+        val bulletSql = bulletList.split("\n")
+          .map(l => s"'$l'").mkString(" || chr(10) || ")
+        val stopSql = stops.map(w =>
+          s"CASE WHEN ${cntSql("padded", s"' $w '", w.length + 2)} > 0 THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH injected AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 66 = 0 THEN $bulletSql
+           |         ELSE CASE WHEN doc_id % 13 = 0 THEN
+           |             (CASE WHEN doc_id % 11 = 0 THEN
+           |                '- bullet alpha' || chr(10) || '- bullet beta' || chr(10) || text
+           |              ELSE text END)
+           |             || chr(10) || 'to be continued...' || chr(10) || 'and more soon...'
+           |           ELSE CASE WHEN doc_id % 11 = 0 THEN
+           |             '- bullet alpha' || chr(10) || '- bullet beta' || chr(10) || text
+           |           ELSE text END END
+           |    END AS text
+           |  FROM documents),
+           |counted AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+           |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS sum_wlen,
+           |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+           |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+           |    ${cntSql("text", "'#'", 1)} + ${cntSql("text", "'...'", 3)} AS n_symbols,
+           |    1 + ${cntSql("text", "chr(10)", 1)} AS n_lines,
+           |    ${cntSql("(chr(10) || text)", "(chr(10) || '- ')", 3)} AS n_bullet_lines,
+           |    ${cntSql("(text || chr(10))", "('...' || chr(10))", 4)} AS n_ellipsis_lines,
+           |    CAST($stopSql AS BIGINT) AS n_stop_hits
+           |  FROM (SELECT doc_id, text,
+           |          ' ' || regexp_replace(text, '\\s+', ' ', 'g') || ' ' AS padded
+           |        FROM injected)),
+           |flags AS (
+           |  SELECT doc_id, n_words, n_lines, n_stop_hits,
+           |    CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+           |    CAST(CASE WHEN sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10 THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+           |    CAST(CASE WHEN n_symbols * 10 <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
+           |    CAST(CASE WHEN n_bullet_lines * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
+           |    CAST(CASE WHEN n_ellipsis_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis_lines,
+           |    CAST(CASE WHEN n_alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_words,
+           |    CAST(CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop_words
+           |  FROM counted)
+           |SELECT *,
+           |  CAST(r_word_count * r_mean_word_len * r_symbol_ratio
+           |    * r_bullet_lines * r_ellipsis_lines * r_alpha_words
+           |    * r_stop_words AS BIGINT) AS gopher_pass
+           |FROM flags""".stripMargin
+      })
+  }
+
   val all: Seq[Q] =
     Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137,
-      q155, q162, q178, q180, q188, q189, q190, q191)
+      q155, q162, q178, q180, q188, q189, q190, q191, q197)
 }

@@ -189,4 +189,72 @@ class CurationSpec extends SparkSuite {
     }
     got.unpersist()
   }
+
+  test("q197: injected structure drives exactly the intended rule verdicts") {
+    val got = byName("q197_gopher_rules").cache()
+    val total = Catalog.documents(spark, sf).count()
+    assert(got.count() == total)
+    // pure-bullet docs (%66): 10 lines, all bullets -> fail bullet rule
+    // and the conjunction
+    val bullets = got.filter(col("doc_id") % 66 === 0).cache()
+    assert(bullets.filter(col("r_bullet_lines") =!= 0 ||
+      col("gopher_pass") =!= 0 || col("n_lines") =!= 10).count() == 0)
+    // ellipsis docs (%13, not %66): 2 of <=5 lines ellipsis-ended -> fail
+    val expectEll = got.filter(col("doc_id") % 13 === 0 &&
+      col("doc_id") % 66 =!= 0)
+    assert(expectEll.filter(col("r_ellipsis_lines") =!= 0).count() == 0)
+    // and nobody else fails the ellipsis rule
+    assert(got.filter(col("r_ellipsis_lines") === 0).count() ==
+      expectEll.count())
+    // conjunction is the product of the flags
+    assert(got.filter(expr("gopher_pass != r_word_count * r_mean_word_len" +
+      " * r_symbol_ratio * r_bullet_lines * r_ellipsis_lines" +
+      " * r_alpha_words * r_stop_words")).count() == 0)
+    bullets.unpersist(); got.unpersist()
+  }
+
+  test("q198: every injected benchmark copy is flagged at cosine ~1") {
+    val got = byName("q198_semantic_decontaminate").cache()
+    val benchIds = Catalog.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).select(col("vec_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val flagged = got.select(col("vec_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    // the bench vectors themselves (self-match) and the shifted copies
+    benchIds.foreach(b => assert(flagged.contains(b), s"bench $b unflagged"))
+    benchIds.filter(_ % 100 == 0).foreach(b =>
+      assert(flagged.contains(b + 200000L), s"copy of $b unflagged"))
+    assert(got.filter(col("vec_id") >= 200000L)
+      .filter(col("max_cosine") < 0.999).count() == 0)
+    got.unpersist()
+  }
+
+  test("q199: sketch estimate tracks exact Jaccard within KMV error") {
+    val got = byName("q199_corpus_overlap").cache()
+    assert(got.count() > 0)
+    // k_eff = min(k, union size); intersection never exceeds it
+    assert(got.filter(col("k_eff") =!=
+      least(lit(256L), col("union_exact"))).count() == 0)
+    assert(got.filter(col("inter_k") > col("k_eff")).count() == 0)
+    // KMV standard error ~1/sqrt(256) ~ 6.3ppt; allow 4 sigma
+    assert(got.filter(abs(col("est_ppm") - col("exact_ppm")) > 250000)
+      .count() == 0)
+    got.unpersist()
+  }
+
+  test("q200: split summary is a partition of the corpus, clusters atomic") {
+    val got = byName("q200_leakage_safe_split").cache()
+    val docs = Catalog.documents(spark, sf).count()
+    val corpus = docs + Catalog.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(got.agg(sum(col("n_docs"))).head().getLong(0) == corpus)
+    val splits = got.select(col("split"))
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(got.filter(col("n_multi_clusters") > col("n_clusters"))
+      .count() == 0)
+    // near-dup injection guarantees multi-doc clusters exist somewhere
+    assert(got.agg(sum(col("n_multi_clusters"))).head().getLong(0) > 0)
+    got.unpersist()
+  }
 }
