@@ -33,14 +33,14 @@ object DedupQueries {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0""".stripMargin
 
-  private def docsNear(s: SparkSession, d: String): DataFrame = {
+  private[queries] def docsNear(s: SparkSession, d: String): DataFrame = {
     val docs = Catalog.documents(s, d).select(col("doc_id"), col("text"))
     docs.unionAll(docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" graft near dup tail")).as("text")))
   }
 
-  private val docsNearSql =
+  private[queries] val docsNearSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text || ' graft near dup tail' AS text
@@ -93,6 +93,18 @@ object DedupQueries {
       s"CAST(mh${2 * j} AS VARCHAR) || '_' || " +
       s"CAST(mh${2 * j + 1} AS VARCHAR)), 1, 15)) AS BIGINT) AS bh FROM sigs"
   }.mkString("\nUNION ALL\n")
+
+  /** Full UNCAPPED CTE chain (shingles → hashed → sigs → bands)
+    * mirroring [[graft.streaming.StreamingDedup.bandHits]], which
+    * computes signatures array-side with no document-frequency cap —
+    * the oracle for the streaming dedup query (q201). */
+  private[queries] def uncappedBandsSql(corpus: String): String =
+    s"""${shinglesSql(corpus)},
+       |hashed0 AS (SELECT doc_id, ${ringHashSql("shingle")} AS h FROM shingles),
+       |sigs AS (SELECT doc_id,
+       |    $sigColsSql
+       |  FROM hashed0 GROUP BY doc_id),
+       |bands AS ($bandsSql)""".stripMargin
 
   /** q18 — exact dedup groups by content fingerprint (argmin-groupBy). */
   val q18 = Q("q18_dedup_exact",

@@ -307,5 +307,62 @@ object StreamQueries {
         |FROM bi GROUP BY 1, 2
         |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin))
 
-  val all: Seq[Q] = Seq(q124, q125, q134, q156, q187)
+  /** q201 — STREAMING NEAR-DUP DETECTION as a verified protocol query:
+    * the [[graft.streaming.StreamingDedup]] MinHash-LSH pipeline
+    * (array-side signatures → per-band-bucket flatMapGroupsWithState
+    * holding ONE Long per bucket) run over the q19 corpus arriving in
+    * two real micro-batches (originals first, shifted near-copies
+    * second, maxFilesPerTrigger=1), candidates appended per batch, then
+    * the distinct pair set compared to the oracle's CLOSED FORM of the
+    * emission semantics: since rows are processed in doc_id order, a
+    * bucket's lifetime emissions are exactly the star from its minimum
+    * member — (min, d) for every other member d — regardless of batch
+    * boundaries. Hash-green proves the streaming state machine
+    * reproduces the batch LSH index across a checkpointed multi-batch
+    * run.
+    *
+    * Scale shape: state is one Long per band bucket (what a batch LSH
+    * index would persist anyway); every arriving doc is one state
+    * lookup — no history re-scan, no growth in emission cost. */
+  val q201 = Q("q201_stream_dedup",
+    (s, d) => {
+      import s.implicits._
+      val base = s"/tmp/graft_stream/q201_${java.nio.file.Paths.get(d).getFileName}"
+      val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val corpus = DedupQueries.docsNear(s, d)
+      corpus.filter(col("doc_id") < 1000000L).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      corpus.filter(col("doc_id") >= 1000000L).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+        .as[graft.streaming.StreamingDedup.Doc]
+      val cands = graft.streaming.StreamingDedup
+        .streamingCandidates(s, stream, 3)
+      withStatePartitions(s, 8) {
+        val q = cands.toDF().writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$base/out")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$base/out")
+        .select(col("doc_a"), col("doc_b")).distinct()
+    },
+    Some(
+      s"""WITH ${DedupQueries.uncappedBandsSql(DedupQueries.docsNearSql)},
+         |m AS (SELECT bh, doc_id,
+         |        min(doc_id) OVER (PARTITION BY bh) AS mn
+         |      FROM bands)
+         |SELECT DISTINCT mn AS doc_a, doc_id AS doc_b
+         |FROM m WHERE doc_id > mn""".stripMargin))
+
+  val all: Seq[Q] = Seq(q124, q125, q134, q156, q187, q201)
 }
