@@ -699,73 +699,84 @@ object DedupQueries {
     * paying for a full comparison. All outputs are exact integers
     * (ppm via integer division).
     *
-    * Scale shape: the exact side is per-source sizes (one combinable
-    * groupBy) plus a co-occurrence SELF-JOIN on the hash — per-hash
-    * fan-out is bounded by |sources|² and the work is vocabulary-sized,
-    * INDEPENDENT of the pair count (union = |A| + |B| − ∩, never a
-    * per-pair scan); the sketch side is k·|sources| rows, driver-small.
-    * The first cut tagged every vocab row against every pair through a
-    * broadcast nested loop — vocab × 190 pairs at 20 sources, measured
-    * 3.4 s — exactly the shape that dies at 100 TB. */
+    * Scale shape: the exact side is BITMAP co-occurrence — one
+    * combinable bit_or per hash folds each hash's source set into a
+    * ≤62-bit mask, masks collapse by equality into a handful of
+    * (mask, count) rows, and only THAT tiny relation expands against
+    * the pair list; inter(a,b) = Σ counts of masks with both bits.
+    * Vocabulary-sized map-side work, pair-count-independent, and no
+    * self-join at all (union = |A| + |B| − ∩ closes it). Two earlier
+    * cuts are instructive: tagging every vocab row against every pair
+    * (broadcast nested loop, vocab × 190 pairs) and the co-occurrence
+    * SELF-JOIN on the hash (Σ_h C(s_h, 2) rows — ~9.5 M here, because
+    * a synthetic vocabulary puts most shingles in ALL 20 sources) both
+    * measured ~3 s; the mask fold is the shape that survives dense
+    * co-occurrence. The sketch side is ONE per-source aggregate
+    * (size + bottom-k hash array, |sources| rows out) with every pair
+    * computation pure array arithmetic on those rows — at 600 k rows
+    * the stage-count collapse took the query 3.0 → 1.5 s (the
+    * shingle-pipeline floor), and at 100 TB it is the difference
+    * between a per-pair shuffle cascade and one combinable pass. */
   val q199 = {
     val k = 256
     Q("q199_corpus_overlap",
       (s, d) => {
-        val docs = Catalog.documents(s, d)
-          .select(col("doc_id"), col("source"), col("text"))
+        // shingle the corpus keyed directly by source (hashedShingles
+        // is id-type-agnostic) — no join back to documents, one fewer
+        // shuffle of the shingle-sized relation
         val sv = Dedup.hashedShingles(
-            docs.select(col("doc_id"), col("text")), 3)
-          .join(docs.select(col("doc_id"), col("source")), "doc_id")
-          .select(col("source"), col("h")).distinct()
+            Catalog.documents(s, d)
+              .select(col("source").as("doc_id"), col("text")), 3)
+          .select(col("doc_id").as("source"), col("h")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val srcs = sv.select(col("source")).distinct()
-        val pairs = srcs.select(col("source").as("src_a"))
-          .crossJoin(srcs.select(col("source").as("src_b")))
+        // ONE per-source aggregate carries everything the sketch side
+        // needs: the set size and the bottom-k hash array. 20 rows out;
+        // every pair computation below is array arithmetic on them.
+        val sstats = sv.groupBy(col("source")).agg(
+            count(lit(1)).as("n"),
+            slice(array_sort(collect_list(col("h"))), 1, k).as("ks"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sids = sstats.select(col("source"))
+          .withColumn("sid", row_number().over(
+            Window.orderBy(col("source"))) - 1)
+        val pe = sstats.select(col("source").as("src_a"), col("n").as("na"),
+            col("ks").as("ka"))
+          .crossJoin(sstats.select(col("source").as("src_b"),
+            col("n").as("nb"), col("ks").as("kb")))
           .filter(col("src_a") < col("src_b"))
-        val sk = sv.withColumn("rk",
-            row_number().over(Window.partitionBy(col("source"))
-              .orderBy(col("h")))).filter(col("rk") <= k).drop("rk")
-        // sketch side: k·|sources| rows — the pair tag is driver-small
-        val est = sk.join(broadcast(pairs),
-            col("source") === col("src_a") ||
-              col("source") === col("src_b"))
-          .groupBy(col("src_a"), col("src_b"), col("h")).agg(
-            max(when(col("source") === col("src_a"), 1).otherwise(0))
-              .as("in_a"),
-            max(when(col("source") === col("src_b"), 1).otherwise(0))
-              .as("in_b"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("src_a"), col("src_b"))
-              .orderBy(col("h"))))
-          .filter(col("rk") <= k)
-          .groupBy(col("src_a"), col("src_b")).agg(
-            count(lit(1)).cast("bigint").as("k_eff"),
-            sum(col("in_a") * col("in_b")).cast("bigint").as("inter_k"))
-        // exact side: co-occurrence self-join on h + per-source sizes;
-        // union = |A| + |B| − ∩ (pair-count-independent)
-        val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val inter = sv.as("a").join(sv.as("b"),
-            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-          .agg(count(lit(1)).as("io"))
-        val exact = pairs
-          .join(inter, Seq("src_a", "src_b"), "left")
-          .join(sizes.select(col("source").as("src_a"), col("n").as("na")),
-            "src_a")
-          .join(sizes.select(col("source").as("src_b"), col("n").as("nb")),
-            "src_b")
-          .select(col("src_a"), col("src_b"),
-            coalesce(col("io"), lit(0L)).cast("bigint").as("inter_exact"),
-            (col("na") + col("nb") - coalesce(col("io"), lit(0L)))
-              .cast("bigint").as("union_exact"))
-        est.join(exact, Seq("src_a", "src_b"))
+          .withColumn("uk",
+            slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+          .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+            size(col("uk")).cast("bigint").as("k_eff"),
+            size(filter(col("uk"), x =>
+              array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+              .cast("bigint").as("inter_k"))
+        // exact side: bitmap co-occurrence (source set per hash folded
+        // into a mask, masks collapsed by equality) + size algebra;
+        // union = |A| + |B| − ∩ (pair-count-independent, no self-join)
+        val masks = sv.join(broadcast(sids), "source")
+          .groupBy(col("h"))
+          .agg(sum(expr("shiftleft(cast(1 as bigint), sid)")).as("mask"))
+          .groupBy(col("mask")).agg(count(lit(1)).as("mc"))
+        val pairIds = pe.select(col("src_a"), col("src_b"))
+          .join(broadcast(sids).select(col("source").as("src_a"),
+            col("sid").as("sid_a")), "src_a")
+          .join(broadcast(sids).select(col("source").as("src_b"),
+            col("sid").as("sid_b")), "src_b")
+        val inter = masks.crossJoin(broadcast(pairIds))
+          .filter(expr("shiftright(mask, sid_a) % 2 = 1") &&
+            expr("shiftright(mask, sid_b) % 2 = 1"))
+          .groupBy(col("src_a"), col("src_b")).agg(sum(col("mc")).as("io"))
+        pe.join(inter, Seq("src_a", "src_b"), "left")
           .select(col("src_a"), col("src_b"), col("k_eff"),
             col("inter_k"),
             expr("(inter_k * 1000000) div k_eff").cast("bigint")
               .as("est_ppm"),
-            col("inter_exact"), col("union_exact"),
-            expr("(inter_exact * 1000000) div union_exact").cast("bigint")
-              .as("exact_ppm"))
+            coalesce(col("io"), lit(0L)).cast("bigint").as("inter_exact"),
+            (col("na") + col("nb") - coalesce(col("io"), lit(0L)))
+              .cast("bigint").as("union_exact"))
+          .withColumn("exact_ppm",
+            expr("(inter_exact * 1000000) div union_exact").cast("bigint"))
       },
       Some(
         s"""WITH t AS (SELECT source, regexp_split_to_array(text, '\\s+') AS toks
@@ -777,47 +788,46 @@ object DedupQueries {
            |            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
            |        FROM t) t,
            |       unnest(t.shs) u(shingle)),
-           |sv AS (SELECT DISTINCT source, ${ringHashSql("shingle")} AS h
-           |       FROM shingles),
-           |srcs AS (SELECT DISTINCT source FROM sv),
-           |pa AS (SELECT a.source AS src_a, b.source AS src_b
-           |       FROM srcs a JOIN srcs b ON a.source < b.source),
-           |sk AS (SELECT source, h FROM (
-           |         SELECT source, h, row_number() OVER (
-           |           PARTITION BY source ORDER BY h) AS rk FROM sv)
-           |       WHERE rk <= $k),
-           |mk AS (SELECT p.src_a, p.src_b, s.h,
-           |         max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
-           |         max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
-           |       FROM pa p JOIN sk s ON s.source IN (p.src_a, p.src_b)
-           |       GROUP BY 1, 2, 3),
-           |unionk AS (SELECT * FROM (
-           |             SELECT *, row_number() OVER (
-           |               PARTITION BY src_a, src_b ORDER BY h) AS rk FROM mk)
-           |           WHERE rk <= $k),
-           |est AS (SELECT src_a, src_b,
-           |          CAST(count(*) AS BIGINT) AS k_eff,
-           |          CAST(sum(in_a * in_b) AS BIGINT) AS inter_k
-           |        FROM unionk GROUP BY 1, 2),
-           |sizes AS (SELECT source, count(*) AS n FROM sv GROUP BY 1),
-           |io AS (SELECT a.source AS src_a, b.source AS src_b,
-           |         count(*) AS io
-           |       FROM sv a JOIN sv b
-           |         ON a.h = b.h AND a.source < b.source
-           |       GROUP BY 1, 2),
-           |exact AS (SELECT p.src_a, p.src_b,
-           |            CAST(coalesce(i.io, 0) AS BIGINT) AS inter_exact,
-           |            CAST(sa.n + sb.n - coalesce(i.io, 0) AS BIGINT)
-           |              AS union_exact
-           |          FROM pa p
-           |          LEFT JOIN io i ON i.src_a = p.src_a AND i.src_b = p.src_b
-           |          JOIN sizes sa ON sa.source = p.src_a
-           |          JOIN sizes sb ON sb.source = p.src_b)
+           |sv AS MATERIALIZED (
+           |  SELECT DISTINCT source, ${ringHashSql("shingle")} AS h
+           |  FROM shingles),
+           |sstats AS MATERIALIZED (
+           |  SELECT source, count(*) AS n,
+           |    (list_sort(list(h)))[1:$k] AS ks
+           |  FROM sv GROUP BY 1),
+           |sids AS (SELECT source, row_number() OVER (ORDER BY source) - 1
+           |           AS sid FROM sstats),
+           |pe AS (SELECT a.source AS src_a, b.source AS src_b,
+           |         a.n AS na, b.n AS nb, a.ks AS ka, b.ks AS kb,
+           |         list_sort(list_distinct(a.ks || b.ks))[1:$k] AS uk
+           |       FROM sstats a JOIN sstats b ON a.source < b.source),
+           |est AS (SELECT src_a, src_b, na, nb,
+           |          CAST(len(uk) AS BIGINT) AS k_eff,
+           |          CAST(len(list_filter(uk, x ->
+           |            list_contains(ka, x) AND list_contains(kb, x)))
+           |            AS BIGINT) AS inter_k
+           |        FROM pe),
+           |masks AS (SELECT mask, count(*) AS mc FROM (
+           |            SELECT s.h, sum(CAST(1 AS BIGINT) << i.sid) AS mask
+           |            FROM sv s JOIN sids i USING (source) GROUP BY s.h)
+           |          GROUP BY 1),
+           |pids AS (SELECT p.src_a, p.src_b, ia.sid AS sid_a, ib.sid AS sid_b
+           |         FROM pe p
+           |         JOIN sids ia ON ia.source = p.src_a
+           |         JOIN sids ib ON ib.source = p.src_b),
+           |io AS (SELECT q.src_a, q.src_b, sum(m.mc) AS io
+           |       FROM masks m, pids q
+           |       WHERE (m.mask >> q.sid_a) % 2 = 1
+           |         AND (m.mask >> q.sid_b) % 2 = 1
+           |       GROUP BY 1, 2)
            |SELECT e.src_a, e.src_b, e.k_eff, e.inter_k,
            |  CAST((e.inter_k * 1000000) // e.k_eff AS BIGINT) AS est_ppm,
-           |  x.inter_exact, x.union_exact,
-           |  CAST((x.inter_exact * 1000000) // x.union_exact AS BIGINT) AS exact_ppm
-           |FROM est e JOIN exact x USING (src_a, src_b)""".stripMargin))
+           |  CAST(coalesce(i.io, 0) AS BIGINT) AS inter_exact,
+           |  CAST(e.na + e.nb - coalesce(i.io, 0) AS BIGINT) AS union_exact,
+           |  CAST((CAST(coalesce(i.io, 0) AS BIGINT) * 1000000)
+           |    // (e.na + e.nb - coalesce(i.io, 0)) AS BIGINT) AS exact_ppm
+           |FROM est e LEFT JOIN io i
+           |  ON i.src_a = e.src_a AND i.src_b = e.src_b""".stripMargin))
   }
 
   /** q200 — LEAKAGE-SAFE SPLIT: train/val/test assignment that is
