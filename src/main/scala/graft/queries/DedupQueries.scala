@@ -892,6 +892,56 @@ object DedupQueries {
          |    AS n_multi_clusters
          |FROM szs GROUP BY 1""".stripMargin))
 
+  /** q203 — DEDUP DETECTOR PRECISION/RECALL AUDIT: grade the LSH
+    * candidate generator (q19's exact pipeline) against the KNOWN
+    * ground truth — the injected near-dup pairs (d, d+10⁶) for every
+    * 5th doc. One summary row: truth size, candidate count, hits, and
+    * integer-ppm precision/recall. This is the accuracy dial every
+    * production dedup deployment reads before trusting a parameter
+    * change (bands × rows, shingle n, DF cap); it recomputes the full
+    * candidate set to grade it, so like q150/q153/q171 it is
+    * registered CORRECTNESS-ONLY ([[Q.benchExcluded]]) — audits run
+    * when the dial turns, not per bench. */
+  val q203 = Q("q203_dedup_recall_audit",
+    (s, d) => {
+      val truth = Catalog.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1000000L).as("doc_b"))
+      val cand = Dedup.minhashCandidates(docsNear(s, d), 3, shingleMaxDf)
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).cast("bigint").as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).cast("bigint").as("n_truth")))
+        .crossJoin(hit.agg(count(lit(1)).cast("bigint").as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("(n_hit * 1000000) div n_cand").cast("bigint")
+            .as("precision_ppm"),
+          expr("(n_hit * 1000000) div n_truth").cast("bigint")
+            .as("recall_ppm"))
+    },
+    Some(
+      s"""WITH ${shinglesSql(docsNearSql)},
+         |hashed0 AS (SELECT doc_id, ${ringHashSql("shingle")} AS h FROM shingles),
+         |${capSql("hashed0")},
+         |sigs AS (SELECT doc_id,
+         |    $sigColsSql
+         |  FROM capped GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.bh = b.bh AND a.doc_id < b.doc_id),
+         |truth AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+         |          FROM documents WHERE doc_id % 5 = 0),
+         |hit AS (SELECT c.* FROM cand c JOIN truth t
+         |        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+         |  CAST(((SELECT count(*) FROM hit) * 1000000)
+         |    // (SELECT count(*) FROM cand) AS BIGINT) AS precision_ppm,
+         |  CAST(((SELECT count(*) FROM hit) * 1000000)
+         |    // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm""".stripMargin))
+
   val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67, q78, q96,
-    q110, q194, q195, q196, q198, q199, q200)
+    q110, q194, q195, q196, q198, q199, q200, q203)
 }

@@ -1117,7 +1117,73 @@ object TextQueries {
       })
   }
 
+  /** q202 — KNESER-NEY BIGRAM PERPLEXITY: the interpolated
+    * absolute-discounting LM (the KenLM/CCNet-lineage smoothing q178's
+    * Jelinek-Mercer mixture approximates):
+    * p(w2|w1) = (max(c(w1,w2) − D, 0) + D·N1+(w1·)·P_cont(w2)) / c(w1·)
+    * with D = 0.75 and the CONTINUATION probability
+    * P_cont(w2) = N1+(·w2)/N1+(··) — "how many contexts does w2 follow"
+    * rather than raw frequency, the distinction that makes KN the
+    * default LM smoothing. Per-doc score = mean −log2 p, micro-rounded
+    * (q178's idiom; identical fixed-shape FP both engines). Every doc
+    * bigram exists in the table (scored on the training corpus), so
+    * the discounted term never zeroes the whole probability.
+    *
+    * Scale shape: q178's exactly — array-local bigram extraction, then
+    * FOUR vocabulary-sized count relations (bigram, context-sum +
+    * distinct-continuation fused in ONE groupBy, predecessor counts,
+    * and a 1-row total), broadcast-joined back; no driver state. */
+  val q202 = Q("q202_kneser_ney_perplexity",
+    (s, d) => {
+      val docs = Catalog.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val bi = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // context total AND distinct-continuation count in one pass
+      val cwn = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw"),
+        count(lit(1)).as("n1f"))
+      val n1p = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+      val nbt = bc.agg(count(lit(1)).cast("double").as("nbt")) // 1 row
+      bi.join(bc, Seq("w1", "w2")).join(cwn, Seq("w1"))
+        .join(n1p, Seq("w2")).crossJoin(broadcast(nbt))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+          round(avg(-log2(
+            (greatest(col("cb").cast("double") - lit(0.75), lit(0.0))
+              + lit(0.75) * col("n1f").cast("double")
+                * col("n1p").cast("double") / col("nbt"))
+              / col("cw").cast("double")))
+            * 1e6).cast("bigint").as("nll_kn_micro"))
+    },
+    Some(
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t,
+        |               unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM docs WHERE len(t) >= 2)),
+        |bc AS MATERIALIZED (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |cwn AS (SELECT w1, sum(cb) AS cw, count(*) AS n1f FROM bc GROUP BY 1),
+        |n1p AS (SELECT w2, count(*) AS n1p FROM bc GROUP BY 1),
+        |nbt AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM bc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(round(avg(-log2(
+        |      (greatest(CAST(cb AS DOUBLE) - 0.75, 0.0)
+        |        + 0.75 * CAST(n1f AS DOUBLE) * CAST(n1p AS DOUBLE) / nbt)
+        |        / CAST(cw AS DOUBLE))) * 1000000) AS BIGINT)
+        |    AS nll_kn_micro
+        |FROM bi JOIN bc USING (w1, w2) JOIN cwn USING (w1)
+        |     JOIN n1p USING (w2), nbt
+        |GROUP BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137,
-      q155, q162, q178, q180, q188, q189, q190, q191, q197)
+      q155, q162, q178, q180, q188, q189, q190, q191, q197, q202)
 }

@@ -257,4 +257,29 @@ class CurationSpec extends SparkSuite {
     assert(got.agg(sum(col("n_multi_clusters"))).head().getLong(0) > 0)
     got.unpersist()
   }
+
+  test("q202: KN scores cover exactly q178's docs with positive nll") {
+    val kn = byName("q202_kneser_ney_perplexity").cache()
+    val jm = byName("q178_bigram_perplexity")
+      .select(col("doc_id"), col("n_bigrams").as("nb_jm"))
+    // same bigram extraction -> same coverage and same bigram counts
+    assert(kn.join(jm, "doc_id")
+      .filter(col("n_bigrams") =!= col("nb_jm")).count() == 0)
+    assert(kn.count() == jm.count())
+    // a probability < 1 per bigram -> strictly positive mean nll
+    assert(kn.filter(col("nll_kn_micro") <= 0).count() == 0)
+    kn.unpersist()
+  }
+
+  test("q203: every injected near-dup pair is recalled; ppm bounds hold") {
+    val r = byName("q203_dedup_recall_audit").head()
+    val (nTruth, nCand, nHit) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= math.min(nTruth, nCand))
+    // the injection appends 4 tokens to a ~50-token doc (Jaccard ~0.9);
+    // at 8 sigs x 4 bands the collision probability is ~1 — anything
+    // below full recall means the signature pipeline regressed
+    assert(r.getLong(4) == 1000000L, s"recall_ppm = ${r.getLong(4)}")
+    assert(r.getLong(3) > 0 && r.getLong(3) <= 1000000L)
+  }
 }
