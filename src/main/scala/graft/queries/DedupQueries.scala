@@ -942,6 +942,89 @@ object DedupQueries {
          |  CAST(((SELECT count(*) FROM hit) * 1000000)
          |    // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm""".stripMargin))
 
+  /** q204 — LSH S-CURVE CALIBRATION: per Jaccard decile, the fraction
+    * of true similar pairs (exact inverted-index Jaccard, q21's
+    * machinery at threshold 0) that the banded MinHash index (q19)
+    * actually catches, next to the ANALYTIC collision probability
+    * 1 − (1 − s²)⁴ for the 8-sig × 4-band × 2-row layout — the curve
+    * one reads before choosing bands × rows for a corpus. Deciles are
+    * INTEGER ((inter·10) div union); the theory column averages the
+    * per-pair closed form as fixed-shape multiplications (no pow(), so
+    * both engines' FP is bit-identical), micro-rounded.
+    *
+    * Like q203 this recomputes full candidate and truth sets to grade
+    * them → CORRECTNESS-ONLY ([[Q.benchExcluded]]). */
+  val q204 = Q("q204_lsh_scurve_calibration",
+    (s, d) => {
+      val docs = docsNear(s, d)
+      val hs = Dedup.hashedShingles(docs, 3).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = Dedup.capHashed(hs, shingleMaxDf)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"),
+          col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"),
+          col("n_sh").as("nb")), "doc_b")
+        .withColumn("un", col("na") + col("nb") - col("inter"))
+      val cand = Dedup.minhashCandidates(docs, 3, shingleMaxDf)
+        .withColumn("caught", lit(1L))
+      pairs.join(cand, Seq("doc_a", "doc_b"), "left")
+        .withColumn("j", col("inter").cast("double") / col("un").cast("double"))
+        .withColumn("q1", lit(1.0) - col("j") * col("j"))
+        .withColumn("p_theory",
+          lit(1.0) - col("q1") * col("q1") * col("q1") * col("q1"))
+        .groupBy(expr("(inter * 10) div un").cast("bigint").as("decile"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          sum(coalesce(col("caught"), lit(0L))).cast("bigint").as("n_caught"),
+          round(avg(col("p_theory")) * 1e6).cast("bigint").as("theory_ppm"))
+        .withColumn("caught_ppm",
+          expr("(n_caught * 1000000) div n_pairs").cast("bigint"))
+    },
+    Some(
+      s"""WITH ${shinglesSql(docsNearSql)},
+         |sh_raw AS (SELECT DISTINCT doc_id, ${ringHashSql("shingle")} AS h
+         |           FROM shingles),
+         |${capSql("sh_raw")},
+         |sh AS (SELECT doc_id, h FROM capped),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pairs AS (SELECT p.doc_a, p.doc_b, p.inter,
+         |            sa.n_sh + sb.n_sh - p.inter AS un
+         |          FROM ip p
+         |          JOIN sizes sa ON sa.doc_id = p.doc_a
+         |          JOIN sizes sb ON sb.doc_id = p.doc_b),
+         |sigs AS (SELECT doc_id,
+         |    $sigColsSql
+         |  FROM capped GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.bh = b.bh AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT p.*,
+         |    CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught,
+         |    CAST(p.inter AS DOUBLE) / CAST(p.un AS DOUBLE) AS j
+         |  FROM pairs p LEFT JOIN cand c
+         |    ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b),
+         |ds AS (SELECT (inter * 10) // un AS decile,
+         |         count(*) AS n_pairs, sum(caught) AS n_caught,
+         |         round(avg(1.0 - (1.0 - j * j) * (1.0 - j * j)
+         |           * (1.0 - j * j) * (1.0 - j * j)) * 1000000) AS tp
+         |       FROM scored GROUP BY 1)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_caught AS BIGINT) AS n_caught,
+         |  CAST(tp AS BIGINT) AS theory_ppm,
+         |  CAST((n_caught * 1000000) // n_pairs AS BIGINT) AS caught_ppm
+         |FROM ds""".stripMargin))
+
   val all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q61, q63, q67, q78, q96,
-    q110, q194, q195, q196, q198, q199, q200, q203)
+    q110, q194, q195, q196, q198, q199, q200, q203, q204)
 }

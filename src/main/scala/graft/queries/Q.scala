@@ -69,5 +69,6 @@ object Q {
   val benchExcluded: Set[String] = Set("q21_dedup_ngram_jaccard",
     "q150_ann_recall", "q153_ann_recall_paths",
     "q171_knn_graph_maintain_audit",
-    "q203_dedup_recall_audit") // recomputes the full candidate set to grade it
+    "q203_dedup_recall_audit", // recomputes the full candidate set to grade it
+    "q204_lsh_scurve_calibration") // full truth + candidate recomputation
 }

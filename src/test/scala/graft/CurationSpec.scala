@@ -282,4 +282,18 @@ class CurationSpec extends SparkSuite {
     assert(r.getLong(4) == 1000000L, s"recall_ppm = ${r.getLong(4)}")
     assert(r.getLong(3) > 0 && r.getLong(3) <= 1000000L)
   }
+
+  test("q204: measured LSH catch rate tracks the analytic S-curve") {
+    val got = byName("q204_lsh_scurve_calibration").cache()
+    // high-similarity deciles: the banded index must catch essentially
+    // everything the theory promises (>=90% there)
+    assert(got.filter(col("decile") >= 7)
+      .filter(col("caught_ppm") < 900000).count() == 0)
+    // low-similarity deciles: collisions must stay rare
+    assert(got.filter(col("decile") <= 1)
+      .filter(col("caught_ppm") > 150000).count() == 0)
+    assert(got.filter(col("theory_ppm") < 0 ||
+      col("theory_ppm") > 1000000).count() == 0)
+    got.unpersist()
+  }
 }
