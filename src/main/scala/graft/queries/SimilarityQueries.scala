@@ -236,6 +236,107 @@ object SimilarityQueries {
          |FROM dot JOIN norms USING (vec_id), qnrm
          |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
 
+  /** q206 — MULTI-PROBE LSH ANN (Lv et al. 2007, PAPERS.md): q56's
+    * sign-bit index probed at the query bucket PLUS the two
+    * Hamming-distance-1 flips of the planes with the SMALLEST |query
+    * projection| — the planes the query sits closest to, exactly where
+    * near neighbors fall off the bucket. Same index, 3 of 16 buckets
+    * probed instead of 1; the q153-family audit measures recall@10
+    * jumping from 1 (single-probe q56) toward brute — multi-probe is
+    * how LSH tables trade a constant probe factor for recall WITHOUT
+    * growing the index. Probe ranking is deterministic (integer
+    * projections, ties by plane id).
+    *
+    * Scale: identical to q56 plus a 3-row probe relation broadcast
+    * into the bucket-equality join — candidate work is ~3·N/2^planes,
+    * still bucket-bounded. */
+  val q206 = Q("q206_multiprobe_lsh",
+    (s, d) => {
+      val dims = intVecs(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("iv")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).as("p"), col("col").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val planes = s.range(0, 4).select(col("id").as("pl"))
+      val hyper = planes.crossJoin(
+          s.range(1, 65).select(col("id").as("p")))
+        .select(col("pl"), col("p"),
+          (graft.ops.TextAnalysis.hash60(concat(lit("hp|"),
+            col("pl").cast("string"), lit("|"), col("p").cast("string")))
+            % 2001 - 1000).as("w"))
+      val proj = dims.join(broadcast(hyper), "p")
+        .groupBy(col("vec_id"), col("pl")).agg(sum(col("x") * col("w")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = proj.groupBy(col("vec_id"))
+        .agg(sum(when(col("s") > 0,
+          pow(lit(2.0), col("pl")).cast("bigint")).otherwise(0L)).as("bucket"))
+      val qb = sig.filter(col("vec_id") === queryVecId)
+        .select(col("bucket").as("qbucket"))
+      // the two planes the query projects closest to → flip their bits
+      val flips = proj.filter(col("vec_id") === queryVecId)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(abs(col("s")), col("pl"))))
+        .filter(col("rk") <= 2).select(col("pl"))
+      val probes = qb.select(col("qbucket").as("pb"))
+        .unionAll(qb.crossJoin(flips).select(
+          expr("qbucket ^ shiftleft(cast(1 as bigint), pl)").as("pb")))
+      val cand = sig.join(broadcast(probes), col("bucket") === col("pb"))
+        .filter(col("vec_id") =!= queryVecId)
+        .select(col("vec_id")).distinct()
+      val norms = dims.groupBy(col("vec_id"))
+        .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
+      val qdims = dims.filter(col("vec_id") === queryVecId)
+        .select(col("p").as("qp"), col("x").as("qx"))
+      val qnrm = norms.filter(col("vec_id") === queryVecId)
+        .select(col("nrm").as("qnrm"))
+      val dot = dims.join(broadcast(cand), "vec_id")
+        .join(broadcast(qdims), col("p") === col("qp"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("x") * col("qx")).cast("double").as("dot"))
+      dot.join(norms, "vec_id").crossJoin(broadcast(qnrm))
+        .select(col("vec_id"), col("label"),
+          (col("dot") / sqrt(col("nrm") * col("qnrm"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+    },
+    Some(
+      s"""WITH iv AS ($intVecsSql),
+         |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+         |dims AS (SELECT vec_id, label, p, iv[p] AS x FROM iv, pos),
+         |planes AS (SELECT unnest(generate_series(0, 3)) AS pl),
+         |hyper AS (SELECT pl, p,
+         |    CAST(('0x' || substr(md5('hp|' || CAST(pl AS VARCHAR) || '|'
+         |      || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+         |  FROM planes, pos),
+         |proj AS (SELECT d.vec_id, h.pl, sum(d.x * h.w) AS s
+         |         FROM dims d JOIN hyper h ON d.p = h.p GROUP BY 1, 2),
+         |sig AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, pl) AS BIGINT)
+         |             ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY 1),
+         |qb AS (SELECT bucket AS qbucket FROM sig WHERE vec_id = $queryVecId),
+         |flips AS (SELECT pl FROM (
+         |            SELECT pl, row_number() OVER (ORDER BY abs(s), pl) AS rk
+         |            FROM proj WHERE vec_id = $queryVecId)
+         |          WHERE rk <= 2),
+         |probes AS (SELECT qbucket AS pb FROM qb
+         |           UNION ALL
+         |           SELECT xor(qb.qbucket, CAST(pow(2, f.pl) AS BIGINT))
+         |           FROM qb, flips f),
+         |cand AS (SELECT DISTINCT s.vec_id FROM sig s JOIN probes pr
+         |           ON s.bucket = pr.pb
+         |         WHERE s.vec_id <> $queryVecId),
+         |norms AS (SELECT vec_id, CAST(sum(x * x) AS DOUBLE) AS nrm
+         |          FROM dims GROUP BY 1),
+         |qdims AS (SELECT p AS qp, x AS qx FROM dims WHERE vec_id = $queryVecId),
+         |qnrm AS (SELECT nrm AS qnrm FROM norms WHERE vec_id = $queryVecId),
+         |dot AS (SELECT d.vec_id, d.label, CAST(sum(d.x * q.qx) AS DOUBLE) AS dot
+         |        FROM dims d JOIN cand c ON d.vec_id = c.vec_id
+         |        JOIN qdims q ON d.p = q.qp GROUP BY 1, 2)
+         |SELECT vec_id, label, dot / sqrt(nrm * qnrm) AS cosine
+         |FROM dot JOIN norms USING (vec_id), qnrm
+         |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin))
+
   /** q58 — L2 normalization: unit vectors from the integer-scaled
     * representation (elementwise divide by one deterministic double), the
     * standard preprocessing before cosine/IP search. The unit vector is
@@ -2248,5 +2349,5 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
       q164, q165, q166, q167, q168, q169, q170, q171, q174, q175, q177,
-      q179, q181, q182, q186, q192)
+      q179, q181, q182, q186, q192, q206)
 }

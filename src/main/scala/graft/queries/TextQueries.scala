@@ -907,7 +907,11 @@ object TextQueries {
     * codebook precedent). The oracle replays the identical training as
     * T unrolled CTE stages.
     */
-  val q191 = {
+  /** Shared classifier scorer (q191/q205): trains the 3-step model and
+    * returns (doc_id, y, p_micro, pred); [[clfCtes]] is the DuckDB
+    * replay ending in CTE `p3` (alias `scores`). Hoisted so the AUC
+    * evaluation composes the identical training. */
+  private[queries] val clfCtes: String = {
     val steps = 3
     val lr = 4.0
     val stopHits = langMarkers.head._2
@@ -939,54 +943,108 @@ object TextQueries {
       }
       sb.toString
     }
-    Q("q191_quality_classifier",
-      (s, d) => {
-        val y = when(col("lang") === "en", 1.0).otherwise(0.0)
-        val feats = Catalog.documents(s, d).select(
-          col("doc_id"), y.as("y"),
-          lit(1000000L).as("f0"),
-          round(least(tokenCount(col("text")).cast("double") / 100.0,
-            lit(1.0)) * 1e6).cast("bigint").as("f1"),
-          round(coalesce(alphaRatio(col("text")), lit(0.0)) * 1e6)
-            .cast("bigint").as("f2"),
-          round(least(coalesce(stopwordRatio(col("text")), lit(0.0)) * 5.0,
-            lit(1.0)) * 1e6).cast("bigint").as("f3"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nDocs = feats.count()
-        // HALF_UP away from zero — the rounding DuckDB's round() and
-        // Spark SQL's round() share (Scala math.round differs at -x.5).
-        def halfUp(x: Double): Long = new java.math.BigDecimal(x)
-          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-        var w = Array(0L, 0L, 0L, 0L)
-        def zc = (col("f0") * w(0) + col("f1") * w(1) + col("f2") * w(2)
-          + col("f3") * w(3)).cast("double") / lit(1e12)
-        def pc = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
-        for (_ <- 1 to steps) {
-          val g = feats.agg(
-            sum(round((pc - col("y")) * col("f0")).cast("bigint")),
-            sum(round((pc - col("y")) * col("f1")).cast("bigint")),
-            sum(round((pc - col("y")) * col("f2")).cast("bigint")),
-            sum(round((pc - col("y")) * col("f3")).cast("bigint"))).head()
-          w = Array.tabulate(4)(j =>
-            w(j) - halfUp(lr * g.getLong(j) / nDocs))
-        }
-        feats.select(col("doc_id"), col("y").cast("bigint").as("y"),
-          round(pc * 1e6).cast("bigint").as("p_micro"),
-          when(zc > 0, 1L).otherwise(0L).cast("bigint").as("pred"))
-      },
-      Some(
-        s"""WITH feats AS MATERIALIZED (
-           |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-           |    ${featSqls.zipWithIndex
-                 .map { case (e, j) => s"$e AS f$j" }.mkString(",\n    ")}
-           |  FROM documents),
-           |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM feats),
-           |$stepCtes
-           |SELECT doc_id, CAST(y AS BIGINT) AS y,
-           |  CAST(round(p * 1000000) AS BIGINT) AS p_micro,
-           |  CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
-           |FROM p$steps""".stripMargin))
+    s"""feats AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    ${featSqls.zipWithIndex
+             .map { case (e, j) => s"$e AS f$j" }.mkString(",\n    ")}
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM feats),
+       |$stepCtes,
+       |scores AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |    CAST(round(p * 1000000) AS BIGINT) AS p_micro,
+       |    CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |  FROM p$steps)""".stripMargin
   }
+
+  private[queries] def classifierScores(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val steps = 3
+    val lr = 4.0
+    val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+    val feats = Catalog.documents(s, d).select(
+      col("doc_id"), y.as("y"),
+      lit(1000000L).as("f0"),
+      round(least(tokenCount(col("text")).cast("double") / 100.0,
+        lit(1.0)) * 1e6).cast("bigint").as("f1"),
+      round(coalesce(alphaRatio(col("text")), lit(0.0)) * 1e6)
+        .cast("bigint").as("f2"),
+      round(least(coalesce(stopwordRatio(col("text")), lit(0.0)) * 5.0,
+        lit(1.0)) * 1e6).cast("bigint").as("f3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = feats.count()
+    // HALF_UP away from zero — the rounding DuckDB's round() and
+    // Spark SQL's round() share (Scala math.round differs at -x.5).
+    def halfUp(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    var w = Array(0L, 0L, 0L, 0L)
+    def zc = (col("f0") * w(0) + col("f1") * w(1) + col("f2") * w(2)
+      + col("f3") * w(3)).cast("double") / lit(1e12)
+    def pc = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
+    for (_ <- 1 to steps) {
+      val g = feats.agg(
+        sum(round((pc - col("y")) * col("f0")).cast("bigint")),
+        sum(round((pc - col("y")) * col("f1")).cast("bigint")),
+        sum(round((pc - col("y")) * col("f2")).cast("bigint")),
+        sum(round((pc - col("y")) * col("f3")).cast("bigint"))).head()
+      w = Array.tabulate(4)(j =>
+        w(j) - halfUp(lr * g.getLong(j) / nDocs))
+    }
+    feats.select(col("doc_id"), col("y").cast("bigint").as("y"),
+      round(pc * 1e6).cast("bigint").as("p_micro"),
+      when(zc > 0, 1L).otherwise(0L).cast("bigint").as("pred"))
+  }
+
+  val q191 = Q("q191_quality_classifier",
+    (s, d) => classifierScores(s, d),
+    Some(
+      s"""WITH $clfCtes
+         |SELECT doc_id, y, p_micro, pred FROM scores""".stripMargin))
+
+  /** q205 — EXACT AUC EVALUATION of the trained classifier (q191's
+    * identical training replayed): area under the ROC curve computed
+    * EXACTLY from grouped integer score counts with the standard tie
+    * correction — AUC·2PN = Σ_s pos_s·(2·cumneg_<s + neg_s) — never a
+    * per-row global sort: scores are already micro-quantized, so the
+    * whole computation is one grid-sized groupBy, one grid-sized
+    * cumulative window, and a 1-row reduce. Integer-ppm output; the
+    * scale shape survives any corpus size because the grid (≤10⁶+1
+    * distinct scores) bounds the window, not the row count. */
+  val q205 = Q("q205_classifier_auc",
+    (s, d) => {
+      val sc = classifierScores(s, d).select(col("y"), col("p_micro"))
+      val g = sc.groupBy(col("p_micro")).agg(
+        sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+      val cum = g.withColumn("cneg",
+        sum(col("neg")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("p_micro"))) - col("neg"))
+      cum.agg(
+        sum(col("pos")).cast("bigint").as("n_pos"),
+        sum(col("neg")).cast("bigint").as("n_neg"),
+        count(lit(1)).cast("bigint").as("n_scores"),
+        sum(col("pos") * (lit(2L) * col("cneg") + col("neg")))
+          .cast("bigint").as("num2"))
+        .select(col("n_pos"), col("n_neg"), col("n_scores"),
+          expr("(num2 * 1000000) div (2 * n_pos * n_neg)").cast("bigint")
+            .as("auc_ppm"))
+    },
+    Some(
+      s"""WITH $clfCtes,
+         |g AS (SELECT p_micro, sum(y) AS pos, count(*) - sum(y) AS neg
+         |      FROM scores GROUP BY 1),
+         |cum AS (SELECT *,
+         |          sum(neg) OVER (ORDER BY p_micro) - neg AS cneg
+         |        FROM g),
+         |agg AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |          CAST(sum(neg) AS BIGINT) AS n_neg,
+         |          CAST(count(*) AS BIGINT) AS n_scores,
+         |          CAST(sum(pos * (2 * cneg + neg)) AS BIGINT) AS num2
+         |        FROM cum)
+         |SELECT n_pos, n_neg, n_scores,
+         |  CAST((num2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+         |    AS auc_ppm
+         |FROM agg""".stripMargin))
 
   /** q197 — GOPHER QUALITY RULESET: the published rule-based document
     * filter (Rae et al. 2021 §A1.1 "quality filtering", the ruleset
@@ -1185,5 +1243,5 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137,
-      q155, q162, q178, q180, q188, q189, q190, q191, q197, q202)
+      q155, q162, q178, q180, q188, q189, q190, q191, q197, q202, q205)
 }

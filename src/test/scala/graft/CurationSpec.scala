@@ -296,4 +296,40 @@ class CurationSpec extends SparkSuite {
       col("theory_ppm") > 1000000).count() == 0)
     got.unpersist()
   }
+
+  test("q205: AUC is consistent with q191's scores and at least random") {
+    val r = byName("q205_classifier_auc").head()
+    val (nPos, nNeg, nScores, auc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val sc = byName("q191_quality_classifier").cache()
+    assert(nPos == sc.filter(col("y") === 1).count())
+    assert(nPos + nNeg == sc.count())
+    assert(nScores <= sc.count())
+    assert(auc >= 500000L && auc <= 1000000L, s"auc_ppm = $auc")
+    // exact tie-corrected AUC equals the pair-counting definition on a
+    // small independent recomputation: P(score_pos > score_neg) + ½ties
+    val rows = sc.select(col("y"), col("p_micro"))
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    val num2 = pos.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    assert(auc == num2 * 1000000L / (2L * pos.length * neg.length))
+    sc.unpersist()
+  }
+
+  test("q206: multi-probe recall dominates single-probe at the same index") {
+    def ids(n: String) = byName(n).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val brute = ids("q23_similarity_topk_brute")
+    val single = ids("q56_similarity_ann_lsh")
+    val multi = ids("q206_multiprobe_lsh")
+    assert((multi & brute).size >= (single & brute).size,
+      s"multi ${(multi & brute).size} < single ${(single & brute).size}")
+    // probing 3 of 16 buckets must strictly improve on this corpus
+    assert((multi & brute).size > (single & brute).size)
+    // single-probe results are a subset of multi-probe candidates' top-k
+    // universe: the base bucket is always probed
+    assert(multi.size == 10 && single.size == 10)
+  }
 }
