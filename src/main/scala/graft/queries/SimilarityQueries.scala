@@ -270,20 +270,22 @@ object SimilarityQueries {
       val sig = proj.groupBy(col("vec_id"))
         .agg(sum(when(col("s") > 0,
           pow(lit(2.0), col("pl")).cast("bigint")).otherwise(0L)).as("bucket"))
-      val qb = sig.filter(col("vec_id") === queryVecId)
-        .select(col("bucket").as("qbucket"))
-      // the two planes the query projects closest to → flip their bits
-      val flips = proj.filter(col("vec_id") === queryVecId)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(abs(col("s")), col("pl"))))
-        .filter(col("rk") <= 2).select(col("pl"))
-      val probes = qb.select(col("qbucket").as("pb"))
-        .unionAll(qb.crossJoin(flips).select(
-          expr("qbucket ^ shiftleft(cast(1 as bigint), pl)").as("pb")))
-      val cand = sig.join(broadcast(probes), col("bucket") === col("pb"))
+      // the probe set is 3 bounded values derived from the QUERY's 4
+      // projections — computed driver-side (the bounded-collect
+      // precedent: k×dim codebooks, 5-row centroid pulls) instead of a
+      // window + union + cross-join cascade; at 100 TB this is still 4
+      // longs over the wire
+      val qproj = proj.filter(col("vec_id") === queryVecId)
+        .select(col("pl"), col("s")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val qbucket = qproj.map { case (pl, sv) =>
+        if (sv > 0) 1L << pl else 0L }.sum
+      val flips = qproj.sortBy { case (pl, sv) => (math.abs(sv), pl) }
+        .take(2).map { case (pl, _) => qbucket ^ (1L << pl) }
+      val probeSet = (qbucket +: flips).distinct
+      val cand = sig.filter(col("bucket").isin(probeSet: _*))
         .filter(col("vec_id") =!= queryVecId)
-        .select(col("vec_id")).distinct()
+        .select(col("vec_id"))
       val norms = dims.groupBy(col("vec_id"))
         .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
       val qdims = dims.filter(col("vec_id") === queryVecId)
