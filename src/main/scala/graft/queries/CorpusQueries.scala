@@ -538,8 +538,8 @@ object CorpusQueries {
     val overlap = 4
     val stride = chunk - overlap
     Q("q142_token_chunking",
-      (s, d) => Catalog.documents(s, d)
-        .select(col("doc_id"), graft.ops.Bpe.tokens(col("text")).as("toks"))
+      (s, d) => graft.ops.Bpe.storedTokens(s, d)
+        .select(col("doc_id"), col("toks"))
         .withColumn("n", size(col("toks")).cast("bigint"))
         .filter(col("n") > 0)
         .withColumn("c",
@@ -619,10 +619,10 @@ object CorpusQueries {
         val norm = normalizeText(col("text"))
         val base = Catalog.documents(s, d)
           .select(col("doc_id"), col("source"),
-            graft.ops.Bpe.tokenCount(col("text")).cast("bigint")
-              .as("n_bpe"),
             length(norm).cast("bigint").as("n_chars"),
             hash60(norm).as("fp"))
+          .join(graft.ops.Bpe.storedTokens(s, d)
+            .select(col("doc_id"), col("n_bpe")), "doc_id")
         // 1. quality: enough tokens, compresses like corpus text
         val quality = base
           .filter(col("n_bpe") >= 8 &&

@@ -439,8 +439,8 @@ object TextQueries {
     * symbols), so at 100 TB it collapses per-partition before the one
     * small shuffle. */
   val q137 = Q("q137_bpe_vocab",
-    (s, d) => Catalog.documents(s, d)
-      .select(explode(graft.ops.Bpe.tokens(col("text"))).as("token"))
+    (s, d) => graft.ops.Bpe.storedTokens(s, d)
+      .select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(50),
     Some(
@@ -462,9 +462,10 @@ object TextQueries {
     * tokenize + one combinable groupBy(source). */
   val q155 = Q("q155_compression_quality",
     (s, d) => Catalog.documents(s, d)
-      .select(col("source"),
-        graft.ops.Bpe.tokenCount(col("text")).cast("bigint").as("n_bpe"),
+      .select(col("doc_id"), col("source"),
         length(normalizeText(col("text"))).cast("bigint").as("n_chars"))
+      .join(graft.ops.Bpe.storedTokens(s, d)
+        .select(col("doc_id"), col("n_bpe")), "doc_id")
       .filter(col("n_bpe") > 0)
       .withColumn("ratio_ppm",
         expr("(1000000 * n_chars) div n_bpe"))
