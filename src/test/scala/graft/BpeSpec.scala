@@ -232,4 +232,38 @@ class BpeSpec extends SparkSuite {
       .filter(col("n") =!= col("m"))
     assert(bad.count() == 0)
   }
+
+  test("storedTokens matches the live encoder, reuses the stamp, and rebuilds on data change") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // private sf-shaped scratch dataset so the stamp lifecycle can be
+    // driven without touching the shared store (stale-fixture lesson:
+    // ADVICE r8 on KnnGraphSpec's hard-coded /tmp stamp)
+    val dsName = "bpestore_spec"
+    val ds = s"/tmp/graft_spec/$dsName"
+    val storeDir = s"/tmp/graft_fixtures/spark_dt_$dsName"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ds))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
+    Files.createDirectories(Paths.get(ds))
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$ds/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val live = Bpe.docTokensDf(graft.tables.Catalog.documents(spark, ds))
+      .selectExpr("doc_id", "n_bpe", "array_join(toks, '|') AS t")
+    val stored1 = Bpe.storedTokens(spark, ds)
+      .selectExpr("doc_id", "n_bpe", "array_join(toks, '|') AS t")
+    assert(stored1.exceptAll(live).count() == 0 &&
+      live.exceptAll(stored1).count() == 0)
+    // warm reuse: stamp unchanged -> same files on disk
+    val files1 = new java.io.File(storeDir).listFiles().map(_.getName).toSet
+    Bpe.storedTokens(spark, ds).count()
+    val files2 = new java.io.File(storeDir).listFiles().map(_.getName).toSet
+    assert(files1 == files2, "stamped store must be reused, not rewritten")
+    // data regeneration (mtime change) -> rebuild
+    val f = new java.io.File(s"$ds/documents.parquet")
+    assert(f.setLastModified(f.lastModified() + 60000))
+    Bpe.storedTokens(spark, ds).count()
+    val stamp = new String(Files.readAllBytes(
+      Paths.get(s"$storeDir/_stamp")), "UTF-8")
+    assert(stamp.contains((f.lastModified()).toString),
+      s"stamp must track the new mtime: $stamp")
+  }
 }
