@@ -199,4 +199,25 @@ class ScaleSpec extends SparkSuite {
     assert(!plan.contains("posexplode"),
       s"probe plan contains a dim-explode — it is retraining:\n$plan")
   }
+
+  test("stored-token consumers read the store, never the encoder") {
+    // the q138 guard, for the dt store: token consumers must plan a
+    // parquet read of spark_dt_*, with ZERO BpeEncode expressions —
+    // an encoder in the plan means the store amortization regressed
+    for (q <- Seq(graft.queries.TextQueries.q137,
+        graft.queries.CorpusQueries.q142,
+        graft.queries.TextQueries.q155)) {
+      val out = q.run(spark, sf)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("spark_dt_"),
+        s"${q.name} must read the token store:\n${plan.take(2000)}")
+      assert(!plan.contains("bpe_encode") && !plan.contains("BpeEncode"),
+        s"${q.name} plan still runs the encoder:\n${plan.take(2000)}")
+    }
+    // and the anchor keeps the LIVE encoder
+    val anchor = graft.queries.TextQueries.q162.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(anchor.contains("bpe_encode") || anchor.contains("BpeEncode"),
+      "q162 must stay the independent live-encoder replay")
+  }
 }
