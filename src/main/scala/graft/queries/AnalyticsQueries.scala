@@ -807,7 +807,75 @@ object AnalyticsQueries {
         |         AS BIGINT) AS cum_users
         |FROM pd""".stripMargin))
 
+  /** q207 — DISTRIBUTION-DRIFT MONITOR (PSI): the Population Stability
+    * Index between a reference and a current corpus snapshot (here the
+    * doc_id-parity halves — the deterministic stand-in for "last
+    * crawl vs this crawl"), per monitored feature: source mix,
+    * language mix, and a length-decile histogram. PSI = Σ (p−q)·ln(p/q)
+    * with add-one smoothing over the union cell set, micro-rounded —
+    * the standard "did the data shift under the model" gate a corpus
+    * refresh runs before training resumes. Nothing else in the
+    * registry covers monitoring BETWEEN snapshots; expectations (q128)
+    * gate one snapshot against fixed rules.
+    *
+    * Scale shape: each feature is one vocabulary-/grid-sized
+    * map-side-combinable groupBy + a 1-row total broadcast back — the
+    * corpus is scanned once per feature, shuffled never. */
+  val q207 = {
+    def featSqls = Seq(
+      ("source", "source"),
+      ("lang", "lang"),
+      ("len_decile", "CAST(least(n_chars // 50, 9) AS VARCHAR)"))
+    Q("q207_drift_psi",
+      (s, d) => {
+        val docs = Catalog.documents(s, d)
+        def one(fname: String, fcol: org.apache.spark.sql.Column) = {
+          val g = docs
+            .select(fcol.cast("string").as("v"),
+              (col("doc_id") % 2).as("h"))
+            .groupBy(col("v")).agg(
+              (sum(when(col("h") === 0, 1L).otherwise(0L)) + 1L).as("r"),
+              (sum(when(col("h") === 1, 1L).otherwise(0L)) + 1L).as("c"))
+          val tot = g.agg(sum(col("r")).cast("double").as("tr"),
+            sum(col("c")).cast("double").as("tc"))
+          g.crossJoin(broadcast(tot))
+            .select(lit(fname).as("feature"),
+              ((col("r") / col("tr") - col("c") / col("tc")) *
+                log((col("r") / col("tr")) / (col("c") / col("tc"))))
+                .as("contrib"))
+            .groupBy(col("feature")).agg(
+              count(lit(1)).cast("bigint").as("n_values"),
+              round(sum(col("contrib")) * 1e6).cast("bigint")
+                .as("psi_micro"))
+        }
+        one("source", col("source"))
+          .unionAll(one("lang", col("lang")))
+          .unionAll(one("len_decile",
+            expr("least(n_chars div 50, 9)").cast("string")))
+      },
+      Some {
+        val ctes = featSqls.map { case (fname, fexpr) =>
+          s"""g_$fname AS (
+             |  SELECT CAST($fexpr AS VARCHAR) AS v,
+             |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) + 1 AS r,
+             |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) + 1 AS c
+             |  FROM documents GROUP BY 1),
+             |t_$fname AS (SELECT CAST(sum(r) AS DOUBLE) AS tr,
+             |    CAST(sum(c) AS DOUBLE) AS tc FROM g_$fname),
+             |p_$fname AS (SELECT '$fname' AS feature,
+             |    CAST(count(*) AS BIGINT) AS n_values,
+             |    CAST(round(sum((r / tr - c / tc) * ln((r / tr) / (c / tc)))
+             |      * 1000000) AS BIGINT) AS psi_micro
+             |  FROM g_$fname, t_$fname GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $ctes
+           |SELECT * FROM p_source
+           |UNION ALL SELECT * FROM p_lang
+           |UNION ALL SELECT * FROM p_len_decile""".stripMargin
+      })
+  }
+
   val all: Seq[Q] =
     Seq(q43, q44, q45, q49, q50, q51, q52, q53, q55, q57, q59, q70, q89,
-      q90, q97, q98, q101, q104, q114, q120, q121, q122, q129)
+      q90, q97, q98, q101, q104, q114, q120, q121, q122, q129, q207)
 }

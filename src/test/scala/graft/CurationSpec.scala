@@ -332,4 +332,18 @@ class CurationSpec extends SparkSuite {
     // universe: the base bucket is always probed
     assert(multi.size == 10 && single.size == 10)
   }
+
+  test("q207: PSI is non-negative and detects the parity-correlated feature") {
+    val got = byName("q207_drift_psi").cache()
+    assert(got.count() == 3)
+    // PSI terms (p-q)ln(p/q) are sign-aligned -> the sum is >= 0
+    assert(got.filter(col("psi_micro") < 0).count() == 0)
+    val psi = got.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // sources are assigned round-robin by doc_id, so the parity split
+    // IS a source shift; language is independent of parity
+    assert(psi("source") > psi("lang") * 10,
+      s"source drift must dominate: $psi")
+    got.unpersist()
+  }
 }
