@@ -819,8 +819,9 @@ object AnalyticsQueries {
     * gate one snapshot against fixed rules.
     *
     * Scale shape: each feature is one vocabulary-/grid-sized
-    * map-side-combinable groupBy + a 1-row total broadcast back — the
-    * corpus is scanned once per feature, shuffled never. */
+    * map-side-combinable groupBy; totals come from an unpartitioned
+    * window over that BOUNDED cell relation (never the corpus), so the
+    * corpus is scanned exactly once per feature and shuffled never. */
   val q207 = {
     def featSqls = Seq(
       ("source", "source"),
@@ -836,9 +837,13 @@ object AnalyticsQueries {
             .groupBy(col("v")).agg(
               (sum(when(col("h") === 0, 1L).otherwise(0L)) + 1L).as("r"),
               (sum(when(col("h") === 1, 1L).otherwise(0L)) + 1L).as("c"))
-          val tot = g.agg(sum(col("r")).cast("double").as("tr"),
-            sum(col("c")).cast("double").as("tc"))
-          g.crossJoin(broadcast(tot))
+          // totals via an unpartitioned window over the GRID-sized cell
+          // relation (bounded) — one corpus scan per feature, no
+          // lineage re-execution for a totals aggregate
+          val w = Window.partitionBy()
+          g.select(col("r"), col("c"),
+              sum(col("r")).over(w).cast("double").as("tr"),
+              sum(col("c")).over(w).cast("double").as("tc"))
             .select(lit(fname).as("feature"),
               ((col("r") / col("tr") - col("c") / col("tc")) *
                 log((col("r") / col("tr")) / (col("c") / col("tc"))))
@@ -860,13 +865,14 @@ object AnalyticsQueries {
              |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) + 1 AS r,
              |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) + 1 AS c
              |  FROM documents GROUP BY 1),
-             |t_$fname AS (SELECT CAST(sum(r) AS DOUBLE) AS tr,
-             |    CAST(sum(c) AS DOUBLE) AS tc FROM g_$fname),
+             |t_$fname AS (SELECT r, c,
+             |    CAST(sum(r) OVER () AS DOUBLE) AS tr,
+             |    CAST(sum(c) OVER () AS DOUBLE) AS tc FROM g_$fname),
              |p_$fname AS (SELECT '$fname' AS feature,
              |    CAST(count(*) AS BIGINT) AS n_values,
              |    CAST(round(sum((r / tr - c / tc) * ln((r / tr) / (c / tc)))
              |      * 1000000) AS BIGINT) AS psi_micro
-             |  FROM g_$fname, t_$fname GROUP BY 1)""".stripMargin
+             |  FROM t_$fname GROUP BY 1)""".stripMargin
         }.mkString(",\n")
         s"""WITH $ctes
            |SELECT * FROM p_source
