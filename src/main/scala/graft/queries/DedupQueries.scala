@@ -711,12 +711,15 @@ object DedupQueries {
     * SELF-JOIN on the hash (Σ_h C(s_h, 2) rows — ~9.5 M here, because
     * a synthetic vocabulary puts most shingles in ALL 20 sources) both
     * measured ~3 s; the mask fold is the shape that survives dense
-    * co-occurrence. The sketch side is ONE per-source aggregate
-    * (size + bottom-k hash array, |sources| rows out) with every pair
-    * computation pure array arithmetic on those rows — at 600 k rows
-    * the stage-count collapse took the query 3.0 → 1.5 s (the
-    * shingle-pipeline floor), and at 100 TB it is the difference
-    * between a per-pair shuffle cascade and one combinable pass. */
+    * co-occurrence. The sketch side collapses to |sources| rows —
+    * bottom-k per source via the bounded-heap [[graft.plans
+    * .TopKPerGroup]] operator (partial per-partition heaps, so a
+    * source's full hash set is never gathered into one array) and a
+    * ≤k-element collect — with every pair computation pure array
+    * arithmetic on those rows. At 600 k rows the stage-count collapse
+    * took the query 3.0 → 1.5 s (the shingle-pipeline floor); at
+    * 100 TB it is the difference between a per-pair shuffle cascade
+    * and one bounded combinable pass. */
   val q199 = {
     val k = 256
     Q("q199_corpus_overlap",
@@ -729,12 +732,17 @@ object DedupQueries {
               .select(col("source").as("doc_id"), col("text")), 3)
           .select(col("doc_id").as("source"), col("h")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // ONE per-source aggregate carries everything the sketch side
-        // needs: the set size and the bottom-k hash array. 20 rows out;
-        // every pair computation below is array arithmetic on them.
-        val sstats = sv.groupBy(col("source")).agg(
-            count(lit(1)).as("n"),
-            slice(array_sort(collect_list(col("h"))), 1, k).as("ks"))
+        // the sketch side collapses to |sources| rows: bottom-k per
+        // source via the BOUNDED-HEAP TopKPerGroup operator (partial
+        // heaps per partition — never a source's full hash set in one
+        // array, which a bare collect_list-then-slice would gather),
+        // then a ≤k-element collect per source; every pair computation
+        // below is array arithmetic on those rows.
+        val sk = graft.plans.TopKPerGroup(sv, k,
+          Seq(col("source")), Seq(col("h").asc))
+        val sstats = sv.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .join(sk.groupBy(col("source"))
+            .agg(array_sort(collect_list(col("h"))).as("ks")), "source")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sids = sstats.select(col("source"))
           .withColumn("sid", row_number().over(
