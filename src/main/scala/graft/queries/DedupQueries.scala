@@ -635,12 +635,16 @@ object DedupQueries {
     * under shifted ids (same injection in the oracle), which must be
     * caught at cosine ~1.
     *
-    * Scale shape: eval sets are bounded (thousands), so the operator is
-    * a broadcast nested-loop over the corpus — ONE corpus scan, zero
-    * shuffles of corpus data, embarrassingly parallel; the
-    * [[graft.functions.CosineScaled]] fused expression (q22/q36's,
-    * proved bit-identical to the oracle's integer-quantized arithmetic)
-    * does scale+dot+norm in one codegen'd loop per pair. */
+    * Scale shape: the operator's contract is a BOUNDED external eval
+    * set (benchmarks are thousands of rows no matter the corpus size —
+    * the %50 sample here is only the fixture's deterministic stand-in
+    * for that external table), so it plans as a broadcast nested-loop
+    * over the corpus — ONE corpus scan, zero shuffles of corpus data,
+    * embarrassingly parallel; the [[graft.functions.CosineScaled]]
+    * fused expression (q22/q36's, proved bit-identical to the oracle's
+    * integer-quantized arithmetic) does scale+dot+norm in one codegen'd
+    * loop per pair. An UNbounded dedup-style comparison set is q22/q61's
+    * territory (bucketed, never broadcast). */
   val q198 = Q("q198_semantic_decontaminate",
     (s, d) => {
       val e = Catalog.embeddings(s, d).select(col("vec_id"), col("embedding"))

@@ -323,7 +323,12 @@ object StreamQueries {
     *
     * Scale shape: state is one Long per band bucket (what a batch LSH
     * index would persist anyway); every arriving doc is one state
-    * lookup — no history re-scan, no growth in emission cost. */
+    * lookup — no history re-scan, no growth in emission cost. Wave
+    * order relies on FileStreamSource's oldest-first mtime ordering —
+    * the two staging writes are sequential Spark jobs (tens of ms
+    * apart), so the originals' file always timestamps first; the
+    * closed form itself is also order-robust WITHIN a batch because
+    * the processor sorts each bucket's batch rows. */
   val q201 = Q("q201_stream_dedup",
     (s, d) => {
       import s.implicits._
