@@ -384,35 +384,27 @@ object Bpe {
     * symmetric design to the oracle side, whose fixture rebuild is
     * likewise stamped and amortized (tools/bench_oracle.py).
     *
-    * Stamp = documents.parquet (length, mtime) via Hadoop FileSystem
-    * (works on any FS — the q170 lesson) + the merge-table size + a
-    * format version; the stamp file is written AFTER the data, so a
-    * crash mid-write leaves a stampless directory that self-heals into
-    * a rebuild. q162 stays the independent full-replay anchor proving
+    * Store mechanics are [[Fixtures.ensure]]: the dir is keyed by a
+    * hash of the ABSOLUTE dataset path (same-basename datasets can't
+    * thrash), the stamp covers every part file of documents.parquet
+    * (len, mtime) plus a CONTENT hash of the merge table (an entry
+    * rewrite that keeps the count still invalidates) and a format
+    * version, and the publish is a staged rename-aside on the store's
+    * own filesystem — stamp and data land on the same FS, and a crash
+    * at any point leaves a complete generation, never a stampless
+    * half-write. q162 stays the independent full-replay anchor proving
     * store contents ≡ the encoder's live output. */
+  private lazy val mergesHash: String =
+    Fixtures.contentHash(merges.map(m => m._1 + "\u0001" + m._2)
+      .mkString("\n"))
+
   def storedTokens(s: SparkSession, d: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val dir = s"/tmp/graft_fixtures/spark_dt_${new java.io.File(d).getName}"
-    val conf = s.sparkContext.hadoopConfiguration
-    val src = new Path(s"$d/documents.parquet")
-    val fs = src.getFileSystem(conf)
-    val st = fs.getFileStatus(src)
-    val stamp =
-      s"${st.getLen}:${st.getModificationTime}:merges=${merges.length}:fmt=1"
-    val stampP = new Path(s"$dir/_stamp")
-    val ok =
-      try {
-        val in = fs.open(stampP)
-        val cur =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        cur == stamp
-      } catch { case _: Throwable => false }
-    if (!ok) {
+    val dir = s"/tmp/graft_fixtures/spark_dt_${Fixtures.pathKey(d)}"
+    val stamp = Fixtures.datasetStamp(s, s"$d/documents.parquet") +
+      s"|merges=$mergesHash|fmt=2"
+    Fixtures.ensure(s, dir, stamp) { stg =>
       docTokensDf(graft.tables.Catalog.documents(s, d))
-        .write.mode("overwrite").parquet(dir)
-      val out = fs.create(stampP, true)
-      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+        .write.mode("overwrite").parquet(stg)
     }
     s.read.parquet(dir)
   }

@@ -380,23 +380,34 @@ object DedupQueries {
     * pair set declaratively and filters to delta-touching pairs —
     * hash-green proves the incremental path finds exactly the pairs a
     * full rebuild would. (Uncapped variant; the DF-cap composes as in
-    * q19.) */
+    * q19.)
+    *
+    * The history index is the protocol's PRE-EXISTING state ("in
+    * production it already sits in storage") — materialized once per
+    * documents generation via [[graft.ops.Fixtures.ensure]], stamped by
+    * source content + minhash params, so the timed query is exactly
+    * the incremental path: sign the delta, read the index, band-join
+    * (FixturesSpec pins that the second run writes nothing). */
   val q96 = {
     val deltaFrom = 450L
     Q("q96_incremental_dedup_index",
       (s, d) => {
-        val tag = java.nio.file.Paths.get(d).getFileName.toString
-          .replaceAll("[^A-Za-z0-9]", "_")
-        val idxPath = s"/tmp/graft_dedup_index/$tag"
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          s.sparkContext.hadoopConfiguration)
+        val idxPath =
+          s"/tmp/graft_dedup_index/${graft.ops.Fixtures.pathKey(d)}"
         val corpus = docsNear(s, d)
         val isDelta = (col("doc_id") % 1000000L) >= deltaFrom
-        // 1. history: the signature index the previous runs left behind
-        fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
-        Dedup.minhashSignature(
-            Dedup.hashedShingles(corpus.filter(!isDelta), 3))
-          .write.parquet(idxPath)
+        // 1. history: the signature index previous runs left behind —
+        // build-once per (documents generation, minhash params)
+        val stamp =
+          graft.ops.Fixtures.datasetStamp(s, s"$d/documents.parquet") +
+            s"|mh=${graft.ops.Fixtures.contentHash(
+              Dedup.minhashParams.mkString(","))}" +
+            s"|delta=$deltaFrom|fmt=1"
+        graft.ops.Fixtures.ensure(s, idxPath, stamp) { stg =>
+          Dedup.minhashSignature(
+              Dedup.hashedShingles(corpus.filter(!isDelta), 3))
+            .write.mode("overwrite").parquet(stg)
+        }
         // 2. the incremental run: sign the delta only, join the index
         val baseSigs = s.read.parquet(idxPath)
         val deltaSigs = Dedup.minhashSignature(
@@ -724,6 +735,25 @@ object DedupQueries {
     * took the query 3.0 → 1.5 s (the shingle-pipeline floor); at
     * 100 TB it is the difference between a per-pair shuffle cascade
     * and one bounded combinable pass. */
+  /** Dense 0-based source ids for q199's bitmap fold, guarded against
+    * the 64-source cliff: the single-BIGINT co-occurrence mask holds at
+    * most 62 safe bits (Spark's `shiftleft` wraps its shift amount mod
+    * 64, so a 63rd source would silently alias a low bit and corrupt
+    * every intersection with no error). Rather than wrong answers, the
+    * fold fails loudly at execution time; wider source sets need
+    * multi-word masks (the q135 `bitmap_construct_agg`-style machinery,
+    * one BIGINT word per 62 sources). */
+  private[graft] def maskSourceIds(sources: DataFrame): DataFrame =
+    sources
+      .withColumn("sid",
+        row_number().over(Window.orderBy(col("source"))) - 1)
+      .withColumn("sid", when(col("sid") < 62, col("sid"))
+        .otherwise(raise_error(lit(
+          "q199_corpus_overlap: more than 62 distinct sources would " +
+            "overflow the single-BIGINT co-occurrence mask (shiftleft " +
+            "wraps its shift amount mod 64 -> silent bit aliasing); " +
+            "upgrade to multi-word masks (q135's bitmap machinery)"))))
+
   val q199 = {
     val k = 256
     Q("q199_corpus_overlap",
@@ -748,9 +778,7 @@ object DedupQueries {
           .join(sk.groupBy(col("source"))
             .agg(array_sort(collect_list(col("h"))).as("ks")), "source")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sids = sstats.select(col("source"))
-          .withColumn("sid", row_number().over(
-            Window.orderBy(col("source"))) - 1)
+        val sids = maskSourceIds(sstats.select(col("source")))
         val pe = sstats.select(col("source").as("src_a"), col("n").as("na"),
             col("ks").as("ka"))
           .crossJoin(sstats.select(col("source").as("src_b"),
@@ -782,13 +810,14 @@ object DedupQueries {
         pe.join(inter, Seq("src_a", "src_b"), "left")
           .select(col("src_a"), col("src_b"), col("k_eff"),
             col("inter_k"),
-            expr("(inter_k * 1000000) div k_eff").cast("bigint")
+            expr("(inter_k * 1000000) div greatest(k_eff, 1)").cast("bigint")
               .as("est_ppm"),
             coalesce(col("io"), lit(0L)).cast("bigint").as("inter_exact"),
             (col("na") + col("nb") - coalesce(col("io"), lit(0L)))
               .cast("bigint").as("union_exact"))
           .withColumn("exact_ppm",
-            expr("(inter_exact * 1000000) div union_exact").cast("bigint"))
+            expr("(inter_exact * 1000000) div greatest(union_exact, 1)")
+              .cast("bigint"))
       },
       Some(
         s"""WITH t AS (SELECT source, regexp_split_to_array(text, '\\s+') AS toks
@@ -833,11 +862,13 @@ object DedupQueries {
            |         AND (m.mask >> q.sid_b) % 2 = 1
            |       GROUP BY 1, 2)
            |SELECT e.src_a, e.src_b, e.k_eff, e.inter_k,
-           |  CAST((e.inter_k * 1000000) // e.k_eff AS BIGINT) AS est_ppm,
+           |  CAST((e.inter_k * 1000000) // greatest(e.k_eff, 1) AS BIGINT)
+           |    AS est_ppm,
            |  CAST(coalesce(i.io, 0) AS BIGINT) AS inter_exact,
            |  CAST(e.na + e.nb - coalesce(i.io, 0) AS BIGINT) AS union_exact,
            |  CAST((CAST(coalesce(i.io, 0) AS BIGINT) * 1000000)
-           |    // (e.na + e.nb - coalesce(i.io, 0)) AS BIGINT) AS exact_ppm
+           |    // greatest(e.na + e.nb - coalesce(i.io, 0), 1) AS BIGINT)
+           |    AS exact_ppm
            |FROM est e LEFT JOIN io i
            |  ON i.src_a = e.src_a AND i.src_b = e.src_b""".stripMargin))
   }
@@ -926,9 +957,9 @@ object DedupQueries {
         .crossJoin(truth.agg(count(lit(1)).cast("bigint").as("n_truth")))
         .crossJoin(hit.agg(count(lit(1)).cast("bigint").as("n_hit")))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
-          expr("(n_hit * 1000000) div n_cand").cast("bigint")
+          expr("(n_hit * 1000000) div greatest(n_cand, 1)").cast("bigint")
             .as("precision_ppm"),
-          expr("(n_hit * 1000000) div n_truth").cast("bigint")
+          expr("(n_hit * 1000000) div greatest(n_truth, 1)").cast("bigint")
             .as("recall_ppm"))
     },
     Some(
@@ -950,9 +981,11 @@ object DedupQueries {
          |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
          |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
          |  CAST(((SELECT count(*) FROM hit) * 1000000)
-         |    // (SELECT count(*) FROM cand) AS BIGINT) AS precision_ppm,
+         |    // greatest((SELECT count(*) FROM cand), 1) AS BIGINT)
+         |    AS precision_ppm,
          |  CAST(((SELECT count(*) FROM hit) * 1000000)
-         |    // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm""".stripMargin))
+         |    // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+         |    AS recall_ppm""".stripMargin))
 
   /** q204 — LSH S-CURVE CALIBRATION: per Jaccard decile, the fraction
     * of true similar pairs (exact inverted-index Jaccard, q21's

@@ -384,9 +384,9 @@ object PipelineQueries {
            |SELECT doc_id, turn_idx, role, n_tokens,
            |  CASE WHEN role = 'assistant' THEN n_tokens
            |       ELSE CAST(0 AS BIGINT) END AS loss_tokens,
-           |  coalesce(sum(n_tokens) OVER (PARTITION BY doc_id
+           |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id
            |    ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
-           |    AND 1 PRECEDING), 0) // $seqCap AS seq_id
+           |    AND 1 PRECEDING), 0) // $seqCap AS BIGINT) AS seq_id
            |FROM turns""".stripMargin))
   }
 

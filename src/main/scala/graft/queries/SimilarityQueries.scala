@@ -1976,7 +1976,7 @@ object SimilarityQueries {
            |  FROM dims JOIN mm USING (p)),
            |qc AS (SELECT p, r AS qr FROM codes WHERE vec_id = $queryVecId),
            |cand AS (
-           |  SELECT vec_id, label, sum(r * qr) AS score8
+           |  SELECT vec_id, label, CAST(sum(r * qr) AS BIGINT) AS score8
            |  FROM codes JOIN qc USING (p) WHERE vec_id <> $queryVecId
            |  GROUP BY 1, 2 ORDER BY score8 DESC, vec_id LIMIT $rerankK),
            |n AS (SELECT *, CAST(list_aggregate(list_transform(iv, x -> x * x),

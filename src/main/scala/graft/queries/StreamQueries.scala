@@ -49,6 +49,24 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stage one arrival wave into `srcDir` and re-stamp its NEW part
+    * files to `mtime`: FileStreamSource orders files oldest-first by
+    * modification time, and two back-to-back writes can land in the
+    * same mtime granularity tick — a query whose oracle assumes a wave
+    * order must pin it explicitly, not rely on write timing. */
+  private def stageWave(fs: FileSystem, srcDir: String, mtime: Long)(
+      write: => Unit): Unit = {
+    val dir = new Path(srcDir)
+    def parts(): Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_")).map(_.getPath.getName).toSet
+    val before = parts()
+    write
+    (parts() -- before).foreach(n =>
+      fs.setTimes(new Path(dir, n), mtime, -1))
+  }
+
   /** q124 — watermarked STREAM-STREAM INTERVAL JOIN: each click joined
     * to the same user's purchases within the following 30 minutes.
     * State stays bounded because BOTH sides carry a watermark and the
@@ -324,9 +342,12 @@ object StreamQueries {
     * Scale shape: state is one Long per band bucket (what a batch LSH
     * index would persist anyway); every arriving doc is one state
     * lookup — no history re-scan, no growth in emission cost. Wave
-    * order relies on FileStreamSource's oldest-first mtime ordering —
-    * the two staging writes are sequential Spark jobs (tens of ms
-    * apart), so the originals' file always timestamps first; the
+    * order does NOT rely on write timing: FileStreamSource orders
+    * files oldest-first by mtime, and two sequential writes CAN land
+    * in the same mtime granularity tick, so after staging each wave
+    * its part files are explicitly re-stamped (t for the originals,
+    * t+60 s for the shifted copies) — the processing order the
+    * closed-form oracle assumes is pinned, not probabilistic. The
     * closed form itself is also order-robust WITHIN a batch because
     * the processor sorts each bucket's batch rows. */
   val q201 = Q("q201_stream_dedup",
@@ -336,10 +357,15 @@ object StreamQueries {
       val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(base), true)
       val corpus = DedupQueries.docsNear(s, d)
-      corpus.filter(col("doc_id") < 1000000L).coalesce(1)
-        .write.mode("append").parquet(s"$base/src")
-      corpus.filter(col("doc_id") >= 1000000L).coalesce(1)
-        .write.mode("append").parquet(s"$base/src")
+      val t0 = System.currentTimeMillis()
+      stageWave(fs, s"$base/src", t0) {
+        corpus.filter(col("doc_id") < 1000000L).coalesce(1)
+          .write.mode("append").parquet(s"$base/src")
+      }
+      stageWave(fs, s"$base/src", t0 + 60000L) {
+        corpus.filter(col("doc_id") >= 1000000L).coalesce(1)
+          .write.mode("append").parquet(s"$base/src")
+      }
       val schema = s.read.parquet(s"$base/src").schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/src")

@@ -1027,7 +1027,8 @@ object TextQueries {
         sum(col("pos") * (lit(2L) * col("cneg") + col("neg")))
           .cast("bigint").as("num2"))
         .select(col("n_pos"), col("n_neg"), col("n_scores"),
-          expr("(num2 * 1000000) div (2 * n_pos * n_neg)").cast("bigint")
+          expr("(num2 * 1000000) div greatest(2 * n_pos * n_neg, 1)")
+            .cast("bigint")
             .as("auc_ppm"))
     },
     Some(
@@ -1043,7 +1044,7 @@ object TextQueries {
          |          CAST(sum(pos * (2 * cneg + neg)) AS BIGINT) AS num2
          |        FROM cum)
          |SELECT n_pos, n_neg, n_scores,
-         |  CAST((num2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+         |  CAST((num2 * 1000000) // greatest(2 * n_pos * n_neg, 1) AS BIGINT)
          |    AS auc_ppm
          |FROM agg""".stripMargin))
 

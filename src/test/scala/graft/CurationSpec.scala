@@ -242,6 +242,25 @@ class CurationSpec extends SparkSuite {
     got.unpersist()
   }
 
+  test("q199: the 62-source bitmap boundary fails loudly, not silently") {
+    val s = spark; import s.implicits._
+    // 62 sources: every sid 0..61 fits the single-BIGINT mask
+    val ok = graft.queries.DedupQueries.maskSourceIds(
+      (0 until 62).map(i => f"src_$i%03d").toDF("source"))
+    assert(ok.agg(max(col("sid"))).head().getInt(0) == 61)
+    // a 63rd source would alias a low bit under shiftleft's mod-64
+    // wrap — the guard must raise instead of corrupting intersections
+    val boom = intercept[Exception] {
+      graft.queries.DedupQueries.maskSourceIds(
+        (0 until 63).map(i => f"src_$i%03d").toDF("source"))
+        .agg(max(col("sid"))).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(boom).exists(_.contains("multi-word masks")), boom.toString)
+  }
+
   test("q200: split summary is a partition of the corpus, clusters atomic") {
     val got = byName("q200_leakage_safe_split").cache()
     val docs = Catalog.documents(spark, sf).count()

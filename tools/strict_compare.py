@@ -24,6 +24,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def oracle_type_gate(con, oracle):
+    """Bind (not execute) every oracle SQL and flag any output column whose
+    DuckDB type is HUGEINT/UHUGEINT/DECIMAL: pandas renders those as
+    float64 on the driver side, so the driver's string hash sees `123.0`
+    where Spark's parquet says `123` — a values-right/hash-red mismatch
+    that fetchall()-based compares (including the loop below, which gets
+    Python ints for HUGEINT) CANNOT catch. This is the exact mechanism
+    that shipped q179/q183 red in round 9. Binding all oracles takes
+    seconds; no data is read."""
+    bad = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            rel = con.sql(sql)
+        except Exception as e:
+            bad.append((name, f"bind error: {e}"))
+            continue
+        hazards = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+                   if any(h in str(t).upper()
+                          for h in ("HUGEINT", "UHUGEINT", "DECIMAL"))]
+        if hazards:
+            bad.append((name, f"driver-hash-hazard output types: {hazards} "
+                              "(CAST to BIGINT/DOUBLE in the oracle)"))
+    for name, msg in bad:
+        print(f"TYPEGATE FAIL {name}: {msg}")
+    if not bad:
+        print(f"TYPEGATE PASS: {len(oracle)} oracles, no "
+              "HUGEINT/UHUGEINT/DECIMAL output columns")
+    return len(bad)
+
+
 def fetch_sorted(con, sql):
     cur = con.execute(sql)
     cols = [d[0].lower() for d in cur.description]
@@ -45,7 +75,8 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    n_pass = n_fail = 0
+    n_fail = oracle_type_gate(con, oracle)
+    n_pass = 0
     for name, sql in sorted(oracle.items()):
         spark_path = f"{out_dir}/{name}"
         if not Path(spark_path).exists():
@@ -82,6 +113,7 @@ def main():
             print(f"PASS {name} ({len(srows)} rows)")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed (strict)")
+    sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
