@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ephemeral protocol scratch (stream checkpoints, staged sources)
+      // on RAM when the box has it: a local-mode bench's checkpoint
+      // fsyncs measure the disk, not the operator — see ops/Scratch
+      .config(graft.ops.Scratch.confKey, graft.ops.Scratch.fastScratch())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

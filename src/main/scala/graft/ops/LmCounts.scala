@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STORED corpus LM count tables — the bigram / unigram count
+  * relations every language-model-scoring consumer reads: q178
+  * (Jelinek-Mercer perplexity), q188/q193 (CCNet buckets / curriculum
+  * via the same scorer), and q202 (Kneser-Ney, whose context totals,
+  * continuation counts, and bigram-type total all DERIVE from the
+  * bigram count table by vocabulary-sized groupBys).
+  *
+  * Production shape: an LM over a corpus is trained ONCE per corpus
+  * generation and consulted by every scoring pass — exactly the
+  * [[Bpe.storedTokens]] amortization, so the same [[Fixtures.ensure]]
+  * machinery applies: counts are stamped by the documents generation
+  * and rebuilt only when the corpus changes. q187 is the streaming
+  * twin — it MAINTAINS this very relation incrementally, which is how
+  * a production deployment keeps the store fresh between rebuilds.
+  *
+  * Store layout: `<dir>/bc` = bigram counts (w1, w2, cb);
+  * `<dir>/cu` = unigram token counts (w, cu). Both are
+  * vocabulary-sized (≪ corpus). The corpus-wide tokenize + explode +
+  * count passes run once, in the fixture build; consumers pay two
+  * vocab-sized parquet scans.
+  */
+object LmCounts {
+
+  /** The two stored count relations for the documents table at `d`:
+    * (bigram counts bc(w1, w2, cb), unigram counts cu(w, cu)). */
+  def stored(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val dir = s"/tmp/graft_fixtures/lm_counts_${Fixtures.pathKey(d)}"
+    val stamp = Fixtures.datasetStamp(s, s"$d/documents.parquet") + "|fmt=1"
+    Fixtures.ensure(s, dir, stamp) { stg =>
+      val docs = graft.tables.Catalog.documents(s, d)
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+      docs.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("cb"))
+        .write.parquet(s"$stg/bc")
+      docs.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        .write.parquet(s"$stg/cu")
+    }
+    (s.read.parquet(s"$dir/bc"), s.read.parquet(s"$dir/cu"))
+  }
+}

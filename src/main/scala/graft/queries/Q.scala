@@ -34,8 +34,11 @@ object Q {
     "q125_stream_window_agg", "q134_stream_upsert",
     "q33_csv_roundtrip", "q38_json_roundtrip", "q39_orc_roundtrip",
     "q69_schema_evolution", // format round-trips rewrite scratch files
-    "q71_incremental_agg", "q96_incremental_dedup_index", // state v1→v2
-    "q94_dynamic_partition_pruning", "q115_data_skipping",
+    "q71_incremental_agg", // state v1→v2
+    // q94/q96/q115 left this set in round 10: their layouts/indexes
+    // now build once per dataset generation behind stamped fixture
+    // stores (ops/Fixtures; FixturesSpec pins the second run writes
+    // nothing), so their timed runs are pure probe dataflows again
     "q127_targeted_delete", "q132_time_travel",
     "q131_observed_metrics", // observed full-table copy
     "q138_persistent_ann_index", // builds + appends the stored index

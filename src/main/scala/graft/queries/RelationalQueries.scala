@@ -20,7 +20,7 @@ object RelationalQueries {
     * watermark + key dedup must reproduce the batch relation exactly. */
   val q26 = Q("q26_streaming_ingest",
     (s, d) => {
-      val base = s"/tmp/graft_stream/q26_${java.nio.file.Paths.get(d).getFileName}"
+      val base = s"${graft.ops.Scratch.dir(s)}/graft_stream/q26_${java.nio.file.Paths.get(d).getFileName}"
       val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(base), true)
       val conf = s.sparkContext.hadoopConfiguration

@@ -21,7 +21,7 @@ object StreamQueries {
     * previous run (rerun-safe, concurrent-sf-safe — same pattern as
     * q26). Returns (srcDir, base). */
   private def stage(s: SparkSession, d: String, tag: String): (String, String) = {
-    val base = s"/tmp/graft_stream/${tag}_${java.nio.file.Paths.get(d).getFileName}"
+    val base = s"${graft.ops.Scratch.dir(s)}/graft_stream/${tag}_${java.nio.file.Paths.get(d).getFileName}"
     val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)
     val conf = s.sparkContext.hadoopConfiguration
@@ -217,7 +217,7 @@ object StreamQueries {
     * batch roll-up exactly. */
   val q156 = Q("q156_stream_token_budget",
     (s, d) => {
-      val base = s"/tmp/graft_stream/q156_${java.nio.file.Paths.get(d).getFileName}"
+      val base = s"${graft.ops.Scratch.dir(s)}/graft_stream/q156_${java.nio.file.Paths.get(d).getFileName}"
       val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(base), true)
       FileUtil.copy(fs, new Path(s"$d/documents.parquet"),
@@ -272,7 +272,7 @@ object StreamQueries {
   val q187 = Q("q187_stream_lm_counts",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val base = s"/tmp/graft_stream/q187_${java.nio.file.Paths.get(d).getFileName}"
+      val base = s"${graft.ops.Scratch.dir(s)}/graft_stream/q187_${java.nio.file.Paths.get(d).getFileName}"
       val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(base), true)
       val docs = graft.tables.Catalog.documents(s, d)
@@ -353,7 +353,7 @@ object StreamQueries {
   val q201 = Q("q201_stream_dedup",
     (s, d) => {
       import s.implicits._
-      val base = s"/tmp/graft_stream/q201_${java.nio.file.Paths.get(d).getFileName}"
+      val base = s"${graft.ops.Scratch.dir(s)}/graft_stream/q201_${java.nio.file.Paths.get(d).getFileName}"
       val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(base), true)
       val corpus = DedupQueries.docsNear(s, d)

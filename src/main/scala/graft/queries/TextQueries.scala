@@ -198,15 +198,18 @@ object TextQueries {
     * without a cross-engine correctly-rounded guarantee — the ~1-ulp
     * libm drift is 9 orders below the quantum.
     *
-    * Scale shape: unigram counts are one groupBy(token) with map-side
-    * combine; the per-doc score is one groupBy(doc_id) after an
-    * inverted-index join of (doc_id, token) against the count relation —
-    * both shuffles keyed, nothing corpus². */
+    * Scale shape: unigram counts come from the STORED LM count table
+    * ([[graft.ops.LmCounts]] — trained once per corpus generation,
+    * shared with q178/q202); the per-doc score is one groupBy(doc_id)
+    * after an inverted-index join of (doc_id, token) against the
+    * vocab-sized count relation — one corpus scan, both shuffles
+    * keyed, nothing corpus². */
   val q66 = Q("q66_unigram_logprob",
     (s, d) => {
+      val (_, cuStore) = graft.ops.LmCounts.stored(s, d)
       val toks = Catalog.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val counts = cuStore.select(col("w").as("token"), col("cu").as("cnt"))
       val total = counts.agg(sum(col("cnt")).as("n")) // 1 row
       toks.join(counts, "token").crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
@@ -528,27 +531,24 @@ object TextQueries {
     */
   private[queries] def bigramNll(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // the LM itself — bigram + unigram counts — comes from the STORED
+    // count tables ([[graft.ops.LmCounts]], trained once per corpus
+    // generation, the production amortization); this scorer's own
+    // dataflow is the per-doc bigram extraction + count joins + per-doc
+    // aggregate, ONE corpus scan (LmCountsSpec pins the plan). Context
+    // counts c(w1·) and the token total N derive from the
+    // vocabulary-sized stored relations — c(w1·) = Σ_w2 c(w1,w2)
+    // exactly, never a fresh corpus pass.
+    val (bc, cuStore) = graft.ops.LmCounts.stored(s, d)
     val docs = Catalog.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-    val toks = docs.select(explode(col("t")).as("w"))
     val bi = docs.filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, size(t) - 1)," +
           " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
-    // context counts c(w1·) and the token total N derive from the
-    // VOCABULARY-sized count relations, not fresh corpus passes —
-    // c(w1·) = Σ_w2 c(w1,w2) exactly. The two count relations persist
-    // (vocab-sized — safe at any corpus scale) because each is read
-    // twice and Spark re-executes lineage per reference: without the
-    // persist the plan pays 5 corpus scans, with it 3 (bigram count,
-    // unigram count, scoring join).
-    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cw = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
-    val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      .withColumnRenamed("w", "w2")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cu = cuStore.withColumnRenamed("w", "w2")
     val n = cu.agg(sum(col("cu")).cast("double").as("n")) // 1 row
     bi.join(bc, Seq("w1", "w2")).join(cw, Seq("w1"))
       .join(cu, Seq("w2")).crossJoin(broadcast(n))
@@ -1195,6 +1195,12 @@ object TextQueries {
     * and a 1-row total), broadcast-joined back; no driver state. */
   val q202 = Q("q202_kneser_ney_perplexity",
     (s, d) => {
+      // the bigram count table is the STORED LM ([[graft.ops
+      // .LmCounts]], shared with q178's Jelinek-Mercer scorer —
+      // identical counts, trained once); everything Kneser-Ney needs
+      // (context totals, continuation counts n1+/n1·, the bigram-type
+      // total) derives from it by vocabulary-sized groupBys.
+      val (bc, _) = graft.ops.LmCounts.stored(s, d)
       val docs = Catalog.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val bi = docs.filter(size(col("t")) >= 2)
@@ -1202,8 +1208,6 @@ object TextQueries {
           "transform(sequence(1, size(t) - 1)," +
             " i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
-      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // context total AND distinct-continuation count in one pass
       val cwn = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw"),
         count(lit(1)).as("n1f"))
