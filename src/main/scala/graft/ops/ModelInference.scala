@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BATCHED MODEL-INFERENCE STAGE — the physical shape of the dominant
+  * operator in a production LLM data pipeline: batched embed / score /
+  * generate over a corpus, where the model call is an opaque
+  * batch-in/batch-out function and everything around it (schema
+  * contract, batch assembly, partition sizing, output encoding) is the
+  * engine's job.
+  *
+  * In PySpark deployments this seam is `mapInArrow`/`mapInPandas` — an
+  * Arrow-batched exchange to a Python/GPU worker. The Scala-native
+  * analog here is a typed `mapPartitions` with EXPLICIT batch
+  * iteration: rows are gathered into fixed-size batches, the model is
+  * invoked ONCE per batch (the GPU-shaped entry point — codec/session
+  * init and tensor launch amortize across the batch), and outputs are
+  * re-zipped to their rows positionally. The stage deliberately breaks
+  * whole-stage codegen — any model exchange does; the contract is that
+  * everything BEFORE it (chunking, filtering, projection) and AFTER it
+  * (joins, topk) stays in codegen'd declarative land, which
+  * ModelInferenceSpec pins.
+  *
+  * Replayability contract: a [[TextEmbedder]] must be pure and
+  * deterministic (same batch → same floats/ints on any executor, any
+  * batch boundary), because a verifying oracle replays it. The shipped
+  * [[HashedBowEmbedder]] is the deterministic stand-in (integer hashed
+  * bag-of-tokens — exactly q186's embedding math, so the swap is
+  * plan-shape-only); a production model swaps the `embedBatch` body
+  * and nothing else.
+  */
+object ModelInference {
+
+  /** The model seam: one BATCH of texts in, one embedding per text
+    * out, invoked once per assembled batch. */
+  trait TextEmbedder extends Serializable {
+    def dim: Int
+    def embedBatch(texts: Array[String]): Array[Array[Long]]
+  }
+
+  /** Deterministic integer hashed-BoW projection: dim j (1-based) =
+    * Σ_tok (hash60(tok ++ ":" ++ j) mod 2001 − 1000) over the text's
+    * whitespace tokens — q186's embedding, computed in the JVM instead
+    * of SQL sums so the plan carries a REAL inference exchange while
+    * the DuckDB oracle still replays the values bit-for-bit. */
+  final class HashedBowEmbedder(val dim: Int) extends TextEmbedder {
+    def embedBatch(texts: Array[String]): Array[Array[Long]] =
+      texts.map { t =>
+        // limit -1 keeps trailing empty tokens: the chunk text is an
+        // array_join of whitespace-split tokens, and the round trip
+        // must reproduce that token list exactly (a doc whose text
+        // splits to an empty token must hash it here too, or the
+        // oracle diverges)
+        val toks = t.split(" ", -1)
+        val e = new Array[Long](dim)
+        var i = 0
+        while (i < toks.length) {
+          var j = 1
+          while (j <= dim) {
+            e(j - 1) += graft.functions.Hash60.hash(
+              UTF8String.fromString(toks(i) + ":" + j)) % 2001 - 1000
+            j += 1
+          }
+          i += 1
+        }
+        e
+      }
+  }
+
+  /** Session conf for the per-call batch row count (the GPU-batch
+    * dial); a real deployment sizes it to device memory. */
+  val batchSizeKey = "spark.graft.inference.batchSize"
+  val defaultBatchSize = 64
+
+  /** Run `model` over `df`'s `textCol`, emitting every other column
+    * unchanged plus `emb array<bigint>`. Schema contract: input order
+    * is preserved within a partition, output rows = input rows, and
+    * the model sees batches of exactly `batchSize` rows (last batch
+    * per partition may be short). */
+  def embed(df: DataFrame, textCol: String, model: TextEmbedder,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"inference batch size must be >= 1, got $batchSize")
+    val inSchema = df.schema
+    val textIdx = inSchema.fieldIndex(textCol)
+    val keep = inSchema.fields.indices.filterNot(_ == textIdx)
+    val outSchema = StructType(
+      keep.map(inSchema.fields) :+
+        StructField("emb", ArrayType(LongType, containsNull = false),
+          nullable = false))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val embs = model.embedBatch(
+          batch.iterator.map(_.getString(textIdx)).toArray)
+        require(embs.length == batch.length,
+          s"model returned ${embs.length} embeddings for ${batch.length} inputs")
+        batch.iterator.zip(embs.iterator).map { case (r, e) =>
+          Row.fromSeq(keep.map(r.get) :+ (e.toIndexedSeq: Seq[Long]))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

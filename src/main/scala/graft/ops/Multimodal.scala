@@ -273,4 +273,118 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(
       _.grouped(batchSize).flatMap(b => stubResize(b.toSeq, maxBytes)))
   }
+
+  /** Resized image output: true output dims + the raw RGB tensor's
+    * metadata and an order-pinned integer checksum over its bytes —
+    * what q133 verifies against a closed-form oracle. */
+  final case class ResizedImage(media_id: Long, width: Long, height: Long,
+      n_bytes: Long, checksum: Long)
+
+  /** Deterministic synthetic image for media_id: dims (8 + id mod 13)
+    * × (8 + id mod 7), pixel (x, y) =
+    *   r = (id·31 + x·7 + y·3) mod 256
+    *   g = (x·5 + y·11 + 1)    mod 256
+    *   b = (id + x + y·13)     mod 256
+    * encoded as a REAL PNG via ImageIO — the payload a pipeline would
+    * carry — so the downstream decode is a genuine codec pass, while
+    * the pixel function stays closed-form for the oracle. */
+  def syntheticPng(mediaId: Long): Array[Byte] = {
+    val w = (8 + mediaId % 13).toInt
+    val h = (8 + mediaId % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((mediaId * 31 + x * 7 + y * 3) % 256).toInt
+        val g = ((x * 5 + y * 11 + 1) % 256).toInt
+        val b = ((mediaId + x + y * 13) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL per-pixel image resize: ImageIO-decode the payload, then
+    * nearest-neighbor downscale to fit within `maxDim` (aspect kept,
+    * src coordinate = x·W div w′ — exact integer math, deliberately NOT
+    * a Java2D Graphics2D rescale whose interpolation is
+    * implementation-defined; an arithmetic oracle needs bit-pinned
+    * pixels). Output is the raw RGB tensor (w′·h′·3 bytes, row-major,
+    * channel-minor) — the form a training pipeline ships to a model —
+    * plus recomputed metadata. None when the payload isn't a decodable
+    * image. */
+  def resizeImagePixels(content: Array[Byte],
+      maxDim: Int): Option[(Array[Byte], Int, Int)] = {
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))).map { img =>
+        val (ws, hs) = (img.getWidth, img.getHeight)
+        val m = math.max(ws, hs)
+        val (w, h) =
+          if (m <= maxDim) (ws, hs)
+          else (math.max(1, ws * maxDim / m), math.max(1, hs * maxDim / m))
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val sy = y * hs / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x * ws / w, sy)
+            val o = (y * w + x) * 3
+            out(o) = ((rgb >> 16) & 0xff).toByte
+            out(o + 1) = ((rgb >> 8) & 0xff).toByte
+            out(o + 2) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (out, w, h)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Position-weighted checksum over a payload: Σ byte(p)·(p mod 97 + 1)
+    * — order-sensitive (a pixel swap changes it) and closed-form
+    * replayable. */
+  def byteChecksum(bytes: Array[Byte]): Long = {
+    var cs = 0L
+    var p = 0
+    while (p < bytes.length) {
+      cs += (bytes(p) & 0xff).toLong * (p % 97 + 1)
+      p += 1
+    }
+    cs
+  }
+
+  /** The real-resize pipeline stage: same typed batched mapPartitions
+    * contract as [[decodeFeatures]] — decode, per-pixel resize,
+    * tensorize, checksum, one batch at a time. Payloads that fail the
+    * image decode are dropped (a production stage routes them to a
+    * quarantine sink). */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      maxDim: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.grouped(batchSize).flatMap(b =>
+      b.flatMap(m => resizeImagePixels(m.content, maxDim).map {
+        case (bytes, w, h) => ResizedImage(m.media_id, w, h,
+          bytes.length.toLong, byteChecksum(bytes))
+      })))
+  }
+
+  /** Synthetic-PNG media corpus keyed by doc_id (the multimodal
+    * stand-in when the documents table is the only corpus): real PNG
+    * payloads with closed-form pixels, built in the same batched
+    * partition contract a media ingest uses. */
+  def syntheticImageMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map(id =>
+      MediaRow(id, "image", syntheticPng(id),
+        -1L))).map(m => m.copy(n_bytes = m.content.length.toLong)).toDF()
+  }
 }

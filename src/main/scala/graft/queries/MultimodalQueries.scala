@@ -25,29 +25,48 @@ object MultimodalQueries {
         |FROM (SELECT *, regexp_split_to_array(text, '\s+') AS toks
         |      FROM documents)""".stripMargin))
 
-  /** q133 — the RESIZE stage as a verifiable query: payloads ride the
-    * typed batched-mapPartitions contract through a byte-budget resize
-    * (stub: stride sampling — a real codec swaps the batch body, see
-    * [[graft.ops.Multimodal.stubResize]]). The stub's OUTPUT SIZE is a
-    * pure function of the input size (ceil(len/stride), stride =
-    * len div budget), so the oracle verifies the size bookkeeping of
-    * the whole typed stage arithmetically — proving metadata stays
-    * consistent with the payload through a mutating media stage. */
+  /** q133 — the RESIZE stage as a verifiable query, now REAL per-pixel
+    * work end to end: each doc_id keys a genuine PNG payload
+    * (closed-form pixels, [[graft.ops.Multimodal.syntheticPng]]), the
+    * stage ImageIO-decodes it, nearest-neighbor-resamples to fit an
+    * 8-px budget with exact integer coordinate math, emits the raw RGB
+    * tensor's true dims + an order-pinned byte checksum — and the
+    * oracle REPLAYS the entire decode→resample→tensorize arithmetic
+    * from the closed-form pixel function (per-pixel unnest, summed
+    * position-weighted contributions). A checksum match proves every
+    * byte of every resized tensor, not just size bookkeeping; the
+    * byte-budget stride stage ([[graft.ops.Multimodal.stubResize]])
+    * remains for non-image payload budgeting and its own spec.
+    *
+    * Scale shape: build + decode + resize are all scan-local batched
+    * mapPartitions (zero shuffles before the output) — the per-pixel
+    * loop is the real cost a 100 TB media pipeline pays, riding the
+    * partition-bounded batch contract. */
   val q133 = Q("q133_multimodal_resize",
-    (s, d) => {
-      import org.apache.spark.sql.functions.col
-      Multimodal.resize(s,
-          Multimodal.mediaFromDocuments(Catalog.documents(s, d)), 256)
-        .toDF().select(col("media_id"), col("kind"), col("n_bytes"))
-    },
+    (s, d) => Multimodal.resizeImages(s,
+      Multimodal.syntheticImageMedia(s, Catalog.documents(s, d)), 8).toDF(),
     Some(
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(CASE WHEN len <= 256 THEN len
-        |            ELSE (len - 1) // (len // 256) + 1 END AS BIGINT)
-        |    AS n_bytes
-        |FROM (SELECT doc_id, strlen(text) AS len FROM documents)""".stripMargin))
+      """WITH d3 AS (
+        |  SELECT doc_id AS id, sw, sh,
+        |    CASE WHEN greatest(sw, sh) <= 8 THEN sw
+        |         ELSE greatest(1, sw * 8 // greatest(sw, sh)) END AS w,
+        |    CASE WHEN greatest(sw, sh) <= 8 THEN sh
+        |         ELSE greatest(1, sh * 8 // greatest(sw, sh)) END AS h
+        |  FROM (SELECT doc_id, 8 + doc_id % 13 AS sw, 8 + doc_id % 7 AS sh
+        |        FROM documents)),
+        |px AS (
+        |  SELECT id, w, h,
+        |    x * sw // w AS sx, y * sh // h AS sy, (y * w + x) * 3 AS o
+        |  FROM d3,
+        |    LATERAL unnest(generate_series(0, h - 1)) AS ty(y),
+        |    LATERAL unnest(generate_series(0, w - 1)) AS tx(x))
+        |SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(w * h * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(((id * 31 + sx * 7 + sy * 3) % 256) * (o % 97 + 1)
+        |    + ((sx * 5 + sy * 11 + 1) % 256) * ((o + 1) % 97 + 1)
+        |    + ((id + sx + sy * 13) % 256) * ((o + 2) % 97 + 1))
+        |    AS BIGINT) AS checksum
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin))
 
   val all: Seq[Q] = Seq(q25, q133)
 }

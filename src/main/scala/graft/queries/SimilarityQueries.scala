@@ -2144,18 +2144,28 @@ object SimilarityQueries {
 
   /** q186 — RAG INDEXING PIPELINE end-to-end: the retrieval analog of
     * q157's training composite. One dataflow chunks every document
-    * (16-token windows, array-local), embeds each chunk with a
-    * deterministic hashed bag-of-tokens projection (dim j = Σ_tok
-    * (hash60(tok:j) mod 2001 − 1000) — integer-exact, so the whole
-    * pipeline replays bit-for-bit in the oracle; a real deployment
-    * swaps in a model via mapInPandas at exactly this seam), buckets
-    * chunks by 4-bit embedding sign (the LSH cell), and serves a query
-    * chunk from its bucket with an exact integer-cosine rerank.
+    * (16-token windows, array-local), embeds each chunk through the
+    * BATCHED MODEL-INFERENCE STAGE ([[graft.ops.ModelInference]]) —
+    * the physical shape of a production embed step: chunk texts are
+    * assembled scan-side, gathered into fixed-size batches inside the
+    * partition, and the embedder is invoked once per batch (the
+    * GPU-shaped entry point; `spark.graft.inference.batchSize` is the
+    * device-memory dial). The shipped embedder is the deterministic
+    * hashed bag-of-tokens projection (dim j = Σ_tok (hash60(tok:j)
+    * mod 2001 − 1000) — integer-exact, so the whole pipeline replays
+    * bit-for-bit in the oracle; ModelInferenceSpec pins batch shape +
+    * value parity with the declarative SQL-sums formulation); a real
+    * deployment swaps the `embedBatch` body and nothing else. The
+    * index then buckets chunks by 4-bit embedding sign (the LSH cell)
+    * and serves a query chunk from its bucket with an exact
+    * integer-cosine rerank.
     *
-    * Scale shape: chunking + embedding are scan-local (one corpus pass,
-    * map-side 16-way hash sums with partial agg); the index relation is
-    * chunks-sized, keyed by bucket; the query probes ONE bucket (~1/16
-    * of chunks) and reranks only that — never corpus². */
+    * Scale shape: chunking + embedding are scan-local (one corpus
+    * pass, ZERO shuffles before the index — the inference stage is a
+    * per-partition batch loop, cheaper than the former explode +
+    * 16-way groupBy); the index relation is chunks-sized, keyed by
+    * bucket; the query probes ONE bucket (~1/16 of chunks) and reranks
+    * only that — never corpus². */
   val q186 = {
     val chunkTok = 16L
     val dims = 16
@@ -2163,25 +2173,26 @@ object SimilarityQueries {
     val ragK = 5
     Q("q186_rag_pipeline",
       (s, d) => {
-        import graft.ops.TextAnalysis
+        import graft.ops.{ModelInference, TextAnalysis}
         import org.apache.spark.sql.expressions.Window
-        val toks = Catalog.documents(s, d)
+        val chunks = Catalog.documents(s, d)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
           .select(col("doc_id"), col("t"),
             explode(sequence(lit(0L),
               expr(s"(size(t) - 1) div $chunkTok"))).as("ci"))
+          // chunk text re-assembled for the model boundary: tokens are
+          // \s+-split (never contain a space), so the " "-join
+          // round-trips the token list exactly, empties included
           .select(col("doc_id"), col("ci"),
-            explode(slice(col("t"), (col("ci") * chunkTok + 1).cast("int"),
-              lit(chunkTok.toInt))).as("tok"))
-        val sums = (1 to dims).map(j =>
-          sum(TextAnalysis.hash60(concat(col("tok"), lit(s":$j")))
-            % 2001 - 1000).as(s"e$j"))
-        val emb = toks.groupBy(col("doc_id"), col("ci"))
-          .agg(sums.head, sums.tail: _*)
-          .select(col("doc_id"), col("ci"),
-            array((1 to dims).map(j => col(s"e$j")): _*).as("iv"),
+            array_join(slice(col("t"), (col("ci") * chunkTok + 1).cast("int"),
+              lit(chunkTok.toInt)), " ").as("chunk_text"))
+        val batch = s.conf.get(ModelInference.batchSizeKey,
+          ModelInference.defaultBatchSize.toString).toInt
+        val emb = ModelInference.embed(chunks, "chunk_text",
+            new ModelInference.HashedBowEmbedder(dims), batch)
+          .select(col("doc_id"), col("ci"), col("emb").as("iv"),
             (1 to signBits).map(j =>
-              when(col(s"e$j") > 0, 1L << (j - 1)).otherwise(0L))
+              when(col("emb")(j - 1) > 0, 1L << (j - 1)).otherwise(0L))
               .reduce(_ + _).as("bucket"))
           .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
           // the built index: chunks-sized, read twice (query row lookup

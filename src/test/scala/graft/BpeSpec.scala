@@ -240,7 +240,10 @@ class BpeSpec extends SparkSuite {
     // ADVICE r8 on KnnGraphSpec's hard-coded /tmp stamp)
     val dsName = "bpestore_spec"
     val ds = s"/tmp/graft_spec/$dsName"
-    val storeDir = s"/tmp/graft_fixtures/spark_dt_$dsName"
+    // the store dir is keyed by a hash of the ABSOLUTE dataset path
+    // (ops/Fixtures.pathKey) — same-basename datasets can't collide
+    val storeDir =
+      s"/tmp/graft_fixtures/spark_dt_${graft.ops.Fixtures.pathKey(ds)}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ds))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
     Files.createDirectories(Paths.get(ds))

@@ -341,4 +341,51 @@ class MultimodalSpec extends SparkSuite {
       targetBytes = 128L << 20)
     assert(re.rdd.getNumPartitions == 8)
   }
+
+  test("real pixel resize: true dims, closed-form pixels survive the trip") {
+    // decode → nearest-neighbor resample → RGB tensor must reproduce
+    // the synthetic pixel function at mapped coordinates exactly
+    val id = 5L
+    val png = Multimodal.syntheticPng(id)
+    val Some((bytes, w, h)) = Multimodal.resizeImagePixels(png, 8)
+    val (sw, sh) = ((8 + id % 13).toInt, (8 + id % 7).toInt)
+    val m = math.max(sw, sh)
+    val (ew, eh) =
+      if (m <= 8) (sw, sh)
+      else (math.max(1, sw * 8 / m), math.max(1, sh * 8 / m))
+    assert((w, h) == (ew, eh))
+    assert(bytes.length == w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (sx, sy) = (x * sw / w, y * sh / h)
+      val o = (y * w + x) * 3
+      assert((bytes(o) & 0xff) == ((id * 31 + sx * 7 + sy * 3) % 256).toInt)
+      assert((bytes(o + 1) & 0xff) == ((sx * 5 + sy * 11 + 1) % 256).toInt)
+      assert((bytes(o + 2) & 0xff) == ((id + sx + sy * 13) % 256).toInt)
+    }
+    // an image already inside the budget passes through at native dims
+    val tiny = {
+      val bi = new java.awt.image.BufferedImage(
+        4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.resizeImagePixels(tiny, 8).map(r => (r._2, r._3))
+      .contains((4, 3)))
+    // non-image payloads are rejected, not mangled
+    assert(Multimodal.resizeImagePixels("not a png".getBytes, 8).isEmpty)
+  }
+
+  test("resizeImages stage: batched, row-per-decodable-image, checksum pinned") {
+    val media = Multimodal.syntheticImageMedia(
+      spark, Catalog.documents(spark, sf))
+    val out = Multimodal.resizeImages(spark, media, 8).collect()
+    assert(out.length == media.count())
+    // spot-check one row against the single-payload path
+    val r5 = out.find(_.media_id == 5L).get
+    val Some((bytes, w, h)) =
+      Multimodal.resizeImagePixels(Multimodal.syntheticPng(5L), 8)
+    assert(r5.width == w && r5.height == h && r5.n_bytes == bytes.length)
+    assert(r5.checksum == Multimodal.byteChecksum(bytes))
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ModelInference
+import graft.tables.Catalog
+
+/** The batched model-inference stage ([[graft.ops.ModelInference]]):
+  * value parity with the declarative SQL-sums formulation, the batch
+  * shape contract (one model call per batchSize rows), the schema
+  * contract, and the plan seam q186 rides (inference exchange between
+  * two codegen'd spans).
+  */
+class ModelInferenceSpec extends SparkSuite {
+
+  private val dims = 16
+
+  private def chunks = {
+    import graft.ops.TextAnalysis
+    Catalog.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr("(size(t) - 1) div 16"))).as("ci"),
+        col("t"))
+      .select(col("doc_id"), col("ci"),
+        array_join(slice(col("t"), (col("ci") * 16 + 1).cast("int"),
+          lit(16)), " ").as("chunk_text"))
+  }
+
+  test("hashed-BoW embedder matches the declarative SQL-sums embedding") {
+    import graft.ops.TextAnalysis
+    val got = ModelInference.embed(chunks, "chunk_text",
+      new ModelInference.HashedBowEmbedder(dims), 64)
+      .select(col("doc_id"), col("ci"), col("emb"))
+    // the former q186 formulation: explode chunk tokens, 16 hashed sums
+    val toks = Catalog.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), expr("(size(t) - 1) div 16"))).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        explode(slice(col("t"), (col("ci") * 16 + 1).cast("int"),
+          lit(16))).as("tok"))
+    val sums = (1 to dims).map(j =>
+      sum(TextAnalysis.hash60(concat(col("tok"), lit(s":$j")))
+        % 2001 - 1000).as(s"e$j"))
+    val want = toks.groupBy(col("doc_id"), col("ci"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), col("ci"),
+        array((1 to dims).map(j => col(s"e$j")): _*).as("emb"))
+    assertSameRows(got, want)
+  }
+
+  test("model sees full batches: one call per batchSize rows, order kept") {
+    // an accumulator, not driver-side collection state: the embedder
+    // closure is serialized per task, so executor-side adds to a plain
+    // queue would land in a deserialized copy the driver never sees
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val probe = new ModelInference.TextEmbedder {
+      val dim = 2
+      def embedBatch(texts: Array[String]): Array[Array[Long]] = {
+        sizes.add(texts.length)
+        texts.map(t => Array(t.length.toLong, 1L))
+      }
+    }
+    val df = chunks.repartition(2)
+    val out = ModelInference.embed(df, "chunk_text", probe, 32)
+    val n = out.count()
+    assert(n == chunks.count(), "inference must be row-preserving")
+    import scala.jdk.CollectionConverters._
+    val observed = sizes.value.asScala.map(_.toInt).toSeq
+    assert(observed.sum == n)
+    assert(observed.forall(_ <= 32), s"batch over size: ${observed.toSeq}")
+    // at most one short batch per partition — batches are FULL except
+    // each partition's tail (the GPU-utilization property)
+    assert(observed.count(_ < 32) <= 2,
+      s"more short batches than partitions: ${observed.toSeq}")
+  }
+
+  test("schema contract: non-text columns ride through, emb appended") {
+    val out = ModelInference.embed(chunks, "chunk_text",
+      new ModelInference.HashedBowEmbedder(4), 16)
+    assert(out.columns.toSeq == Seq("doc_id", "ci", "emb"))
+    assert(out.schema("emb").dataType.simpleString == "array<bigint>")
+  }
+
+  test("q186 plans the inference exchange between declarative spans") {
+    val plan = graft.queries.SimilarityQueries.q186.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"q186 must carry the batched inference stage:\n${plan.take(2000)}")
+    // codegen spans render as "*(n)" prefixes in executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+      s"the spans around the seam must stay codegen'd:\n${plan.take(2000)}")
+  }
+}
