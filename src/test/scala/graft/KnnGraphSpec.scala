@@ -282,4 +282,33 @@ class KnnGraphSpec extends SparkSuite {
     val cosines = out.map(_.getDouble(1)).toSeq
     assert(cosines == cosines.sorted.reverse, "descending by cosine")
   }
+
+  test("q165/q166 read the stored graph: built once, stamped reuse") {
+    def stores(): Map[String, Set[String]] =
+      Option(new java.io.File("/tmp/graft_fixtures").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("knn_graph_")).map(f =>
+          f.getName -> f.listFiles().map(_.getName).toSet).toMap
+    // wipe the stores: the first run must CREATE them (proving the
+    // queries route their graph through storedBuiltGraph, not an
+    // in-plan build — q165's search truncates its tiny result eagerly,
+    // so the store scan is invisible in its final executedPlan)
+    stores().keys.foreach(n => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(s"/tmp/graft_fixtures/$n")))
+    for (q <- Seq(SimilarityQueries.q165, SimilarityQueries.q166))
+      q.run(spark, sf).count()
+    val built = stores()
+    assert(built.keys.exists(_.startsWith("knn_graph_full_")) &&
+      built.keys.exists(_.startsWith("knn_graph_base_")),
+      s"both graph stores must exist after one run: ${built.keys}")
+    // second run: stamp unchanged -> same files on disk, zero rebuild
+    for (q <- Seq(SimilarityQueries.q165, SimilarityQueries.q166))
+      q.run(spark, sf).count()
+    assert(stores() == built,
+      "stamped graph stores must be reused, not rewritten")
+    // (no plan-string assertion: both search and maintain truncate
+    // lineage via Checkpoints, so the store's parquet scan runs in the
+    // upstream jobs and never appears in the final executedPlan — the
+    // wipe→build→reuse cycle above is the store-consumption proof)
+  }
 }
