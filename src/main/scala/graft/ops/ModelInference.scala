@@ -74,6 +74,59 @@ object ModelInference {
   val batchSizeKey = "spark.graft.inference.batchSize"
   val defaultBatchSize = 64
 
+  /** The SCORING face of the seam: one batch of feature vectors in,
+    * one micro-scaled score per row out — batched classifier /
+    * reward-model inference (the "score" member of the
+    * embed/score/generate triple; same purity/determinism contract as
+    * [[TextEmbedder]]). */
+  trait VectorScorer extends Serializable {
+    def scoreBatch(feats: Array[Array[Long]]): Array[Long]
+  }
+
+  /** Trained-weights scorer: micro-quantized linear model + the
+    * RATIONAL sigmoid p = 1/2 + z/(2(1+|z|)), z = ⟨f,w⟩/10¹² — the
+    * exact fixed-shape arithmetic the in-engine trainer (q191) and its
+    * DuckDB oracle share, evaluated in the JVM so batch scoring
+    * replays bit-for-bit. Output = round(p·10⁶) HALF_UP. */
+  final class RationalLogisticScorer(w: Array[Long]) extends VectorScorer {
+    def scoreBatch(feats: Array[Array[Long]]): Array[Long] =
+      feats.map { f =>
+        var dot = 0L
+        var j = 0
+        while (j < w.length) { dot += f(j) * w(j); j += 1 }
+        val z = dot.toDouble / 1e12
+        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        new java.math.BigDecimal(p * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      }
+  }
+
+  /** Run `model` over `df`'s `featsCol` (array<bigint>), emitting every
+    * other column unchanged plus `score_micro bigint`. Same batch-shape
+    * contract as [[embed]]: order preserved, rows preserved, one model
+    * call per `batchSize` rows. */
+  def score(df: DataFrame, featsCol: String, model: VectorScorer,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"inference batch size must be >= 1, got $batchSize")
+    val inSchema = df.schema
+    val featsIdx = inSchema.fieldIndex(featsCol)
+    val keep = inSchema.fields.indices.filterNot(_ == featsIdx)
+    val outSchema = StructType(
+      keep.map(inSchema.fields) :+
+        StructField("score_micro", LongType, nullable = false))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val scores = model.scoreBatch(batch.iterator
+          .map(_.getSeq[Long](featsIdx).toArray).toArray)
+        require(scores.length == batch.length,
+          s"model returned ${scores.length} scores for ${batch.length} inputs")
+        batch.iterator.zip(scores.iterator).map { case (r, sc) =>
+          Row.fromSeq(keep.map(r.get) :+ sc)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Run `model` over `df`'s `textCol`, emitting every other column
     * unchanged plus `emb array<bigint>`. Schema contract: input order
     * is preserved within a partition, output rows = input rows, and

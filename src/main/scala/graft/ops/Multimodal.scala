@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caches — one temp-file
+  // create/write/delete per encode/decode, which turns a CPU-bound
+  // per-pixel stage into disk I/O. Payloads here are in-memory byte
+  // arrays; cache in memory. (Object init runs once per executor JVM.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Opaque payload + typed metadata (media_id, kind, content, n_bytes). */
   final case class MediaRow(media_id: Long, kind: String,
       content: Array[Byte], n_bytes: Long)

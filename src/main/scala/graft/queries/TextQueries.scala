@@ -957,13 +957,14 @@ object TextQueries {
        |  FROM p$steps)""".stripMargin
   }
 
-  private[queries] def classifierScores(
+  /** The classifier's micro-quantized feature relation (doc_id, y,
+    * f0..f3), persisted — read T+1 times by training and once by
+    * scoring. */
+  private[queries] def clfFeatures(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val steps = 3
-    val lr = 4.0
     val y = when(col("lang") === "en", 1.0).otherwise(0.0)
-    val feats = Catalog.documents(s, d).select(
+    Catalog.documents(s, d).select(
       col("doc_id"), y.as("y"),
       lit(1000000L).as("f0"),
       round(least(tokenCount(col("text")).cast("double") / 100.0,
@@ -973,16 +974,30 @@ object TextQueries {
       round(least(coalesce(stopwordRatio(col("text")), lit(0.0)) * 5.0,
         lit(1.0)) * 1e6).cast("bigint").as("f3"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def zCol(w: Array[Long]) =
+    (col("f0") * w(0) + col("f1") * w(1) + col("f2") * w(2)
+      + col("f3") * w(3)).cast("double") / lit(1e12)
+  private def pCol(w: Array[Long]) = {
+    val zc = zCol(w)
+    lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
+  }
+
+  /** Full-batch GD over the persisted feature relation: T map-side
+    * aggregate passes, driver state = the 4 micro-quantized weights. */
+  private[queries] def clfTrain(
+      feats: org.apache.spark.sql.DataFrame): Array[Long] = {
+    val steps = 3
+    val lr = 4.0
     val nDocs = feats.count()
     // HALF_UP away from zero — the rounding DuckDB's round() and
     // Spark SQL's round() share (Scala math.round differs at -x.5).
     def halfUp(x: Double): Long = new java.math.BigDecimal(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue
     var w = Array(0L, 0L, 0L, 0L)
-    def zc = (col("f0") * w(0) + col("f1") * w(1) + col("f2") * w(2)
-      + col("f3") * w(3)).cast("double") / lit(1e12)
-    def pc = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
     for (_ <- 1 to steps) {
+      val pc = pCol(w)
       val g = feats.agg(
         sum(round((pc - col("y")) * col("f0")).cast("bigint")),
         sum(round((pc - col("y")) * col("f1")).cast("bigint")),
@@ -991,9 +1006,17 @@ object TextQueries {
       w = Array.tabulate(4)(j =>
         w(j) - halfUp(lr * g.getLong(j) / nDocs))
     }
+    w
+  }
+
+  private[queries] def classifierScores(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val feats = clfFeatures(s, d)
+    val w = clfTrain(feats)
     feats.select(col("doc_id"), col("y").cast("bigint").as("y"),
-      round(pc * 1e6).cast("bigint").as("p_micro"),
-      when(zc > 0, 1L).otherwise(0L).cast("bigint").as("pred"))
+      round(pCol(w) * 1e6).cast("bigint").as("p_micro"),
+      when(zCol(w) > 0, 1L).otherwise(0L).cast("bigint").as("pred"))
   }
 
   val q191 = Q("q191_quality_classifier",
@@ -1247,7 +1270,50 @@ object TextQueries {
         |     JOIN n1p USING (w2), nbt
         |GROUP BY doc_id""".stripMargin))
 
+  /** q208 — BATCHED CLASSIFIER INFERENCE (the "score" member of the
+    * embed/score/generate triple, through the same physical seam as
+    * q186's embed): train the quality model in-engine (q191's 3
+    * full-batch GD passes, driver state = 4 micro-quantized weights),
+    * then serve per-document scores through
+    * [[graft.ops.ModelInference.score]] — feature extraction stays
+    * declarative scan-side, feature vectors are gathered into
+    * fixed-size in-partition batches, and the trained model is invoked
+    * once per batch (a production reward model / quality classifier
+    * swaps the scoreBatch body; weights ride the closure exactly as
+    * checkpointed weights ride a GPU worker). The shipped scorer
+    * replays the trainer's rational-sigmoid fixed-shape arithmetic in
+    * the JVM, so output is BIT-IDENTICAL to q191's declarative scoring
+    * — the q12↔q172 "same values, different physical front door"
+    * precedent, with the oracle shared verbatim.
+    *
+    * Scale shape: T+1 bounded aggregate passes for training, then ONE
+    * scan through the batch-inference stage — zero shuffles after the
+    * feature projection; `pred` derives declaratively from the score
+    * (p > ½ ⟺ z > 0 under the strictly monotone rational sigmoid). */
+  val q208 = Q("q208_classifier_inference",
+    (s, d) => {
+      import graft.ops.ModelInference
+      val feats = clfFeatures(s, d)
+      val w = clfTrain(feats)
+      val batch = s.conf.get(ModelInference.batchSizeKey,
+        ModelInference.defaultBatchSize.toString).toInt
+      // pred (the z > 0 decision) stays declarative and rides THROUGH
+      // the seam: deriving it from the rounded score would misclassify
+      // 0 < z < 1e-6 (p rounds down to exactly 500000)
+      ModelInference.score(
+          feats.select(col("doc_id"), col("y"),
+            when(zCol(w) > 0, 1L).otherwise(0L).cast("bigint").as("pred"),
+            array(col("f0"), col("f1"), col("f2"), col("f3")).as("f")),
+          "f", new ModelInference.RationalLogisticScorer(w), batch)
+        .select(col("doc_id"), col("y").cast("bigint").as("y"),
+          col("score_micro").as("p_micro"), col("pred"))
+    },
+    Some(
+      s"""WITH $clfCtes
+         |SELECT doc_id, y, p_micro, pred FROM scores""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137,
-      q155, q162, q178, q180, q188, q189, q190, q191, q197, q202, q205)
+      q155, q162, q178, q180, q188, q189, q190, q191, q197, q202, q205,
+      q208)
 }

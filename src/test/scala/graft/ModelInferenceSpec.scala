@@ -84,6 +84,33 @@ class ModelInferenceSpec extends SparkSuite {
     assert(out.schema("emb").dataType.simpleString == "array<bigint>")
   }
 
+  test("batch scorer replays the declarative scoring bit-for-bit (q208 ≡ q191)") {
+    val viaSeam = graft.queries.TextQueries.q208.run(spark, sf)
+    val declarative = graft.queries.TextQueries.q191.run(spark, sf)
+    assertSameRows(viaSeam, declarative)
+  }
+
+  test("score stage: one call per batchSize rows, rows preserved") {
+    val calls = spark.sparkContext.collectionAccumulator[Int]("scoreBatches")
+    val probe = new ModelInference.VectorScorer {
+      def scoreBatch(feats: Array[Array[Long]]): Array[Long] = {
+        calls.add(feats.length)
+        feats.map(_.sum)
+      }
+    }
+    val df = chunks.select(col("doc_id"), col("ci"),
+      array(length(col("chunk_text")).cast("bigint")).as("f"))
+      .repartition(2)
+    val out = ModelInference.score(df, "f", probe, 32)
+    assert(out.columns.toSeq == Seq("doc_id", "ci", "score_micro"))
+    val n = out.count()
+    assert(n == chunks.count())
+    import scala.jdk.CollectionConverters._
+    val observed = calls.value.asScala.map(_.toInt).toSeq
+    assert(observed.sum == n)
+    assert(observed.forall(_ <= 32) && observed.count(_ < 32) <= 2)
+  }
+
   test("q186 plans the inference exchange between declarative spans") {
     val plan = graft.queries.SimilarityQueries.q186.run(spark, sf)
       .queryExecution.executedPlan.toString
