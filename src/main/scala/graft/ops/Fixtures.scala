@@ -73,29 +73,57 @@ object Fixtures {
   /** Ensure the store at `storeDir` reflects `stamp`; if it already
     * does, NOTHING runs (the amortization that is the point). Otherwise
     * `build(stagingDir)` materializes the generation and the staged
-    * rename-aside publish swaps it in. Returns `storeDir`. */
+    * rename-aside publish swaps it in. Returns `storeDir`.
+    *
+    * Concurrent builders (two JVMs racing the same missing store —
+    * parallel bench sessions, a test suite beside a bench) are
+    * tolerated: the store is a pure function of (source generation,
+    * params), so whichever publish wins the rename is correct; a loser
+    * whose swap fails re-checks the live stamp and, finding the target
+    * generation already published, discards its own staging and
+    * returns instead of throwing. Only a swap failure WITHOUT a
+    * matching live stamp (a genuinely broken filesystem) still
+    * throws. */
   def ensure(s: SparkSession, storeDir: String, stamp: String)(
       build: String => Unit): String = {
     val store = new Path(storeDir)
     val fs = fsOf(s, store)
     recover(fs, storeDir)
     if (readStamp(fs, store) != stamp) {
-      val stg = new Path(storeDir + "__staging")
+      // staging is unique PER ATTEMPT: a shared staging path would let
+      // two concurrent builders interleave writes and publish a torn
+      // generation under a valid stamp. A crashed attempt's orphan
+      // staging dir is inert (never renamed in) and costs only scratch
+      // space.
+      val stg = new Path(storeDir + "__staging_" +
+        java.util.UUID.randomUUID().toString.take(8))
       fs.delete(stg, true)
       build(stg.toString)
       val out = fs.create(new Path(stg, "_stamp"), true)
       try out.write(stamp.getBytes("UTF-8")) finally out.close()
+      def lostToConcurrentWinner(): Boolean = {
+        recover(fs, storeDir)
+        readStamp(fs, store) == stamp && { fs.delete(stg, true); true }
+      }
+      // a concurrent winner may have published the target generation
+      // while this attempt was building — yield instead of replacing
+      // an identical live generation (stores are pure functions of the
+      // stamp, so the winner's bytes are equivalent)
+      if (lostToConcurrentWinner()) return storeDir
       val old = new Path(storeDir + "__old")
       fs.delete(old, true)
-      if (fs.exists(store) && !fs.rename(store, old))
-        throw new IllegalStateException(
-          s"fixture publish: cannot set aside $storeDir")
-      if (!fs.rename(stg, store)) {
+      if (fs.exists(store) && !fs.rename(store, old)) {
+        if (!lostToConcurrentWinner())
+          throw new IllegalStateException(
+            s"fixture publish: cannot set aside $storeDir")
+      } else if (!fs.rename(stg, store)) {
         if (fs.exists(old)) fs.rename(old, store) // roll back
-        throw new IllegalStateException(
-          s"fixture publish: swap failed for $storeDir")
+        if (!lostToConcurrentWinner())
+          throw new IllegalStateException(
+            s"fixture publish: swap failed for $storeDir")
+      } else {
+        fs.delete(old, true)
       }
-      fs.delete(old, true)
     }
     storeDir
   }

@@ -41,9 +41,40 @@ class FixturesSpec extends SparkSuite {
     Fixtures.ensure(spark, s"$dir/store", "v2")(build)
     assert(builds == 2, "a stamp change must rebuild")
     assert(Files.readString(Paths.get(s"$dir/store/data.txt")) == "gen2")
-    // no staging/aside leftovers after a clean publish
-    assert(!Files.exists(Paths.get(s"$dir/store__staging")))
-    assert(!Files.exists(Paths.get(s"$dir/store__old")))
+    // no staging/aside leftovers after a clean publish (staging dirs
+    // are per-attempt "store__staging_<uuid>")
+    val leftovers = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => n.contains("__staging") || n.contains("__old"))
+    assert(leftovers.isEmpty, s"leftovers: ${leftovers.toSeq}")
+  }
+
+  test("a concurrent winner's publish is tolerated, not an error") {
+    val dir = freshDir("race")
+    // builder A stages gen v1; before A's swap-in, builder B (the
+    // winner) publishes the SAME generation — simulated by publishing
+    // v1 from inside A's build callback, after A's staging is written
+    def publish(content: String): Unit =
+      Fixtures.ensure(spark, s"$dir/store", "v1") { stg =>
+        Files.createDirectories(Paths.get(stg))
+        Files.writeString(Paths.get(stg, "data.txt"), content)
+      }
+    var raced = false
+    Fixtures.ensure(spark, s"$dir/store", "v1") { stg =>
+      Files.createDirectories(Paths.get(stg))
+      Files.writeString(Paths.get(stg, "data.txt"), "from-A")
+      publish("from-B") // B wins while A is still staging
+      raced = true
+    }
+    assert(raced)
+    // A must detect B's identical published generation and yield —
+    // the store is intact, stamped, and has exactly one generation
+    assert(Files.readString(Paths.get(s"$dir/store/data.txt")) == "from-B")
+    assert(Files.readString(Paths.get(s"$dir/store/_stamp")) == "v1")
+    val leftovers = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => n.contains("__staging") || n.contains("__old"))
+    assert(leftovers.isEmpty, s"leftovers: ${leftovers.toSeq}")
   }
 
   test("datasetStamp covers every part file of a directory dataset") {
