@@ -266,8 +266,11 @@ object Bench {
     val stats = scala.collection.mutable.Map.empty[String, RunStats]
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
       if (i % 25 == 24) System.gc()
+      // pure queries report min-of-3 (the oracle yardstick is a
+      // per-query min over 5-8 DuckDB runs; min-of-2 left one noisy
+      // run able to double a sub-second query's recorded time)
       val runs = forcedRepeats.getOrElse(
-        if (queries.Q.sideEffecting(name)) 1 else 2)
+        if (queries.Q.sideEffecting(name)) 1 else 3)
       val gc0 = gcMsNow()
       val sh0 = shuffleNow()
       val t = (1 to runs).map { _ =>
