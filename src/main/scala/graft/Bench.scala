@@ -80,7 +80,10 @@ object Bench {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def cs(v: Double): String = math.round(v * 100).toString
-    val heavy = results.filter(_._2 >= 0.95).sortBy(-_._2).take(20)
+    // top-15 (was 20 through r9): at a 209-query registry the line
+    // must stay under the driver's ~2000-byte stdout tail; qcs keeps
+    // full per-query fidelity regardless
+    val heavy = results.filter(_._2 >= 0.95).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rq(v) }
       .mkString("{", ",", "}")
     val qcs = results.map { case (_, v) => cs(v) }.mkString(",")
@@ -129,7 +132,7 @@ object Bench {
     }
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
       s"""$oracleField"queries":$heavy,"qcs":"$qcs","top":$top,"env":$env,""" +
-      s""""note":"qcs=centisec/query name-sorted; queries=>=0.95s; top={cs,shuffleMB,gcMs}; env=x over trailing median (noise); oracle: ORACLE_BENCH.json","sf":"$sfShort"}"""
+      s""""note":"qcs=centisec/query name-sorted; queries>=0.95s; top={cs,shuffleMB,gcMs}; env=x/median noise; oracle=ORACLE_BENCH.json","sf":"$sfShort"}"""
   }
 
   /** Trailing per-query time medians from prior rounds' driver

@@ -127,6 +127,66 @@ object ModelInference {
     }(Encoders.row(outSchema))
   }
 
+  /** The GENERATION face of the seam: one batch of seed/prompt strings
+    * in, one generated token sequence per row out — batched
+    * autoregressive generation (the "generate" member of the
+    * embed/score/generate triple; same purity/determinism contract as
+    * [[TextEmbedder]], so a verifying oracle can replay it). */
+  trait TextGenerator extends Serializable {
+    def generateBatch(seeds: Array[String]): Array[Array[String]]
+  }
+
+  /** Greedy bigram-LM decoder: from each seed token, repeatedly emit
+    * the stored LM's most-likely successor (argmax count, ties to the
+    * lexicographically smallest token) until `maxTokens` or a dead end
+    * — the deterministic, oracle-replayable stand-in for sampled LLM
+    * decoding. The successor table ships to executors ONCE as a Spark
+    * broadcast, exactly as model weights ship to a GPU worker. */
+  final class GreedyBigramGenerator(
+      succ: org.apache.spark.broadcast.Broadcast[Map[String, String]],
+      maxTokens: Int) extends TextGenerator {
+    def generateBatch(seeds: Array[String]): Array[Array[String]] =
+      seeds.map { s0 =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cur = s0
+        var more = true
+        while (out.length < maxTokens && more) {
+          succ.value.get(cur) match {
+            case Some(n) => out += n; cur = n
+            case None => more = false
+          }
+        }
+        out.toArray
+      }
+  }
+
+  /** Run `model` over `df`'s `seedCol`, emitting every other column
+    * unchanged plus `gen array<string>`. Same batch-shape contract as
+    * [[embed]]. */
+  def generate(df: DataFrame, seedCol: String, model: TextGenerator,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"inference batch size must be >= 1, got $batchSize")
+    val inSchema = df.schema
+    val seedIdx = inSchema.fieldIndex(seedCol)
+    val keep = inSchema.fields.indices.filterNot(_ == seedIdx)
+    val outSchema = StructType(
+      keep.map(inSchema.fields) :+
+        StructField("gen",
+          ArrayType(org.apache.spark.sql.types.StringType,
+            containsNull = false), nullable = false))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val gens = model.generateBatch(
+          batch.iterator.map(_.getString(seedIdx)).toArray)
+        require(gens.length == batch.length,
+          s"model returned ${gens.length} generations for ${batch.length} inputs")
+        batch.iterator.zip(gens.iterator).map { case (r, g) =>
+          Row.fromSeq(keep.map(r.get) :+ (g.toIndexedSeq: Seq[String]))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Run `model` over `df`'s `textCol`, emitting every other column
     * unchanged plus `emb array<bigint>`. Schema contract: input order
     * is preserved within a partition, output rows = input rows, and

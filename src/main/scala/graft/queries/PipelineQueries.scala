@@ -518,6 +518,85 @@ object PipelineQueries {
          |    ORDER BY h, doc_id) AS BIGINT) AS pos
          |FROM phased""".stripMargin))
 
+  /** q209 — BATCHED SYNTHETIC-DATA GENERATION (the "generate" member
+    * of the embed/score/generate triple, completing the model seam):
+    * each document seeds a greedy autoregressive continuation from the
+    * STORED corpus bigram LM ([[graft.ops.LmCounts]] — trained once
+    * per generation, the same store q178/q202 score with): token t+1 =
+    * argmax-count successor of token t (ties to the lexicographically
+    * smallest successor), up to 8 tokens or a dead end. Decoding runs
+    * through [[graft.ops.ModelInference.generate]] — seeds batch
+    * inside each partition, the decoder is invoked once per batch, and
+    * the vocabulary-sized successor table ships to executors ONCE as a
+    * Spark broadcast, exactly as model weights ship to a GPU worker.
+    * The oracle replays the whole chain declaratively: successor table
+    * by window rank over the recomputed bigram counts, then 8 unrolled
+    * LEFT-JOIN steps (a dead end propagates NULLs; concat_ws skips
+    * them in both engines).
+    *
+    * Scale shape: the successor table is vocabulary-sized (the BPE
+    * merge-table / k-means codebook precedent for bounded driver
+    * state); generation itself is ONE corpus scan with zero shuffles —
+    * per-row work is O(maxTokens) map lookups. A trillion-row corpus
+    * generates in a single embarrassingly parallel pass. */
+  val q209 = {
+    val maxTok = 8
+    Q("q209_synthetic_generation",
+      (s, d) => {
+        import graft.ops.ModelInference
+        import org.apache.spark.sql.expressions.Window
+        val (bc, _) = graft.ops.LmCounts.stored(s, d)
+        val succ = bc.withColumn("rn", row_number().over(
+            Window.partitionBy(col("w1"))
+              .orderBy(col("cb").desc, col("w2"))))
+          .filter(col("rn") === 1)
+          .select(col("w1"), col("w2"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val bcSucc = s.sparkContext.broadcast(succ)
+        val seeds = Catalog.documents(s, d)
+          .select(col("doc_id"),
+            element_at(TextAnalysis.tokens(col("text")), -1).as("seed"))
+        val batch = s.conf.get(ModelInference.batchSizeKey,
+          ModelInference.defaultBatchSize.toString).toInt
+        ModelInference.generate(seeds, "seed",
+            new ModelInference.GreedyBigramGenerator(bcSucc, maxTok), batch)
+          .select(col("doc_id"),
+            array_join(col("gen"), " ").as("gen_text"),
+            size(col("gen")).cast("bigint").as("n_gen"))
+      },
+      Some {
+        val steps = (1 to maxTok).map { k =>
+          val prev = if (k == 1) "g0.seed" else s"g${k - 1}.t${k - 1}"
+          s"g$k AS (SELECT g${k - 1}.*, s$k.w2 AS t$k\n" +
+            s"  FROM g${k - 1} LEFT JOIN succ s$k ON $prev = s$k.w1)"
+        }
+        val nGen = (1 to maxTok)
+          .map(k => s"(CASE WHEN t$k IS NULL THEN 0 ELSE 1 END)")
+          .mkString(" + ")
+        val ts = (1 to maxTok).map(k => s"t$k").mkString(", ")
+        s"""WITH docs AS (
+           |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+           |  FROM documents),
+           |bi AS (
+           |  SELECT t[i] AS w1, t[i + 1] AS w2
+           |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+           |        FROM docs WHERE len(t) >= 2)),
+           |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+           |succ AS (
+           |  SELECT w1, w2 FROM (
+           |    SELECT w1, w2, row_number() OVER (
+           |      PARTITION BY w1 ORDER BY cb DESC, w2) AS rn
+           |    FROM bc) WHERE rn = 1),
+           |seeds AS (SELECT doc_id, t[len(t)] AS seed FROM docs),
+           |g0 AS (SELECT doc_id, seed FROM seeds),
+           |${steps.mkString(",\n")}
+           |SELECT doc_id,
+           |  concat_ws(' ', $ts) AS gen_text,
+           |  CAST($nGen AS BIGINT) AS n_gen
+           |FROM g$maxTok""".stripMargin
+      })
+  }
+
   val all: Seq[Q] = Seq(q41, q42, q46, q47, q77, q123, q141, q154, q183,
-    q184, q193)
+    q184, q193, q209)
 }

@@ -111,6 +111,32 @@ class ModelInferenceSpec extends SparkSuite {
     assert(observed.forall(_ <= 32) && observed.count(_ < 32) <= 2)
   }
 
+  test("generate stage: greedy decode is deterministic, dead ends stop, batches shaped") {
+    val succ = spark.sparkContext.broadcast(
+      Map("a" -> "b", "b" -> "c", "c" -> "a", "x" -> "y"))
+    val gen = new ModelInference.GreedyBigramGenerator(succ, 5)
+    // cycle: follows argmax successors for exactly maxTokens
+    assert(gen.generateBatch(Array("a")).head.toSeq ==
+      Seq("b", "c", "a", "b", "c"))
+    // dead end: y has no successor -> stops after one token
+    assert(gen.generateBatch(Array("x")).head.toSeq == Seq("y"))
+    // unknown seed: generates nothing
+    assert(gen.generateBatch(Array("zzz")).head.isEmpty)
+    // determinism across calls
+    assert(gen.generateBatch(Array("a", "x")).map(_.toSeq).toSeq ==
+      gen.generateBatch(Array("a", "x")).map(_.toSeq).toSeq)
+    // stage contract: rows preserved, gen column appended
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "x"), (3L, "zzz")).toDF("id", "seed")
+    val out = ModelInference.generate(df, "seed", gen, 2)
+    assert(out.columns.toSeq == Seq("id", "gen"))
+    val got = out.collect().map(r =>
+      r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got == Map(1L -> Seq("b", "c", "a", "b", "c"),
+      2L -> Seq("y"), 3L -> Seq.empty))
+  }
+
   test("q186 plans the inference exchange between declarative spans") {
     val plan = graft.queries.SimilarityQueries.q186.run(spark, sf)
       .queryExecution.executedPlan.toString
