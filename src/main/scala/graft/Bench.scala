@@ -4,6 +4,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // RAM scratch is never reaped by the OS between runs: stream
+    // queries delete only their own (query, sf) base on their NEXT
+    // run, so staging from crashed or differently-parameterized
+    // sessions would otherwise accumulate in tmpfs across bench runs.
+    // One recursive delete of the root at startup bounds it to a
+    // single session's footprint.
+    val scratch = graft.ops.Scratch.fastScratch()
+    if (scratch != "/tmp")
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(scratch))
+      catch { case _: Throwable => () }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,6 +23,7 @@ object Bench {
       // on RAM when the box has it: a local-mode bench's checkpoint
       // fsyncs measure the disk, not the operator — see ops/Scratch
       .config(graft.ops.Scratch.confKey, graft.ops.Scratch.fastScratch())
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

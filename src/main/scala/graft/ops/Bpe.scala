@@ -398,10 +398,16 @@ object Bpe {
     Fixtures.contentHash(merges.map(m => m._1 + "\u0001" + m._2)
       .mkString("\n"))
 
+  /** Encoder algorithm version for the stored-token fixture stamp:
+    * the merge TABLE is content-hashed into the stamp, but the encoder
+    * LOGIC (sentinel wrapping, merge application order) is not — bump
+    * this when it changes. */
+  val encoderAlgoVersion = 1
+
   def storedTokens(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_fixtures/spark_dt_${Fixtures.pathKey(d)}"
+    val dir = s"${Fixtures.root(s)}/spark_dt_${Fixtures.pathKey(d)}"
     val stamp = Fixtures.datasetStamp(s, s"$d/documents.parquet") +
-      s"|merges=$mergesHash|fmt=2"
+      s"|merges=$mergesHash|algo=$encoderAlgoVersion|fmt=2"
     Fixtures.ensure(s, dir, stamp) { stg =>
       docTokensDf(graft.tables.Catalog.documents(s, d))
         .write.mode("overwrite").parquet(stg)

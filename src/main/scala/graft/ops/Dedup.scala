@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Version of the shingle/minhash/band ALGORITHM, for inclusion in
+    * fixture stamps ([[Fixtures.ensure]]): a stamp covers source data
+    * and declared params, but not the builder's logic — bump this
+    * whenever [[hashedShingles]]/[[minhashSignature]]/[[lshBands]]
+    * change, or stale stores would silently replay the old algorithm. */
+  val algoVersion = 1
+
   /** 31-bit Mersenne prime for signature arithmetic: products
     * a·h stay < 2^38, far from 64-bit overflow in either engine. */
   val P: Long = 2147483647L

@@ -32,6 +32,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Fixtures {
 
+  /** Root directory for every fixture store, session-configurable so a
+    * cluster deployment points it at durable shared FS (the Fixtures
+    * production story); the local default matches the bench scope. The
+    * ORACLE-side fixture ([[Bpe.dtFixturePath]]) stays at its fixed
+    * path — oracle SQL is static text and must not depend on session
+    * conf. */
+  val rootKey = "spark.graft.fixturesDir"
+
+  def root(s: SparkSession): String = s.conf.get(rootKey, "/tmp/graft_fixtures")
+
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -85,7 +95,13 @@ object Fixtures {
     * matching live stamp (a genuinely broken filesystem) still
     * throws. */
   def ensure(s: SparkSession, storeDir: String, stamp: String)(
-      build: String => Unit): String = {
+      build: String => Unit): String = ensure(s, storeDir, stamp, 0)(build)
+
+  private def ensure(s: SparkSession, storeDir: String, stamp: String,
+      depth: Int)(build: String => Unit): String = {
+    if (depth > 2) throw new IllegalStateException(
+      s"fixture publish: lost the live slot to a stale peer generation " +
+        s"$depth times at $storeDir — filesystem or peer misbehaving")
     val store = new Path(storeDir)
     val fs = fsOf(s, store)
     recover(fs, storeDir)
@@ -116,6 +132,19 @@ object Fixtures {
         if (!lostToConcurrentWinner())
           throw new IllegalStateException(
             s"fixture publish: cannot set aside $storeDir")
+      } else if (fs.exists(store)) {
+        // a stamp-CHANGING race: between this attempt's set-aside and
+        // swap-in, a peer's recover() restored a stale __old into the
+        // live slot (or a peer published). rename(stg, store) onto an
+        // existing dir is NOT a swap — RawLocalFileSystem would nest
+        // stg UNDER store — so existence here means lost-to-peer, not
+        // proceed. If the live stamp isn't ours either, re-enter: the
+        // restored generation is stale and the normal path (set-aside,
+        // then swap) applies to it.
+        if (!lostToConcurrentWinner()) {
+          fs.delete(stg, true)
+          return ensure(s, storeDir, stamp, depth + 1)(build)
+        }
       } else if (!fs.rename(stg, store)) {
         if (fs.exists(old)) fs.rename(old, store) // roll back
         if (!lostToConcurrentWinner())

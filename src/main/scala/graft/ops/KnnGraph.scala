@@ -38,6 +38,12 @@ import org.apache.spark.sql.functions._
   */
 object KnnGraph {
 
+  /** Graph-construction algorithm version for fixture stamps
+    * ([[Fixtures.ensure]]) — bump when [[build]]/[[buildLayers]] or
+    * [[signBucket]] change, so stored graphs rebuild instead of
+    * silently replaying the old algorithm. */
+  val algoVersion = 1
+
   /** Blocking key: sign bits of `bits` dimensions of the
     * integer-scaled vector starting after `offset` (1-based
     * `element_at`, matching the oracle's `iv[i]`). Several keys over

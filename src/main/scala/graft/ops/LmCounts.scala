@@ -28,9 +28,15 @@ object LmCounts {
 
   /** The two stored count relations for the documents table at `d`:
     * (bigram counts bc(w1, w2, cb), unigram counts cu(w, cu)). */
+  /** Count-pipeline algorithm version for the fixture stamp — bump
+    * alongside changes to the count derivation below; the tokenizer's
+    * own version rides in separately ([[TextAnalysis.tokensAlgoVersion]]). */
+  val algoVersion = 1
+
   def stored(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val dir = s"/tmp/graft_fixtures/lm_counts_${Fixtures.pathKey(d)}"
-    val stamp = Fixtures.datasetStamp(s, s"$d/documents.parquet") + "|fmt=1"
+    val dir = s"${Fixtures.root(s)}/lm_counts_${Fixtures.pathKey(d)}"
+    val stamp = Fixtures.datasetStamp(s, s"$d/documents.parquet") +
+      s"|algo=$algoVersion.${TextAnalysis.tokensAlgoVersion}|fmt=1"
     Fixtures.ensure(s, dir, stamp) { stg =>
       val docs = graft.tables.Catalog.documents(s, d)
         .select(TextAnalysis.tokens(col("text")).as("t"))

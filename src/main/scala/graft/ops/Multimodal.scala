@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Synthetic-media builder algorithm version for fixture stamps —
+    * bump when [[syntheticImageMedia]]'s pixel/encode recipe changes,
+    * so stored PNG corpora rebuild instead of replaying stale bytes. */
+  val mediaAlgoVersion = 1
+
   // ImageIO defaults to FILE-backed stream caches — one temp-file
   // create/write/delete per encode/decode, which turns a CPU-bound
   // per-pixel stage into disk I/O. Payloads here are in-memory byte

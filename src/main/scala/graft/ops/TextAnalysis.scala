@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Tokenizer algorithm version for fixture stamps: stored relations
+    * derived from [[tokens]] (e.g. [[LmCounts]]) must rebuild when the
+    * tokenization rule changes — bump alongside any change here. */
+  val tokensAlgoVersion = 1
+
   /** Whitespace tokenization. Documents are single-space separated; the
     * regex keeps it robust to runs of whitespace. */
   def tokens(text: Column): Column = split(text, "\\s+")

@@ -600,6 +600,14 @@ object AnalyticsQueries {
           (col("l_suppkey") * 2 + 1).as("sp"))
       val edges = li.select(col("p").as("src"), col("sp").as("dst"))
         .union(li.select(col("sp").as("src"), col("p").as("dst")))
+        // pre-shuffle onto the dedup key BEFORE distinct: the scan has
+        // as many splits as part files (3 at sf0.1), so the distinct's
+        // partial aggregate would hash the whole corpus that wide
+        // while the rest of the cores idle; hash-partitioned input
+        // satisfies the aggregate's distribution, so dedup runs once,
+        // full-width, after a cheap map-side write (StageProbe showed
+        // the 3-wide partial agg as q114's single largest stage)
+        .repartition(col("src"), col("dst"))
         .distinct()
       graft.ops.PageRank.run(edges, 3)
         .orderBy(col("rank").desc, col("node")).limit(20)

@@ -392,8 +392,8 @@ object DedupQueries {
     val deltaFrom = 450L
     Q("q96_incremental_dedup_index",
       (s, d) => {
-        val idxPath =
-          s"/tmp/graft_dedup_index/${graft.ops.Fixtures.pathKey(d)}"
+        val idxPath = s"${graft.ops.Fixtures.root(s)}/dedup_index_" +
+          graft.ops.Fixtures.pathKey(d)
         val corpus = docsNear(s, d)
         val isDelta = (col("doc_id") % 1000000L) >= deltaFrom
         // 1. history: the signature index previous runs left behind —
@@ -402,7 +402,7 @@ object DedupQueries {
           graft.ops.Fixtures.datasetStamp(s, s"$d/documents.parquet") +
             s"|mh=${graft.ops.Fixtures.contentHash(
               Dedup.minhashParams.mkString(","))}" +
-            s"|delta=$deltaFrom|fmt=1"
+            s"|delta=$deltaFrom|algo=${Dedup.algoVersion}|fmt=1"
         graft.ops.Fixtures.ensure(s, idxPath, stamp) { stg =>
           Dedup.minhashSignature(
               Dedup.hashedShingles(corpus.filter(!isDelta), 3))

@@ -349,8 +349,8 @@ object LoadQueries {
     * writes (FixturesSpec pins the second run writes nothing). */
   val q94 = Q("q94_dynamic_partition_pruning",
     (s, d) => {
-      val base =
-        s"/tmp/graft_dpp/${graft.ops.Fixtures.pathKey(d)}/events_by_day"
+      val base = s"${graft.ops.Fixtures.root(s)}/dpp_" +
+        s"${graft.ops.Fixtures.pathKey(d)}/events_by_day"
       val stamp =
         graft.ops.Fixtures.datasetStamp(s, s"$d/events.parquet") + "|fmt=1"
       graft.ops.Fixtures.ensure(s, base, stamp) { stg =>
@@ -399,7 +399,8 @@ object LoadQueries {
       // stats at write time) — built once per lineitem generation via
       // the stamped fixture store; the timed query is the file-list
       // prune + pruned scan alone
-      val store = s"/tmp/graft_skip/${graft.ops.Fixtures.pathKey(d)}"
+      val store = s"${graft.ops.Fixtures.root(s)}/skip_" +
+        graft.ops.Fixtures.pathKey(d)
       val stamp =
         graft.ops.Fixtures.datasetStamp(s, s"$d/lineitem.parquet") + "|fmt=1"
       graft.ops.Fixtures.ensure(s, store, stamp) { stg =>

@@ -50,10 +50,11 @@ object MultimodalQueries {
     * resample → tensorize dataflow. */
   private def mediaStore(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val store =
-      s"/tmp/graft_fixtures/media_png_${graft.ops.Fixtures.pathKey(d)}"
+    val store = s"${graft.ops.Fixtures.root(s)}/media_png_" +
+      graft.ops.Fixtures.pathKey(d)
     val stamp =
-      graft.ops.Fixtures.datasetStamp(s, s"$d/documents.parquet") + "|fmt=1"
+      graft.ops.Fixtures.datasetStamp(s, s"$d/documents.parquet") +
+        s"|algo=${Multimodal.mediaAlgoVersion}|fmt=1"
     graft.ops.Fixtures.ensure(s, store, stamp) { stg =>
       Multimodal.syntheticImageMedia(s, Catalog.documents(s, d))
         .write.mode("overwrite").parquet(stg)

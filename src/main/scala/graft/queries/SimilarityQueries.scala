@@ -1108,10 +1108,11 @@ object SimilarityQueries {
     * q165, the non-delta "base" for q166). */
   private def storedBuiltGraph(s: SparkSession, d: String, tag: String,
       filter: Option[org.apache.spark.sql.Column]): DataFrame = {
-    val store =
-      s"/tmp/graft_fixtures/knn_graph_${tag}_${graft.ops.Fixtures.pathKey(d)}"
+    val store = s"${graft.ops.Fixtures.root(s)}/knn_graph_${tag}_" +
+      graft.ops.Fixtures.pathKey(d)
     val stamp = graft.ops.Fixtures.datasetStamp(s, s"$d/embeddings.parquet") +
-      s"|k=$graphK|rounds=$graphRounds|bits=$graphBits|tag=$tag|fmt=1"
+      s"|k=$graphK|rounds=$graphRounds|bits=$graphBits|tag=$tag" +
+      s"|algo=${graft.ops.KnnGraph.algoVersion}|fmt=1"
     graft.ops.Fixtures.ensure(s, store, stamp) { stg =>
       val vecs = graphVecs(s, d)
       val src = filter.map(vecs.filter).getOrElse(vecs)
@@ -2318,25 +2319,44 @@ object SimilarityQueries {
         val xm = Catalog.embeddings(s, d).select(
           expr("transform(embedding, e -> cast(round(cast(e AS DOUBLE)" +
             " * 1000000) AS BIGINT))").as("xm"))
+          // one cache partition per core: the corpus ships as a single
+          // parquet split at this sf, which would pin every power-pass
+          // aggregate to ONE task (StageProbe r11); explicit N is
+          // exempt from AQE cache-plan coalescing, and at cluster
+          // scale defaultParallelism is the right width too
+          .repartition(s.sparkContext.defaultParallelism)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nRows = xm.count()
-        val sums = xm.agg(sum(col("xm")(0)).as("s0"),
-          (1 until dims).map(i => sum(col("xm")(i)).as(s"s$i")): _*).head()
+        // ONE stats pass: row count and the 64 per-dim sums share a
+        // single map-side-combinable aggregate (was count + sums — two
+        // corpus reads); the centered relation is NEVER materialized —
+        // each power round subtracts mu inline from the persisted raw
+        // vectors (identical integers, zip_with is cheap next to the
+        // pass's I/O), saving the cx build+cache pass and its storage.
+        val sums = xm.agg(count(lit(1)).as("n"),
+          (0 until dims).map(i => sum(col("xm")(i)).as(s"s$i")): _*).head()
+        val nRows = sums.getLong(0)
         val mu = Array.tabulate(dims)(i =>
-          halfUp(sums.getLong(i).toDouble / nRows))
+          halfUp(sums.getLong(i + 1).toDouble / nRows))
         val muLit = array(mu.map(lit): _*)
         val cx = xm.select(zip_with(col("xm"), muLit,
           (a, b) => a - b).as("xc"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         var v = Array.fill(dims)(125000L) // 1e6/√64 — unit-norm uniform
         for (_ <- 1 to iters) {
           val vLit = array(v.map(lit): _*)
-          val dotS = aggregate(zip_with(col("xc"), vLit, (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12)
-          val y = cx.agg(
-            sum(round(col("xc")(0) * dotS).cast("bigint")).as("y0"),
+          // the row's dot product is PROJECTED once and the 64 matvec
+          // sums aggregate over that column — inlining dotS into every
+          // sum would repeat its ~200-node expression subtree 64×,
+          // which costs more in per-round analysis/optimization than
+          // the round's actual data pass at this width (same doubles
+          // either way: one deterministic expression, evaluated once)
+          val dotted = cx.withColumn("dot",
+            aggregate(zip_with(col("xc"), vLit, (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12))
+          val y = dotted.agg(
+            sum(round(col("xc")(0) * col("dot")).cast("bigint")).as("y0"),
             (1 until dims).map(i =>
-              sum(round(col("xc")(i) * dotS).cast("bigint")).as(s"y$i")): _*)
+              sum(round(col("xc")(i) * col("dot")).cast("bigint"))
+                .as(s"y$i")): _*)
             .head()
           val ys = Array.tabulate(dims)(y.getLong)
           val ma = math.max(ys.map(math.abs).max.toDouble, 1.0)
@@ -2345,7 +2365,7 @@ object SimilarityQueries {
           val den = math.max(math.sqrt(ss.toDouble), 1.0)
           v = u.map(uv => halfUp(uv.toDouble * 1e6 / den))
         }
-        xm.unpersist(); cx.unpersist()
+        xm.unpersist()
         (0 until dims).map(i => (i.toLong, mu(i), v(i)))
           .toDF("d", "mu_micro", "v_micro")
       },

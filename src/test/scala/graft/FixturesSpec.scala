@@ -26,6 +26,28 @@ class FixturesSpec extends SparkSuite {
     d
   }
 
+  test("store root follows the session conf (cluster deployments " +
+      "point it at durable shared FS)") {
+    val alt = freshDir("confroot")
+    val prev = spark.conf.getOption(Fixtures.rootKey)
+    spark.conf.set(Fixtures.rootKey, alt)
+    try {
+      assert(Fixtures.root(spark) == alt)
+      val store = s"${Fixtures.root(spark)}/probe"
+      Fixtures.ensure(spark, store, "v1") { stg =>
+        Files.createDirectories(Paths.get(stg))
+        Files.writeString(Paths.get(stg, "data.txt"), "x")
+      }
+      assert(Files.exists(Paths.get(s"$alt/probe/data.txt")),
+        "the store must land under the configured root")
+    } finally prev match {
+      case Some(v) => spark.conf.set(Fixtures.rootKey, v)
+      case None => spark.conf.unset(Fixtures.rootKey)
+    }
+    assert(Fixtures.root(spark) == "/tmp/graft_fixtures",
+      "default root when the conf is unset")
+  }
+
   test("ensure builds once per stamp, rebuilds only on stamp change") {
     val dir = freshDir("once")
     var builds = 0
@@ -128,7 +150,8 @@ class FixturesSpec extends SparkSuite {
   }
 
   test("q94's second run reuses the day-partitioned store untouched") {
-    val store = s"/tmp/graft_dpp/${Fixtures.pathKey(sf)}/events_by_day"
+    val store =
+      s"${Fixtures.root(spark)}/dpp_${Fixtures.pathKey(sf)}/events_by_day"
     val q = graft.queries.LoadQueries.q94
     val n1 = q.run(spark, sf).count()
     val before = snapshotTree(store)
@@ -139,7 +162,7 @@ class FixturesSpec extends SparkSuite {
   }
 
   test("q96's second run reuses the history signature index untouched") {
-    val store = s"/tmp/graft_dedup_index/${Fixtures.pathKey(sf)}"
+    val store = s"${Fixtures.root(spark)}/dedup_index_${Fixtures.pathKey(sf)}"
     val q = graft.queries.DedupQueries.q96
     val n1 = q.run(spark, sf).count()
     val before = snapshotTree(store)

@@ -121,13 +121,13 @@ class ScaleSpec extends SparkSuite {
     val out = graft.queries.DedupQueries.q96.run(spark, sf)
     out.collect()
     // the incremental stage must source history from the STORED index,
-    // not recompute it: the final plan reads graft_dedup_index parquet
+    // not recompute it: the final plan reads the dedup_index_ store
     // (the delta-side document scan sits under the persisted delta-sig
     // relation and is therefore delta-filtered by construction)
     // (string probe: AQE wraps the plan, so FileSourceScanExec nodes
     // aren't reachable via collect here)
     assert(out.queryExecution.executedPlan.toString
-      .contains("graft_dedup_index"),
+      .contains("dedup_index_"),
       "incremental run must read the persisted signature index")
   }
 

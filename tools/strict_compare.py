@@ -25,6 +25,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def oracle_type_gate(con, oracle):
+    """Returns (n_flagged, bind_failed_names): a SQL that fails to BIND
+    is counted once here and skipped by the main loop — executing it
+    again would double-count the same defect."""
     """Bind (not execute) every oracle SQL and flag any output column whose
     DuckDB type is HUGEINT/UHUGEINT/DECIMAL: pandas renders those as
     float64 on the driver side, so the driver's string hash sees `123.0`
@@ -34,11 +37,13 @@ def oracle_type_gate(con, oracle):
     that shipped q179/q183 red in round 9. Binding all oracles takes
     seconds; no data is read."""
     bad = []
+    bind_failed = set()
     for name, sql in sorted(oracle.items()):
         try:
             rel = con.sql(sql)
         except Exception as e:
             bad.append((name, f"bind error: {e}"))
+            bind_failed.add(name)
             continue
         hazards = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
                    if any(h in str(t).upper()
@@ -51,7 +56,7 @@ def oracle_type_gate(con, oracle):
     if not bad:
         print(f"TYPEGATE PASS: {len(oracle)} oracles, no "
               "HUGEINT/UHUGEINT/DECIMAL output columns")
-    return len(bad)
+    return len(bad), bind_failed
 
 
 def fetch_sorted(con, sql):
@@ -75,9 +80,11 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    n_fail = oracle_type_gate(con, oracle)
+    n_fail, bind_failed = oracle_type_gate(con, oracle)
     n_pass = 0
     for name, sql in sorted(oracle.items()):
+        if name in bind_failed:
+            continue  # already counted by the type gate
         spark_path = f"{out_dir}/{name}"
         if not Path(spark_path).exists():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
