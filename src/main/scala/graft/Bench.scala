@@ -23,6 +23,13 @@ object Bench {
       // on RAM when the box has it: a local-mode bench's checkpoint
       // fsyncs measure the disk, not the operator — see ops/Scratch
       .config(graft.ops.Scratch.confKey, graft.ops.Scratch.fastScratch())
+      // let AQE (incl. partition coalescing) run INSIDE cached-plan
+      // builds: Spark ships this false for plan-stability compat, which
+      // pins every persisted relation to the static shuffle width — 32
+      // near-empty partitions per tiny cache, re-paid by every consumer
+      // stage. Full-registry A/B (r11, same box, back-to-back):
+      // 122.5s on vs 142.0s off; 3 queries regressed >0.2s vs ~40
+      // improved. Semantics unaffected (partitioning only).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

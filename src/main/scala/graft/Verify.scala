@@ -33,6 +33,16 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] bpe fixture failed: ${e.getMessage}")
     }
+    // Stored-graph ORACLE MIRRORS (q165/q166/q170/q175 oracles read
+    // these instead of replaying construction; q211 is the content
+    // anchor — see SimilarityQueries' fixture section).
+    try graft.queries.SimilarityQueries.oracleGraphFixtures(spark, sfDir)
+      .foreach { case (path, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+      }
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] graph fixtures failed: ${e.getMessage}")
+    }
     SparkEntry.queries.filter(t => selected(t._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -60,7 +70,13 @@ object Verify {
     // oracles at a different scale factor than this run's sfDir.
     val fixtures = Map(
       graft.ops.Bpe.dtFixturePath ->
-        graft.ops.Bpe.dtReplaySql(graft.queries.TextQueries.normSql))
+        graft.ops.Bpe.dtReplaySql(graft.queries.TextQueries.normSql),
+      graft.queries.SimilarityQueries.knnRefFixturePath ->
+        graft.queries.SimilarityQueries.knnRefReplaySql,
+      graft.queries.SimilarityQueries.knnRefhFixturePath ->
+        graft.queries.SimilarityQueries.knnRefhReplaySql,
+      graft.queries.SimilarityQueries.knnRefx1FixturePath ->
+        graft.queries.SimilarityQueries.knnRefx1ReplaySql)
     Files.writeString(Paths.get(s"$outDir/fixture_sql.json"),
       fixtures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))

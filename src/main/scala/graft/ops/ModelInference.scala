@@ -187,6 +187,65 @@ object ModelInference {
     }(Encoders.row(outSchema))
   }
 
+  /** The IMAGE face of the seam: one batch of RGB tensors in, one
+    * embedding per tensor out — the CLIP-shaped media entry point
+    * (same batch/purity/determinism contract as [[TextEmbedder]], so
+    * a verifying oracle can replay it from closed-form pixels). */
+  trait ImageEmbedder extends Serializable {
+    def dim: Int
+    def embedBatch(tensors: Array[Array[Byte]]): Array[Array[Long]]
+  }
+
+  /** Deterministic integer pixel projection: dim k (1-based) =
+    * Σ_p byte(p) · (((p + 1) · (k + 7)) mod 23 − 11) over the tensor's
+    * bytes — a fixed random-ish ±11 projection matrix indexed by byte
+    * offset, exactly replayable in SQL from the synthetic-pixel
+    * formulas (the [[HashedBowEmbedder]] role for media rows; a
+    * production model swaps `embedBatch` and nothing else). */
+  final class PixelProjectionEmbedder(val dim: Int) extends ImageEmbedder {
+    def embedBatch(tensors: Array[Array[Byte]]): Array[Array[Long]] =
+      tensors.map { t =>
+        val e = new Array[Long](dim)
+        var p = 0
+        while (p < t.length) {
+          val v = (t(p) & 0xff).toLong
+          var k = 1
+          while (k <= dim) {
+            e(k - 1) += v * (((p + 1).toLong * (k + 7)) % 23 - 11)
+            k += 1
+          }
+          p += 1
+        }
+        e
+      }
+  }
+
+  /** Run `model` over `df`'s `tensorCol` (binary), emitting every
+    * other column unchanged plus `emb array<bigint>` — [[embed]]'s
+    * contract on media rows. */
+  def embedImages(df: DataFrame, tensorCol: String, model: ImageEmbedder,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"inference batch size must be >= 1, got $batchSize")
+    val inSchema = df.schema
+    val tensorIdx = inSchema.fieldIndex(tensorCol)
+    val keep = inSchema.fields.indices.filterNot(_ == tensorIdx)
+    val outSchema = StructType(
+      keep.map(inSchema.fields) :+
+        StructField("emb", ArrayType(LongType, containsNull = false),
+          nullable = false))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val embs = model.embedBatch(batch.iterator
+          .map(_.getAs[Array[Byte]](tensorIdx)).toArray)
+        require(embs.length == batch.length,
+          s"model returned ${embs.length} embeddings for ${batch.length} inputs")
+        batch.iterator.zip(embs.iterator).map { case (r, e) =>
+          Row.fromSeq(keep.map(r.get) :+ (e.toIndexedSeq: Seq[Long]))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Run `model` over `df`'s `textCol`, emitting every other column
     * unchanged plus `emb array<bigint>`. Schema contract: input order
     * is preserved within a partition, output rows = input rows, and

@@ -388,6 +388,25 @@ object Multimodal {
       })))
   }
 
+  /** Resized-image TENSOR output: the raw RGB bytes themselves, for
+    * stages that consume pixels (the image model seam — q210) rather
+    * than audit them (q133's checksum). */
+  final case class ImageTensor(media_id: Long, width: Long, height: Long,
+      tensor: Array[Byte])
+
+  /** As [[resizeImages]], but shipping the tensor forward instead of
+    * reducing it to a checksum — the decode→resize half of the
+    * decode→resize→embed pipeline, same batched partition-local
+    * contract. */
+  def resizeTensors(spark: SparkSession, media: DataFrame,
+      maxDim: Int): Dataset[ImageTensor] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.grouped(batchSize).flatMap(b =>
+      b.flatMap(m => resizeImagePixels(m.content, maxDim).map {
+        case (bytes, w, h) => ImageTensor(m.media_id, w, h, bytes)
+      })))
+  }
+
   /** Synthetic-PNG media corpus keyed by doc_id (the multimodal
     * stand-in when the documents table is the only corpus): real PNG
     * payloads with closed-form pixels, built in the same batched

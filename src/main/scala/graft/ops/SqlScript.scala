@@ -268,14 +268,60 @@ object SqlScript {
 
   // ------------------------------------------------------------ publish
 
-  /** Staged write + rename-aside publish (the engine's swap idiom). */
+  /** Staged write + rename-aside publish (the engine's swap idiom),
+    * under the Recovery discipline ([[graft.ops.Recovery]]): the
+    * marker certifying staging completeness lands BEFORE the swap, so
+    * a crash anywhere leaves a machine-decidable state —
+    * [[recoverTable]] rolls a certified staging forward and a
+    * markerless one back. */
   private def publishStaged(ctx: Ctx, path: String)(
       write: String => Unit): Unit = {
+    val fs = ctx.fs(path)
     val staging = path + "__scriptstage"
-    ctx.fs(path).delete(new Path(staging), true)
+    fs.delete(new Path(staging), true)
     write(staging)
-    graft.etl.IncrementalLoad.publishFull(ctx.fs(path), new Path(path),
+    graft.etl.IncrementalLoad.writeMarker(fs, new Path(staging), "FULL")
+    graft.etl.IncrementalLoad.publishFull(fs, new Path(path),
       new Path(staging))
+  }
+
+  /** Repair a script-bound table after a crash anywhere in
+    * [[publishStaged]] — the Scala protocol's Recovery contract
+    * applied to the script front door. Handles, in order: a
+    * `__scriptstage` dir (re-run the publish tail if its marker
+    * certifies completeness, drop it otherwise), a stranded
+    * `__retired` snapshot (restore only when the target is gone), and
+    * a stale in-target marker from a crash between swap-in and marker
+    * drop. Idempotent; returns the action log (empty = healthy).
+    * [[execute]] runs this for every bound table before the first
+    * statement, so a re-run after a mid-script crash always sees a
+    * complete generation of each table. */
+  def recoverTable(spark: SparkSession, path: String): Seq[String] = {
+    val fs = FileSystem.get(new Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val log = scala.collection.mutable.ArrayBuffer.empty[String]
+    val staging = new Path(path + "__scriptstage")
+    val target = new Path(path)
+    val retired = new Path(path + "__retired")
+    if (fs.exists(staging)) {
+      if (graft.etl.IncrementalLoad.readMarker(fs, staging).isDefined) {
+        graft.etl.IncrementalLoad.publishFull(fs, target, staging)
+        log += s"rolled certified script staging FORWARD into $path"
+      } else {
+        fs.delete(staging, true)
+        log += s"rolled markerless script staging BACK at $path"
+      }
+    }
+    if (!fs.exists(target) && fs.exists(retired)) {
+      fs.rename(retired, target)
+      log += s"restored retired snapshot at $path"
+    }
+    val stale = new Path(target, graft.etl.IncrementalLoad.markerName)
+    if (fs.exists(stale)) {
+      fs.delete(stale, false)
+      log += s"swept stale publish marker inside $path"
+    }
+    log.toSeq
   }
 
   // ---------------------------------------------------------- execution
@@ -288,6 +334,10 @@ object SqlScript {
       tables: Map[String, String],
       procs: Map[String, Seq[Any] => Unit] = Map.empty): ScriptResult = {
     val ctx = new Ctx(spark, tables, procs)
+    // crash recovery FIRST: a prior run of this (or any) script may
+    // have died inside a staged publish — every bound table must be a
+    // complete generation before any statement reads it
+    tables.values.foreach(recoverTable(spark, _))
     val stripped = stripComments(script).trim
     val body = stripped
       .replaceFirst("(?is)^BEGIN\\b", "")

@@ -87,5 +87,146 @@ object MultimodalQueries {
         |    AS BIGINT) AS checksum
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin))
 
-  val all: Seq[Q] = Seq(q25, q133)
+  /** q210 — IMAGE NEAR-DUP RETRIEVAL through the model seam (the
+    * CLIP-shaped capstone: q133's decode→resize tensors →
+    * [[graft.ops.ModelInference.embedImages]] → a STORED bucketed ANN
+    * index → per-query best match):
+    *
+    *  - the INDEX is pre-existing state ([[graft.ops.Fixtures]], like
+    *    every stored index here): corpus PNGs → per-pixel resize →
+    *    batched image-model embed → 8-bit sign bucket, one stamped
+    *    build per documents generation;
+    *  - the TIMED query is the serving path: a sampled query batch of
+    *    raw PNG payloads runs decode→resize→embedBatch LIVE (the
+    *    scan-local batched seam — q186's contract on media rows), then
+    *    probes the index by bucket (never corpus × queries) and
+    *    exact-reranks to each query's best non-self match.
+    *
+    * The oracle replays decode→resize→embed→bucket→probe end-to-end
+    * from the closed-form pixel formulas — hash-green pins the whole
+    * media-to-retrieval pipeline, including every resized byte's
+    * contribution to every embedding dim.
+    *
+    * Scale shape (100 TB): embed is partition-local batched compute;
+    * the index probe is one equi join on the bucket key (the IVF cell
+    * pattern — at scale the index is partitioned by bucket, so the
+    * probe doubles as partition pruning); rerank is per-query
+    * window-bounded. */
+  val q210 = {
+    val embDim = 16
+    val bucketBits = 8
+    val queryMod = 101L
+    val maxDim = 8
+    def bucketCol(embC: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.functions.{lit, when}
+      (0 until bucketBits).map(k =>
+        when(embC.getItem(k) > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
+    Q("q210_image_neardup_ann",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val model = new graft.ops.ModelInference.PixelProjectionEmbedder(embDim)
+        val batch = s.conf.get(graft.ops.ModelInference.batchSizeKey,
+          graft.ops.ModelInference.defaultBatchSize.toString).toInt
+        def encode(media: org.apache.spark.sql.DataFrame) =
+          graft.ops.ModelInference.embedImages(
+            Multimodal.resizeTensors(s, media, maxDim).toDF(),
+            "tensor", model, batch)
+            .select(col("media_id"),
+              col("emb").as("e"),
+              aggregate(transform(col("emb"), x => x * x), lit(0L),
+                (acc, x) => acc + x).as("nrm"))
+            .withColumn("bucket", bucketCol(col("e")))
+        // stored image-ANN index: one stamped build per generation
+        val idx = s"${graft.ops.Fixtures.root(s)}/image_ann_" +
+          graft.ops.Fixtures.pathKey(d)
+        val stamp =
+          graft.ops.Fixtures.datasetStamp(s, s"$d/documents.parquet") +
+            s"|media=${Multimodal.mediaAlgoVersion}" +
+            s"|dim=$embDim|bits=$bucketBits|maxdim=$maxDim|fmt=1"
+        graft.ops.Fixtures.ensure(s, idx, stamp) { stg =>
+          encode(mediaStore(s, d)).write.mode("overwrite").parquet(stg)
+        }
+        val index = s.read.parquet(idx)
+        // serving path: live decode→resize→embed of the query batch
+        val queries = encode(
+            mediaStore(s, d).filter(col("media_id") % queryMod === 0))
+          .select(col("media_id").as("query_id"), col("e").as("qe"),
+            col("nrm").as("qnrm"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("match_id"))
+        queries.join(index, "bucket")
+          .filter(col("media_id") =!= col("query_id"))
+          .select(col("query_id"), col("media_id").as("match_id"),
+            (aggregate(zip_with(col("qe"), col("e"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).cast("double")
+              / sqrt(greatest(col("qnrm"), lit(1L)).cast("double")
+                * greatest(col("nrm"), lit(1L)).cast("double")))
+              .as("cosine"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("match_id"), col("cosine"))
+      },
+      Some {
+        // per-dim projection sums over the resized pixels: channel c's
+        // byte offset is o + c, its weight ((o + c + 1)(k + 7)) mod 23
+        // − 11 — the PixelProjectionEmbedder matrix verbatim
+        def dimSum(k: Int): String =
+          s"""CAST(sum(
+             |  ((id * 31 + sx * 7 + sy * 3) % 256)
+             |    * (((o + 1) * ${k + 7}) % 23 - 11)
+             |  + ((sx * 5 + sy * 11 + 1) % 256)
+             |    * (((o + 2) * ${k + 7}) % 23 - 11)
+             |  + ((id + sx + sy * 13) % 256)
+             |    * (((o + 3) * ${k + 7}) % 23 - 11)) AS BIGINT)""".stripMargin
+        val embCols = (1 to embDim).map(k => s"${dimSum(k)} AS e$k")
+          .mkString(",\n")
+        val eList = (1 to embDim).map(k => s"e$k").mkString("[", ", ", "]")
+        val bucketSql = (1 to bucketBits).map(k =>
+          s"CASE WHEN e[$k] > 0 THEN ${1L << (k - 1)} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH d3 AS (
+           |  SELECT doc_id AS id, sw, sh,
+           |    CASE WHEN greatest(sw, sh) <= $maxDim THEN sw
+           |         ELSE greatest(1, sw * $maxDim // greatest(sw, sh))
+           |         END AS w,
+           |    CASE WHEN greatest(sw, sh) <= $maxDim THEN sh
+           |         ELSE greatest(1, sh * $maxDim // greatest(sw, sh))
+           |         END AS h
+           |  FROM (SELECT doc_id, 8 + doc_id % 13 AS sw,
+           |               8 + doc_id % 7 AS sh FROM documents)),
+           |px AS (
+           |  SELECT id, x * sw // w AS sx, y * sh // h AS sy,
+           |         (y * w + x) * 3 AS o
+           |  FROM d3,
+           |    LATERAL unnest(generate_series(0, h - 1)) AS ty(y),
+           |    LATERAL unnest(generate_series(0, w - 1)) AS tx(x)),
+           |emb AS MATERIALIZED (
+           |  SELECT id, $embCols
+           |  FROM px GROUP BY id),
+           |ev AS MATERIALIZED (
+           |  SELECT id, e,
+           |    list_aggregate(list_transform(e, x -> x * x), 'sum') AS nrm,
+           |    $bucketSql AS bucket
+           |  FROM (SELECT id, $eList AS e FROM emb)),
+           |hits AS (
+           |  SELECT q.id AS query_id, c.id AS match_id,
+           |    CAST(list_aggregate(list_transform(
+           |        generate_series(1, $embDim), i -> q.e[i] * c.e[i]),
+           |        'sum') AS DOUBLE)
+           |      / sqrt(CAST(greatest(q.nrm, 1) AS DOUBLE)
+           |             * CAST(greatest(c.nrm, 1) AS DOUBLE)) AS cosine
+           |  FROM ev q JOIN ev c ON q.bucket = c.bucket
+           |  WHERE q.id % $queryMod = 0 AND c.id <> q.id)
+           |SELECT query_id, match_id, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, match_id) AS rn
+           |  FROM hits)
+           |WHERE rn = 1""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] = Seq(q25, q133, q210)
 }

@@ -72,6 +72,7 @@ object Q {
   val benchExcluded: Set[String] = Set("q21_dedup_ngram_jaccard",
     "q150_ann_recall", "q153_ann_recall_paths",
     "q171_knn_graph_maintain_audit",
+    "q211_stored_graph_audit", // full construction replay to anchor the mirrors
     "q203_dedup_recall_audit", // recomputes the full candidate set to grade it
     "q204_lsh_scurve_calibration") // full truth + candidate recomputation
 }

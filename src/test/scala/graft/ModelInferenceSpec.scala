@@ -137,6 +137,47 @@ class ModelInferenceSpec extends SparkSuite {
       2L -> Seq("y"), 3L -> Seq.empty))
   }
 
+  test("image embedder: one call per batch, pixel projection exact") {
+    import graft.ops.ModelInference
+    val m = new ModelInference.PixelProjectionEmbedder(4)
+    val t = Array[Byte](10, -1, 0, 127) // -1 reads as 255 (unsigned)
+    val e = m.embedBatch(Array(t))(0)
+    val expect = (1 to 4).map { k =>
+      t.zipWithIndex.map { case (b, p) =>
+        (b & 0xff).toLong * (((p + 1).toLong * (k + 7)) % 23 - 11)
+      }.sum
+    }
+    assert(e.toSeq == expect, s"projection mismatch: ${e.toSeq} vs $expect")
+    // batch accounting on the DataFrame stage (accumulator: the
+    // embedder closure is task-serialized, a plain var would count on
+    // the deserialized copy)
+    val calls = spark.sparkContext.longAccumulator("imageEmbedCalls")
+    val counting = new ModelInference.ImageEmbedder {
+      val dim = 2
+      def embedBatch(ts: Array[Array[Byte]]): Array[Array[Long]] = {
+        calls.add(1); ts.map(_ => Array(0L, 0L))
+      }
+    }
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 10).map(i => (i.toLong, Array.fill(3)(i.toByte)))
+      .toDF("media_id", "tensor").coalesce(1)
+    val n = ModelInference.embedImages(df, "tensor", counting, 4).count()
+    assert(n == 10 && calls.value == 3,
+      s"rows=$n calls=${calls.value} (want 10 rows, 3 calls)")
+  }
+
+  test("q210 plans the image-inference seam on media rows " +
+      "(decode->resize->embed before the index probe)") {
+    val out = graft.queries.MultimodalQueries.q210.run(spark, sf)
+    out.collect() // finalize the adaptive plan so codegen spans render
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"q210 must carry the batched media+inference stages:\n${plan.take(2000)}")
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+      s"the spans around the seam must stay codegen'd:\n${plan.take(2000)}")
+  }
+
   test("q186 plans the inference exchange between declarative spans") {
     val plan = graft.queries.SimilarityQueries.q186.run(spark, sf)
       .queryExecution.executedPlan.toString

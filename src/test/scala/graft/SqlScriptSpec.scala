@@ -179,6 +179,71 @@ class SqlScriptSpec extends SparkSuite {
     }
   }
 
+  test("crash drill: certified script staging rolls FORWARD; " +
+      "markerless rolls BACK; mid-swap retire restores") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val b = base("crash")
+    val src = s"$b/src"
+    val dst = s"$b/dst"
+    spark.range(100).selectExpr("id", "id % 7 AS g").write.parquet(src)
+    def runCopy(): Unit = SqlScript.execute(spark,
+      "BEGIN CREATE OR REPLACE TABLE dst COPY src; END;",
+      Map("src" -> src, "dst" -> dst))
+    runCopy()
+    val live = spark.read.parquet(dst).collect().toSet
+
+    // drill 1 — crash BETWEEN staging-complete and swap: a certified
+    // staging (marker present) beside the live table. The next script
+    // run must roll it forward (publish tail re-run), not leave or
+    // double-publish it.
+    val stg = new Path(dst + "__scriptstage")
+    spark.range(50).selectExpr("id + 1000 AS id", "id % 7 AS g")
+      .write.parquet(stg.toString)
+    graft.etl.IncrementalLoad.writeMarker(fs, stg, "FULL")
+    runCopy() // recovery runs first, then the statement republishes src
+    assert(!fs.exists(stg), "certified staging must be consumed")
+    assert(spark.read.parquet(dst).collect().toSet == live,
+      "the re-run statement must land src's content after roll-forward")
+
+    // drill 2 — crash MID-SWAP (target retired, staging not yet moved):
+    // no live dir, certified staging, __retired snapshot. Recovery must
+    // leave a complete generation BEFORE any statement reads the table.
+    fs.rename(new Path(dst), new Path(dst + "__retired"))
+    spark.range(50).selectExpr("id + 2000 AS id", "id % 7 AS g")
+      .write.parquet(stg.toString)
+    graft.etl.IncrementalLoad.writeMarker(fs, stg, "FULL")
+    val log2 = SqlScript.recoverTable(spark, dst)
+    assert(log2.exists(_.contains("FORWARD")), s"unexpected log: $log2")
+    assert(fs.exists(new Path(dst)) && !fs.exists(stg) &&
+      !fs.exists(new Path(dst + "__retired")),
+      "forward roll must leave exactly the published generation")
+    assert(spark.read.parquet(dst).filter("id >= 2000").count() == 50,
+      "the certified staging is the newest complete generation — it wins")
+
+    // drill 3 — crash DURING the staged write: markerless staging.
+    // Rolled back untouched; the live table survives as-is.
+    runCopy() // back to src content
+    spark.range(5).selectExpr("id + 3000 AS id", "id % 7 AS g")
+      .write.parquet(stg.toString) // no marker
+    val log3 = SqlScript.recoverTable(spark, dst)
+    assert(log3.exists(_.contains("BACK")), s"unexpected log: $log3")
+    assert(!fs.exists(stg), "markerless staging must be dropped")
+    assert(spark.read.parquet(dst).collect().toSet == live,
+      "roll-back must leave the live table untouched")
+
+    // drill 4 — crash between swap-in and marker drop: a stale marker
+    // file inside the live table is swept, data untouched.
+    graft.ops.CertFile.write(fs,
+      new Path(dst, graft.etl.IncrementalLoad.markerName), "FULL")
+    val log4 = SqlScript.recoverTable(spark, dst)
+    assert(log4.exists(_.contains("stale")), s"unexpected log: $log4")
+    assert(spark.read.parquet(dst).collect().toSet == live)
+    assert(SqlScript.recoverTable(spark, dst).isEmpty,
+      "recovery must be idempotent on a healthy table")
+  }
+
   test("script-driven load equals the Scala-protocol load (q172 == q12, q173 counts)") {
     val viaScript = LoadQueries.q172.run(spark, sf)
     val viaProtocol = LoadQueries.q12.run(spark, sf)

@@ -37,12 +37,15 @@ def main():
             # the fixture is a pure function of (sfDir, its data
             # generation, replay SQL): skip the rebuild when the
             # stamped meta matches, so repeat measurements time
-            # queries, not artifact rebuilds. documents.parquet's
-            # mtime guards against the driver regenerating testdata
-            # in place (it did, round 8).
-            src = Path(sf_dir) / "documents.parquet"
+            # queries, not artifact rebuilds. Source mtimes guard
+            # against the driver regenerating testdata in place (it
+            # did, round 8) — documents for the BPE fixture,
+            # embeddings for the graph mirrors.
             meta = {"sf_dir": sf_dir,
-                    "src_mtime": src.stat().st_mtime if src.exists() else 0,
+                    "src_mtime": [
+                        (Path(sf_dir) / t).stat().st_mtime
+                        if (Path(sf_dir) / t).exists() else 0
+                        for t in ("documents.parquet", "embeddings.parquet")],
                     "sql_md5": hashlib.md5(sql.encode()).hexdigest()}
             stamp = d / ".fixture_meta.json"
             if stamp.exists() and json.loads(stamp.read_text()) == meta:
