@@ -225,7 +225,19 @@ object Dedup {
     */
   def jaccardPrefixPairs(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
-    val hs = hashedShingles(docs, n).distinct()
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // Cached relations are pinned to an EXPLICIT width keyed on their
+    // consumers' join/agg keys (explicit-N repartition is exempt from
+    // AQE cache-plan coalescing, which otherwise narrows every
+    // downstream stage to 1-2 tasks at small SF — StageProbe r11: the
+    // candidate-verify stage ran 930 ms on 2 of 32 cores). Keying hs
+    // on h makes the dedup, the df aggregate AND the df join all
+    // partition-local: one exchange where distinct+agg+join cost three.
+    // (Widening the scan-width shingle stage was tried and reverted:
+    // its 363 ms is stage-constant — codegen/setup, not compute — so a
+    // pre-exchange of the raw text only added cost. StageProbe r11.)
+    val hs = hashedShingles(docs, n)
+      .repartition(par, col("h")).dropDuplicates()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfRel = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // ONE per-doc aggregation builds everything doc-local at once: the
@@ -234,8 +246,10 @@ object Dedup {
     // shingle-set array for the later intersection. The previous
     // formulation paid two window passes PLUS a separate per-doc
     // collect_list — an extra full-corpus exchange and a corpus-wide
-    // sort this shape never needs.
+    // sort this shape never needs. The doc-key exchange is explicit so
+    // the per-doc sort runs full-width and the cache stays wide.
     val sets = hs.join(dfRel, "h")
+      .repartition(par, col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"),
         count(lit(1)).as("n_sh"))
