@@ -405,5 +405,66 @@ object StreamQueries {
          |SELECT DISTINCT mn AS doc_a, doc_id AS doc_b
          |FROM m WHERE doc_id > mn""".stripMargin))
 
-  val all: Seq[Q] = Seq(q124, q125, q134, q156, q187, q201)
+  /** q213 — ONLINE INFERENCE: the batched model seam under
+    * INCREMENTAL execution. The quality classifier trains OFFLINE on
+    * the full static corpus (q191's trainer — the deploy shape:
+    * weights are frozen before serving), then the corpus arrives as a
+    * stream in two real micro-batches and every document is scored
+    * through [[graft.ops.ModelInference.score]] INSIDE the streaming
+    * dataflow — the seam's mapPartitions stage is a stateless
+    * streaming operator, so the same physical contract (fixed-size
+    * in-partition batches, one model call per batch) holds per
+    * micro-batch with no code change. Feature extraction shares
+    * [[TextQueries.clfFeatureCols]] with the batch path, so online
+    * and offline scoring can never drift; with all waves processed,
+    * the appended stream output must equal batch scoring exactly —
+    * the oracle is q208's replay, projected to (doc_id, p_micro).
+    *
+    * Scale shape: stateless end to end — no state stores, no
+    * watermark, no shuffle (scan → project → seam → append sink);
+    * rerun-safe via the per-query staged source + checkpoint. This is
+    * the continuous-curation topology: a corpus firehose scored by a
+    * frozen model at ingest, weights updated by re-deploy. */
+  val q213 = Q("q213_stream_scored_ingest",
+    (s, d) => {
+      import graft.ops.ModelInference
+      val base = s"${graft.ops.Scratch.dir(s)}/graft_stream/q213_${java.nio.file.Paths.get(d).getFileName}"
+      val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val w = TextQueries.clfTrain(TextQueries.clfFeatures(s, d))
+      val batchSize = s.conf.get(ModelInference.batchSizeKey,
+        ModelInference.defaultBatchSize.toString).toInt
+      // two arrival waves -> two micro-batches under maxFilesPerTrigger=1
+      val docs = graft.tables.Catalog.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      val feats = stream.select(
+        col("doc_id") +: TextQueries.clfFeatureCols: _*)
+        .select(col("doc_id"),
+          array(col("f0"), col("f1"), col("f2"), col("f3")).as("f"))
+      val scored = ModelInference.score(feats, "f",
+        new ModelInference.RationalLogisticScorer(w), batchSize)
+      val q = scored.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$base/out"); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("score_micro").as("p_micro"))
+    },
+    Some(
+      s"""WITH ${TextQueries.clfCtes}
+         |SELECT doc_id, p_micro FROM scores""".stripMargin))
+
+  val all: Seq[Q] = Seq(q124, q125, q134, q156, q187, q201, q213)
 }

@@ -973,19 +973,25 @@ object TextQueries {
   /** The classifier's micro-quantized feature relation (doc_id, y,
     * f0..f3), persisted — read T+1 times by training and once by
     * scoring. */
+  /** The classifier's 4 per-row feature columns over `text` — shared
+    * by the batch trainer/scorer (q191/q208) and the STREAMING scorer
+    * (q213), so the online path can never drift from the trained
+    * feature definition. All stateless projections: streaming-safe. */
+  private[queries] def clfFeatureCols: Seq[Column] = Seq(
+    lit(1000000L).as("f0"),
+    round(least(tokenCount(col("text")).cast("double") / 100.0,
+      lit(1.0)) * 1e6).cast("bigint").as("f1"),
+    round(coalesce(alphaRatio(col("text")), lit(0.0)) * 1e6)
+      .cast("bigint").as("f2"),
+    round(least(coalesce(stopwordRatio(col("text")), lit(0.0)) * 5.0,
+      lit(1.0)) * 1e6).cast("bigint").as("f3"))
+
   private[queries] def clfFeatures(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val y = when(col("lang") === "en", 1.0).otherwise(0.0)
     Catalog.documents(s, d).select(
-      col("doc_id"), y.as("y"),
-      lit(1000000L).as("f0"),
-      round(least(tokenCount(col("text")).cast("double") / 100.0,
-        lit(1.0)) * 1e6).cast("bigint").as("f1"),
-      round(coalesce(alphaRatio(col("text")), lit(0.0)) * 1e6)
-        .cast("bigint").as("f2"),
-      round(least(coalesce(stopwordRatio(col("text")), lit(0.0)) * 5.0,
-        lit(1.0)) * 1e6).cast("bigint").as("f3"))
+      col("doc_id") +: y.as("y") +: clfFeatureCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

@@ -252,6 +252,21 @@ class ModelInferenceSpec extends SparkSuite {
     assert(cand.nonEmpty) // q109 itself returns rows at this sf
   }
 
+  test("q213: online scoring equals offline batch scoring, " +
+      "across >= 2 real micro-batches") {
+    val got = graft.queries.StreamQueries.q213.run(spark, sf)
+    val want = graft.queries.TextQueries.q208.run(spark, sf)
+      .select(col("doc_id"), col("p_micro"))
+    assertSameRows(got, want)
+    // the checkpoint's commit log records one entry per micro-batch —
+    // prove the seam really ran incrementally, not as one big batch
+    val base = s"${graft.ops.Scratch.dir(spark)}/graft_stream/" +
+      s"q213_${java.nio.file.Paths.get(sf).getFileName}"
+    val commits = new java.io.File(s"$base/ckpt/commits")
+      .list().count(n => n.forall(_.isDigit))
+    assert(commits >= 2, s"expected >= 2 committed micro-batches, got $commits")
+  }
+
   test("q186 plans the inference exchange between declarative spans") {
     val plan = graft.queries.SimilarityQueries.q186.run(spark, sf)
       .queryExecution.executedPlan.toString
