@@ -977,7 +977,7 @@ object TextQueries {
     * by the batch trainer/scorer (q191/q208) and the STREAMING scorer
     * (q213), so the online path can never drift from the trained
     * feature definition. All stateless projections: streaming-safe. */
-  private[queries] def clfFeatureCols: Seq[Column] = Seq(
+  private[graft] def clfFeatureCols: Seq[Column] = Seq(
     lit(1000000L).as("f0"),
     round(least(tokenCount(col("text")).cast("double") / 100.0,
       lit(1.0)) * 1e6).cast("bigint").as("f1"),
