@@ -48,7 +48,7 @@ object MultimodalQueries {
     * per documents generation behind a stamped fixture
     * ([[graft.ops.Fixtures]]); the timed query is the read → decode →
     * resample → tensorize dataflow. */
-  private def mediaStore(s: org.apache.spark.sql.SparkSession,
+  private[graft] def mediaStore(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val store = s"${graft.ops.Fixtures.root(s)}/media_png_" +
       graft.ops.Fixtures.pathKey(d)
@@ -112,32 +112,92 @@ object MultimodalQueries {
     * pattern — at scale the index is partitioned by bucket, so the
     * probe doubles as partition pruning); rerank is per-query
     * window-bounded. */
+  private val embDim = 16
+  private val bucketBits = 8
+  private val maxDim = 8
+
+  private def bucketCol(embC: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{lit, when}
+    (0 until bucketBits).map(k =>
+      when(embC.getItem(k) > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** decode→resize→embed→bucket for media rows — the shared encode
+    * stage of the image family (q210's index build AND serving path,
+    * q214's streaming ingest), all stateless batched mapPartitions +
+    * expressions, so it drops into a streaming dataflow unchanged. */
+  private[graft] def encodeMedia(s: org.apache.spark.sql.SparkSession,
+      media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val model = new graft.ops.ModelInference.PixelProjectionEmbedder(embDim)
+    val batch = s.conf.get(graft.ops.ModelInference.batchSizeKey,
+      graft.ops.ModelInference.defaultBatchSize.toString).toInt
+    graft.ops.ModelInference.embedImages(
+      Multimodal.resizeTensors(s, media, maxDim).toDF(),
+      "tensor", model, batch)
+      .select(col("media_id"),
+        col("emb").as("e"),
+        aggregate(transform(col("emb"), x => x * x), lit(0L),
+          (acc, x) => acc + x).as("nrm"))
+      .withColumn("bucket", bucketCol(col("e")))
+  }
+
+  /** The shared oracle prefix of the image family: closed-form pixels
+    * → resized per-pixel contributions → per-dim projection sums (the
+    * [[graft.ops.ModelInference.PixelProjectionEmbedder]] matrix
+    * verbatim: channel c's byte offset is o + c, its weight
+    * ((o + c + 1)(k + 7)) mod 23 − 11) → norm + sign bucket. Ends at
+    * the `ev(id, e, nrm, bucket)` relation both q210 (probe + rerank)
+    * and q214 (streaming ingest assignment) consume. */
+  private def mediaEvCtes: String = {
+    def dimSum(k: Int): String =
+      s"""CAST(sum(
+         |  ((id * 31 + sx * 7 + sy * 3) % 256)
+         |    * (((o + 1) * ${k + 7}) % 23 - 11)
+         |  + ((sx * 5 + sy * 11 + 1) % 256)
+         |    * (((o + 2) * ${k + 7}) % 23 - 11)
+         |  + ((id + sx + sy * 13) % 256)
+         |    * (((o + 3) * ${k + 7}) % 23 - 11)) AS BIGINT)""".stripMargin
+    val embCols = (1 to embDim).map(k => s"${dimSum(k)} AS e$k")
+      .mkString(",\n")
+    val eList = (1 to embDim).map(k => s"e$k").mkString("[", ", ", "]")
+    val bucketSql = (1 to bucketBits).map(k =>
+      s"CASE WHEN e[$k] > 0 THEN ${1L << (k - 1)} ELSE 0 END")
+      .mkString(" + ")
+    s"""d3 AS (
+       |  SELECT doc_id AS id, sw, sh,
+       |    CASE WHEN greatest(sw, sh) <= $maxDim THEN sw
+       |         ELSE greatest(1, sw * $maxDim // greatest(sw, sh))
+       |         END AS w,
+       |    CASE WHEN greatest(sw, sh) <= $maxDim THEN sh
+       |         ELSE greatest(1, sh * $maxDim // greatest(sw, sh))
+       |         END AS h
+       |  FROM (SELECT doc_id, 8 + doc_id % 13 AS sw,
+       |               8 + doc_id % 7 AS sh FROM documents)),
+       |px AS (
+       |  SELECT id, x * sw // w AS sx, y * sh // h AS sy,
+       |         (y * w + x) * 3 AS o
+       |  FROM d3,
+       |    LATERAL unnest(generate_series(0, h - 1)) AS ty(y),
+       |    LATERAL unnest(generate_series(0, w - 1)) AS tx(x)),
+       |emb AS MATERIALIZED (
+       |  SELECT id, $embCols
+       |  FROM px GROUP BY id),
+       |ev AS MATERIALIZED (
+       |  SELECT id, e,
+       |    list_aggregate(list_transform(e, x -> x * x), 'sum') AS nrm,
+       |    $bucketSql AS bucket
+       |  FROM (SELECT id, $eList AS e FROM emb))""".stripMargin
+  }
+
   val q210 = {
-    val embDim = 16
-    val bucketBits = 8
     val queryMod = 101L
-    val maxDim = 8
-    def bucketCol(embC: org.apache.spark.sql.Column) = {
-      import org.apache.spark.sql.functions.{lit, when}
-      (0 until bucketBits).map(k =>
-        when(embC.getItem(k) > 0, lit(1L << k)).otherwise(lit(0L)))
-        .reduce(_ + _)
-    }
     Q("q210_image_neardup_ann",
       (s, d) => {
         import org.apache.spark.sql.functions._
-        val model = new graft.ops.ModelInference.PixelProjectionEmbedder(embDim)
-        val batch = s.conf.get(graft.ops.ModelInference.batchSizeKey,
-          graft.ops.ModelInference.defaultBatchSize.toString).toInt
         def encode(media: org.apache.spark.sql.DataFrame) =
-          graft.ops.ModelInference.embedImages(
-            Multimodal.resizeTensors(s, media, maxDim).toDF(),
-            "tensor", model, batch)
-            .select(col("media_id"),
-              col("emb").as("e"),
-              aggregate(transform(col("emb"), x => x * x), lit(0L),
-                (acc, x) => acc + x).as("nrm"))
-            .withColumn("bucket", bucketCol(col("e")))
+          encodeMedia(s, media)
         // stored image-ANN index: one stamped build per generation
         val idx = s"${graft.ops.Fixtures.root(s)}/image_ann_" +
           graft.ops.Fixtures.pathKey(d)
@@ -170,47 +230,7 @@ object MultimodalQueries {
           .select(col("query_id"), col("match_id"), col("cosine"))
       },
       Some {
-        // per-dim projection sums over the resized pixels: channel c's
-        // byte offset is o + c, its weight ((o + c + 1)(k + 7)) mod 23
-        // − 11 — the PixelProjectionEmbedder matrix verbatim
-        def dimSum(k: Int): String =
-          s"""CAST(sum(
-             |  ((id * 31 + sx * 7 + sy * 3) % 256)
-             |    * (((o + 1) * ${k + 7}) % 23 - 11)
-             |  + ((sx * 5 + sy * 11 + 1) % 256)
-             |    * (((o + 2) * ${k + 7}) % 23 - 11)
-             |  + ((id + sx + sy * 13) % 256)
-             |    * (((o + 3) * ${k + 7}) % 23 - 11)) AS BIGINT)""".stripMargin
-        val embCols = (1 to embDim).map(k => s"${dimSum(k)} AS e$k")
-          .mkString(",\n")
-        val eList = (1 to embDim).map(k => s"e$k").mkString("[", ", ", "]")
-        val bucketSql = (1 to bucketBits).map(k =>
-          s"CASE WHEN e[$k] > 0 THEN ${1L << (k - 1)} ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH d3 AS (
-           |  SELECT doc_id AS id, sw, sh,
-           |    CASE WHEN greatest(sw, sh) <= $maxDim THEN sw
-           |         ELSE greatest(1, sw * $maxDim // greatest(sw, sh))
-           |         END AS w,
-           |    CASE WHEN greatest(sw, sh) <= $maxDim THEN sh
-           |         ELSE greatest(1, sh * $maxDim // greatest(sw, sh))
-           |         END AS h
-           |  FROM (SELECT doc_id, 8 + doc_id % 13 AS sw,
-           |               8 + doc_id % 7 AS sh FROM documents)),
-           |px AS (
-           |  SELECT id, x * sw // w AS sx, y * sh // h AS sy,
-           |         (y * w + x) * 3 AS o
-           |  FROM d3,
-           |    LATERAL unnest(generate_series(0, h - 1)) AS ty(y),
-           |    LATERAL unnest(generate_series(0, w - 1)) AS tx(x)),
-           |emb AS MATERIALIZED (
-           |  SELECT id, $embCols
-           |  FROM px GROUP BY id),
-           |ev AS MATERIALIZED (
-           |  SELECT id, e,
-           |    list_aggregate(list_transform(e, x -> x * x), 'sum') AS nrm,
-           |    $bucketSql AS bucket
-           |  FROM (SELECT id, $eList AS e FROM emb)),
+        s"""WITH $mediaEvCtes,
            |hits AS (
            |  SELECT q.id AS query_id, c.id AS match_id,
            |    CAST(list_aggregate(list_transform(
@@ -228,5 +248,57 @@ object MultimodalQueries {
       })
   }
 
-  val all: Seq[Q] = Seq(q25, q133, q210)
+  /** q214 — STREAMING MEDIA INGEST: the image encode stage (q210's
+    * decode→resize→embed→sign-bucket, [[encodeMedia]]) run as a
+    * STATELESS STREAMING OPERATOR — PNG payloads arrive in two real
+    * micro-batches and every image is embedded and index-bucket-
+    * assigned AT INGEST (the continuous media-curation topology: the
+    * stored ANN index of q210 grows by exactly these assignments).
+    * q213 proved the text seam under incremental execution; this is
+    * the media face — batched typed mapPartitions (decode + embed)
+    * per micro-batch, zero state stores, zero shuffles, append sink.
+    * The oracle replays closed-form pixels → projection → bucket for
+    * every payload; hash-green pins every ingested image's embedding
+    * norm and bucket across the batch boundaries.
+    *
+    * Scale shape: identical to the batch encode (scan-local batched
+    * compute); at scale the sink appends straight into the
+    * bucket-partitioned index layout, so ingest doubles as index
+    * maintenance with no rebuild. */
+  val q214 = Q("q214_stream_media_ingest",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = s"${graft.ops.Scratch.dir(s)}/graft_stream/q214_${java.nio.file.Paths.get(d).getFileName}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val media = mediaStore(s, d)
+      // two arrival waves -> two micro-batches (maxFilesPerTrigger=1)
+      media.filter(col("media_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      media.filter(col("media_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      val assigned = encodeMedia(s, stream)
+        .select(col("media_id"), col("bucket"), col("nrm"))
+      val q = assigned.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$base/out"); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+    },
+    Some(
+      s"""WITH $mediaEvCtes
+         |SELECT id AS media_id, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(nrm AS BIGINT) AS nrm
+         |FROM ev""".stripMargin))
+
+  val all: Seq[Q] = Seq(q25, q133, q210, q214)
 }

@@ -51,6 +51,7 @@ object Q {
     "q187_stream_lm_counts", // update-mode checkpoint + batch ledger
     "q201_stream_dedup", // streaming LSH state across two micro-batches
     "q213_stream_scored_ingest", // staged waves + checkpointed seam scoring
+    "q214_stream_media_ingest", // staged media waves + checkpointed image seam
     "q163_sql_insert_frontdoor", // appends to its scratch target via SQL
     "q172_sql_script_frontdoor", // whole-script staged-swap runs
     "q173_sql_script_audit") // same script runs, audit side

@@ -267,6 +267,24 @@ class ModelInferenceSpec extends SparkSuite {
     assert(commits >= 2, s"expected >= 2 committed micro-batches, got $commits")
   }
 
+  test("q214: streaming media ingest equals batch encode, " +
+      "across >= 2 real micro-batches") {
+    import graft.queries.MultimodalQueries
+    val got = MultimodalQueries.q214.run(spark, sf)
+    // batch twin: the same encode over the full media store, through
+    // the engine's own stages (the oracle separately replays it in
+    // closed form) — stream output must match exactly, no dupes
+    val want = MultimodalQueries.encodeMedia(spark,
+      MultimodalQueries.mediaStore(spark, sf))
+      .select(col("media_id"), col("bucket"), col("nrm"))
+    assertSameRows(got, want)
+    val base = s"${graft.ops.Scratch.dir(spark)}/graft_stream/" +
+      s"q214_${java.nio.file.Paths.get(sf).getFileName}"
+    val commits = new java.io.File(s"$base/ckpt/commits")
+      .list().count(n => n.forall(_.isDigit))
+    assert(commits >= 2, s"expected >= 2 committed micro-batches, got $commits")
+  }
+
   test("q186 plans the inference exchange between declarative spans") {
     val plan = graft.queries.SimilarityQueries.q186.run(spark, sf)
       .queryExecution.executedPlan.toString

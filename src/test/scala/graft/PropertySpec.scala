@@ -23,6 +23,27 @@ class PropertySpec extends SparkSuite {
   private val rowsGen: Gen[List[(Int, String)]] =
     Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.oneOf("a", "b", "c", "")))
 
+  test("pair scorer: batch-boundary independence, absent-terms zero " +
+      "(the seam purity contract, pure JVM)") {
+    import graft.ops.ModelInference
+    val m = new ModelInference.TermProximityScorer
+    val q = "vector merge stream"
+    val tokGen = Gen.oneOf("vector", "merge", "stream", "x", "yy", "")
+    val docGen = Gen.listOfN(12, tokGen).map(_.mkString(" "))
+    check("pairScorerBatchIndep", Prop.forAll(docGen, docGen) { (t1, t2) =>
+      val together = m.scorePairBatch(Array(q, q), Array(t1, t2)).toSeq
+      val apart = Seq(m.scorePairBatch(Array(q), Array(t1))(0),
+        m.scorePairBatch(Array(q), Array(t2))(0))
+      together == apart
+    })
+    // no query term present -> exactly zero, no accidental baseline
+    assert(m.scorePairBatch(Array(q), Array("x yy x"))(0) == 0L)
+    // determinism across calls
+    val d = "x vector yy merge stream"
+    assert(m.scorePairBatch(Array(q), Array(d))(0) ==
+      m.scorePairBatch(Array(q), Array(d))(0))
+  }
+
   test("dedup is idempotent and bounded by input size (D1)") {
     check("dedup", Prop.forAll(rowsGen) { rows =>
       val df = rows.toDF("k", "v")
