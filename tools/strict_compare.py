@@ -25,9 +25,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def oracle_type_gate(con, oracle):
-    """Returns (n_flagged, bind_failed_names): a SQL that fails to BIND
-    is counted once here and skipped by the main loop — executing it
-    again would double-count the same defect."""
     """Bind (not execute) every oracle SQL and flag any output column whose
     DuckDB type is HUGEINT/UHUGEINT/DECIMAL: pandas renders those as
     float64 on the driver side, so the driver's string hash sees `123.0`
@@ -35,7 +32,9 @@ def oracle_type_gate(con, oracle):
     that fetchall()-based compares (including the loop below, which gets
     Python ints for HUGEINT) CANNOT catch. This is the exact mechanism
     that shipped q179/q183 red in round 9. Binding all oracles takes
-    seconds; no data is read."""
+    seconds; no data is read. Returns (n_flagged, bind_failed_names):
+    a SQL that fails to BIND is counted once here and skipped by the
+    main loop — executing it again would double-count the defect."""
     bad = []
     bind_failed = set()
     for name, sql in sorted(oracle.items()):
