@@ -26,13 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object LmCounts {
 
-  /** The two stored count relations for the documents table at `d`:
-    * (bigram counts bc(w1, w2, cb), unigram counts cu(w, cu)). */
   /** Count-pipeline algorithm version for the fixture stamp — bump
     * alongside changes to the count derivation below; the tokenizer's
     * own version rides in separately ([[TextAnalysis.tokensAlgoVersion]]). */
   val algoVersion = 1
 
+  /** The two stored count relations for the documents table at `d`:
+    * (bigram counts bc(w1, w2, cb), unigram counts cu(w, cu)). */
   def stored(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val dir = s"${Fixtures.root(s)}/lm_counts_${Fixtures.pathKey(d)}"
     val stamp = Fixtures.datasetStamp(s, s"$d/documents.parquet") +
