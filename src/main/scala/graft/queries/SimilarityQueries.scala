@@ -742,7 +742,7 @@ object SimilarityQueries {
       (s, d) => {
         val tag = java.nio.file.Paths.get(d).getFileName.toString
           .replaceAll("[^A-Za-z0-9]", "_")
-        val idx = s"/tmp/graft_ann_index/$tag"
+        val idx = s"${graft.ops.Fixtures.root(s)}/ann_index/$tag"
         val vecs = intVecs(s, d).select(col("vec_id"), col("iv"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val isDelta = (col("vec_id") % deltaMod) >= deltaFrom
@@ -828,7 +828,7 @@ object SimilarityQueries {
         import org.apache.spark.sql.expressions.Window
         val tag = java.nio.file.Paths.get(d).getFileName.toString
           .replaceAll("[^A-Za-z0-9]", "_")
-        val idx = s"/tmp/graft_ann_recall/$tag"
+        val idx = s"${graft.ops.Fixtures.root(s)}/ann_recall/$tag"
         val vecs = intVecs(s, d).select(col("vec_id"), col("iv"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val isDelta = (col("vec_id") % deltaMod) >= deltaFrom
@@ -1287,7 +1287,7 @@ object SimilarityQueries {
   private def storedLayeredEdges(s: SparkSession, d: String): DataFrame = {
     val tag = java.nio.file.Paths.get(d).getFileName.toString
       .replaceAll("[^A-Za-z0-9]", "_")
-    val idx = s"/tmp/graft_graph_index_layered/$tag"
+    val idx = s"${graft.ops.Fixtures.root(s)}/graph_index_layered/$tag"
     graft.ops.GraphIndex.ensureLayered(s, idx, graphVecs(s, d), graphK,
       graphRounds, Seq("sb1", "sb2"), layerMod, layerLevels,
       dataStamp(s, d))
@@ -1762,7 +1762,7 @@ object SimilarityQueries {
       val bc = Seq("sb1", "sb2")
       val tag = java.nio.file.Paths.get(d).getFileName.toString
         .replaceAll("[^A-Za-z0-9]", "_")
-      val idx = s"/tmp/graft_graph_index/$tag"
+      val idx = s"${graft.ops.Fixtures.root(s)}/graph_index/$tag"
       val vecs = graphVecs(s, d)
       val isDelta = (col("vec_id") % graphDeltaMod) >= graphDeltaFrom
       val stamp = dataStamp(s, d)
@@ -1912,7 +1912,7 @@ object SimilarityQueries {
     (s, d) => {
       val tag = java.nio.file.Paths.get(d).getFileName.toString
         .replaceAll("[^A-Za-z0-9]", "_")
-      val idx = s"/tmp/graft_graph_index_layered/$tag"
+      val idx = s"${graft.ops.Fixtures.root(s)}/graph_index_layered/$tag"
       val vecs = graphVecs(s, d)
       graft.ops.GraphIndex.ensureLayered(s, idx, vecs, graphK,
         graphRounds, Seq("sb1", "sb2"), layerMod, layerLevels,

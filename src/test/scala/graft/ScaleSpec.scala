@@ -191,7 +191,7 @@ class ScaleSpec extends SparkSuite {
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
     // cell membership must come from the MATERIALIZED index...
-    assert(plan.contains("graft_ann_index"),
+    assert(plan.contains("/ann_index/"),
       s"probe must read the persisted assignments:\n$plan")
     // ...and the probe plan must not contain the training/update shape
     // (Lloyd passes explode (vec, dim) rows and re-aggregate by
