@@ -32,6 +32,7 @@ object Q {
     "q12_incremental_load", "q13_audit_log", // staged-swap publish
     "q26_streaming_ingest", "q124_stream_stream_join", // checkpoints
     "q125_stream_window_agg", "q134_stream_upsert",
+    "q156_stream_token_budget", // staged source + checkpointed complete-mode run
     "q33_csv_roundtrip", "q38_json_roundtrip", "q39_orc_roundtrip",
     "q69_schema_evolution", // format round-trips rewrite scratch files
     "q71_incremental_agg", // state v1→v2
