@@ -4,17 +4,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // RAM scratch is never reaped by the OS between runs: stream
-    // queries delete only their own (query, sf) base on their NEXT
-    // run, so staging from crashed or differently-parameterized
-    // sessions would otherwise accumulate in tmpfs across bench runs.
-    // One recursive delete of the root at startup bounds it to a
-    // single session's footprint.
-    val scratch = graft.ops.Scratch.fastScratch()
-    if (scratch != "/tmp")
-      try org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(scratch))
-      catch { case _: Throwable => () }
+    // PER-PROCESS RAM scratch with dead-owner reaping (ops/Scratch):
+    // bounds tmpfs accumulation across crashed runs without wiping a
+    // concurrently running session's live checkpoints (StageProbe /
+    // StreamProbe / a second bench share this root on this box).
+    val scratch = graft.ops.Scratch.sessionScratch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,7 +16,7 @@ object Bench {
       // ephemeral protocol scratch (stream checkpoints, staged sources)
       // on RAM when the box has it: a local-mode bench's checkpoint
       // fsyncs measure the disk, not the operator — see ops/Scratch
-      .config(graft.ops.Scratch.confKey, graft.ops.Scratch.fastScratch())
+      .config(graft.ops.Scratch.confKey, scratch)
       // let AQE (incl. partition coalescing) run INSIDE cached-plan
       // builds: Spark ships this false for plan-stability compat, which
       // pins every persisted relation to the static shuffle width — 32

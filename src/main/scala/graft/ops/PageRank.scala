@@ -25,18 +25,11 @@ import org.apache.spark.storage.StorageLevel
 object PageRank {
 
   /** `edges`: directed (src BIGINT, dst BIGINT), pre-deduplicated.
-    * Returns (node, rank) over nodes = src ∪ dst. */
-  def run(edges: DataFrame, iterations: Int): DataFrame =
-    run(edges, iterations, None)
-
-  /** As [[run]], with the node set supplied by a caller that already
-    * knows it (e.g. a symmetric graph, where nodes = distinct src) —
-    * skips the union-distinct over both edge endpoints, one corpus
-    * shuffle at scale. The caller's relation must equal src ∪ dst
-    * exactly; dangling-only nodes missing from it would silently drop
-    * their rank rows. */
-  def run(edges: DataFrame, iterations: Int,
-      knownNodes: Option[DataFrame]): DataFrame = {
+    * Returns (node, rank) over nodes = src ∪ dst. (A known-node-set
+    * overload existed briefly; it was dead API whose failure mode —
+    * dangling-only nodes silently dropping rank rows — had no guard,
+    * so it was removed until a caller needs it.) */
+  def run(edges: DataFrame, iterations: Int): DataFrame = {
     // the EDGE RELATION is the one corpus-sized thing here — persist
     // it once and derive everything (node set, outdegrees, every
     // iteration's contribution pass) from that cache; materializing a
@@ -54,10 +47,9 @@ object PageRank {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = knownNodes.map(_.select(col("node"))).getOrElse {
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // outdegree is node-sized (tiny next to edges): persisted once,
     // it rides into each iteration's join as a broadcast at this
     // scale (AQE decides; at cluster scale it key-partitions)

@@ -23,4 +23,39 @@ object Scratch {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_scratch" else "/tmp"
   }
+
+  /** A PER-PROCESS scratch dir under [[fastScratch]], with dead-owner
+    * reaping: RAM scratch is never reaped by the OS between runs, so
+    * crashed sessions would accumulate in tmpfs — but a recursive wipe
+    * of the shared root (the previous bound) deletes a CONCURRENT
+    * session's live checkpoints mid-query (bench beside StageProbe on
+    * this shared box). Instead each session owns `p<pid>/`, wipes only
+    * its own leftover (pid reuse), and reaps siblings whose owning
+    * process is gone (`/proc/<pid>` absent). Non-conforming entries
+    * (the pre-scoping layout) are reaped too. Where `/proc` is
+    * unavailable the reap degrades to own-dir-only — strictly safer,
+    * slightly laxer bound. */
+  def sessionScratch(): String = {
+    val root = fastScratch()
+    if (root == "/tmp") return "/tmp"
+    val rootF = new java.io.File(root)
+    rootF.mkdirs()
+    val procFs = new java.io.File("/proc").isDirectory
+    def ownerAlive(name: String): Boolean = {
+      val pid = name.stripPrefix("p")
+      name.startsWith("p") && pid.nonEmpty && pid.forall(_.isDigit) &&
+        (!procFs || new java.io.File(s"/proc/$pid").exists())
+    }
+    Option(rootF.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => ownerAlive(f.getName))
+      .foreach { f =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Throwable => () }
+      }
+    val mine = new java.io.File(rootF,
+      s"p${ProcessHandle.current().pid()}")
+    try org.apache.commons.io.FileUtils.deleteDirectory(mine)
+    catch { case _: Throwable => () }
+    mine.toString
+  }
 }

@@ -218,17 +218,55 @@ object EtlQueries {
        |LEFT JOIN part pt ON pt.p_partkey = o_orderkey % 2000
        |LEFT JOIN cr ON cr.cancel_code = o_orderkey % 7""".stripMargin
 
-  // The branch builders' 15-join analysis is per-(session, dataset)
-  // constant — memoized like q139's parsed statement (see q11's note);
-  // re-execution re-optimizes and re-runs, results unchanged.
+  // The branch builders' 15-join analysis is per-(session, dataset,
+  // SOURCE GENERATION) constant — memoized like q139's parsed
+  // statement (see q11's note); re-execution re-optimizes and re-runs,
+  // results unchanged. The memo key carries a content stamp of every
+  // table the branches read, because the analyzed plan pins the
+  // analysis-time file listing (InMemoryFileIndex): in-place testdata
+  // regeneration within a session — the round-8 incident class the
+  // fixture stamps guard against — must invalidate the entry, not
+  // silently read stale part files. Seven listStatus calls per run,
+  // driver-side noise next to the 15-join analysis being amortized.
+  private val branchTables = Seq(
+    "orders", "part", "supplier", "nation", "region", "events", "lineitem")
+  private def branchStamp(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    branchTables.map(t =>
+      try graft.ops.Fixtures.datasetStamp(s, s"$d/$t.parquet")
+      catch { case _: Throwable => s"$t:absent" }).mkString("#")
+
+  // Per-session memo store, WEAKLY keyed on the session: a stopped,
+  // dereferenced SparkSession's resolved DataFrames must not be
+  // retained for the JVM's lifetime (test suites churn sessions).
+  private val memoStore = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String, String),
+      org.apache.spark.sql.DataFrame]]()
+
+  private def memoized(s: org.apache.spark.sql.SparkSession, name: String,
+      d: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = memoStore.synchronized {
+      var cur = memoStore.get(s)
+      if (cur == null) {
+        cur = scala.collection.concurrent.TrieMap
+          .empty[(String, String, String), org.apache.spark.sql.DataFrame]
+        memoStore.put(s, cur)
+      }
+      cur
+    }
+    val stamp = branchStamp(s, d)
+    // a regenerated source must not strand its stale entry either
+    m.keySet.filter(k => k._1 == name && k._2 == d && k._3 != stamp)
+      .foreach(m.remove)
+    m.getOrElseUpdate((name, d, stamp), build)
+  }
+
   private def memoQ(name: String, sql: String)(
       build: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): Q = {
-    val memo = scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String),
-        org.apache.spark.sql.DataFrame]
-    Q(name, (s, d) => memo.getOrElseUpdate((s, d), build(s, d)), Some(sql))
-  }
+        => org.apache.spark.sql.DataFrame): Q =
+    Q(name, (s, d) => memoized(s, name, d)(build(s, d)), Some(sql))
 
   val q08 = memoQ("q08_item_status_branch", b1Sql)(
     ItemStatus.build(_, _, itemStatusOffset))
@@ -241,15 +279,13 @@ object EtlQueries {
 
   val q11 = {
     // Branch construction + analysis of the three 15-join trees is
-    // per-(session, dataset) CONSTANT — memoized exactly like q139's
-    // parsed statement (the session plan-cache behavior both front
-    // doors should share). Re-running the memoized frame re-optimizes
-    // and re-executes, so the result cannot differ from a fresh build.
-    val memo = scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String),
-        org.apache.spark.sql.DataFrame]
+    // per-(session, dataset, source generation) CONSTANT — memoized
+    // exactly like q139's parsed statement (the session plan-cache
+    // behavior both front doors should share). Re-running the memoized
+    // frame re-optimizes and re-executes, so the result cannot differ
+    // from a fresh build.
     Q("q11_fact_union",
-      (s, d) => memo.getOrElseUpdate((s, d),
+      (s, d) => memoized(s, "q11", d)(
         Fact.build(s, d, itemStatusOffset, chinaOffset, tomfordOffset)),
       Some(s"($b1Sql)\nUNION ALL\n($b2Sql)\nUNION ALL\n($b3Sql)"))
   }
@@ -608,19 +644,16 @@ object EtlQueries {
     * aliases, so this adds API surface, not a second engine path.) */
   val q139 = {
     val cols = graft.etl.Fact.columns.mkString(",\n  ")
-    // Statement text is parsed + ANALYZED once per (session, dataset)
-    // and the resolved DataFrame reused — the session-catalog behavior
-    // a repeated-dashboard statement gets from any engine's plan cache
-    // (the Scala path's branch builders are likewise per-run constant).
-    // Re-running the memoized frame re-optimizes + re-executes; only
-    // parse/view-resolution of the 15-join trees is amortized, so the
-    // result cannot differ from a fresh statement (q139 stays
-    // hash-equal to q11's oracle).
-    val memo = scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String),
-        org.apache.spark.sql.DataFrame]
+    // Statement text is parsed + ANALYZED once per (session, dataset,
+    // source generation) and the resolved DataFrame reused — the
+    // session-catalog behavior a repeated-dashboard statement gets from
+    // any engine's plan cache (the Scala path's branch builders are
+    // likewise per-run constant). Re-running the memoized frame
+    // re-optimizes + re-executes; only parse/view-resolution of the
+    // 15-join trees is amortized, so the result cannot differ from a
+    // fresh statement (q139 stays hash-equal to q11's oracle).
     Q("q139_sql_fact_frontdoor",
-      (s, d) => memo.getOrElseUpdate((s, d), {
+      (s, d) => memoized(s, "q139", d)({
         graft.tables.Catalog.registerViews(s, d)
         ItemStatus.build(s, d, itemStatusOffset)
           .createOrReplaceTempView("fact_branch_item_status")

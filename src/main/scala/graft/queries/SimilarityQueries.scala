@@ -2513,31 +2513,40 @@ object SimilarityQueries {
       val layered = storedLayeredEdges(s, d)
       def tag(df: DataFrame, g: String): DataFrame =
         df.select(lit(g).as("g"), col("u"), col("v"))
-      tag(storedBuiltGraph(s, d, "full", None), "full")
-        .unionByName(tag(
-          storedBuiltGraph(s, d, "base", Some(!isDelta)), "base"))
-        .unionByName(tag(layered.filter(col("layer") === 0), "l0"))
-        .unionByName(tag(layered.filter(col("layer") === 1), "l1"))
-        .unionByName(tag(layered.filter(col("layer") === 2), "l2"))
+      // every layer 0..layerLevels audited, DERIVED from layerLevels —
+      // raising it must grow the audit on both sides in lockstep, not
+      // leave upper layers silently uncovered (ADVICE r11)
+      (0 to layerLevels).map(l =>
+        tag(layered.filter(col("layer") === l), s"l$l"))
+        .foldLeft(
+          tag(storedBuiltGraph(s, d, "full", None), "full")
+            .unionByName(tag(
+              storedBuiltGraph(s, d, "base", Some(!isDelta)), "base")))(
+          _ unionByName _)
     },
     Some {
-      val topMod = layerMod * layerMod
+      // per-layer CTEs generated from layerLevels (layer ℓ samples
+      // vec_id % layerMod^ℓ = 0; layer 0 is the full graph) — the same
+      // derivation q175's engine side uses, mirrored here
+      def mod(l: Int): Long =
+        math.pow(layerMod.toDouble, l.toDouble).toLong
+      val layerCtes = (1 to layerLevels).map(l =>
+        s"""nx$l AS MATERIALIZED (SELECT * FROM n
+           |      WHERE vec_id % ${mod(l)} = 0),
+           |${graphChainSql(s"nx$l", s"x$l")}""".stripMargin)
+        .mkString(",\n")
+      val layerSelects = (0 to layerLevels).map(l =>
+        s"UNION ALL SELECT 'l$l' AS g, u, v FROM ref" +
+          (if (l == 0) "" else s"x$l")).mkString("\n")
       s"""WITH $graphCorpusSql,
          |${graphChainSql("n", "")},
          |nh AS MATERIALIZED (SELECT * FROM n
          |      WHERE vec_id % $graphDeltaMod < $graphDeltaFrom),
          |${graphChainSql("nh", "h")},
-         |nx1 AS MATERIALIZED (SELECT * FROM n
-         |      WHERE vec_id % $layerMod = 0),
-         |${graphChainSql("nx1", "x1")},
-         |nx2 AS MATERIALIZED (SELECT * FROM n
-         |      WHERE vec_id % $topMod = 0),
-         |${graphChainSql("nx2", "x2")}
+         |$layerCtes
          |SELECT 'full' AS g, u, v FROM ref
          |UNION ALL SELECT 'base' AS g, u, v FROM refh
-         |UNION ALL SELECT 'l0' AS g, u, v FROM ref
-         |UNION ALL SELECT 'l1' AS g, u, v FROM refx1
-         |UNION ALL SELECT 'l2' AS g, u, v FROM refx2""".stripMargin
+         |$layerSelects""".stripMargin
     })
 
   val all: Seq[Q] =
