@@ -74,6 +74,13 @@ object ModelInference {
   val batchSizeKey = "spark.graft.inference.batchSize"
   val defaultBatchSize = 64
 
+  /** Image-embedder algorithm version for fixture stamps — bump when
+    * [[PixelProjectionEmbedder]]'s projection formula changes, so
+    * stored image-ANN indexes rebuild instead of replaying stale
+    * embeddings (the algoVersion pattern of Dedup/KnnGraph/LmCounts,
+    * applied to the model seam). */
+  val imageEmbedAlgoVersion = 1
+
   /** The SCORING face of the seam: one batch of feature vectors in,
     * one micro-scaled score per row out — batched classifier /
     * reward-model inference (the "score" member of the
@@ -327,6 +334,70 @@ object ModelInference {
       it.grouped(batchSize).flatMap { batch =>
         val embs = model.embedBatch(batch.iterator
           .map(_.getAs[Array[Byte]](tensorIdx)).toArray)
+        require(embs.length == batch.length,
+          s"model returned ${embs.length} embeddings for ${batch.length} inputs")
+        batch.iterator.zip(embs.iterator).map { case (r, e) =>
+          Row.fromSeq(keep.map(r.get) :+ (e.toIndexedSeq: Seq[Long]))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The AUDIO face of the seam: one batch of PCM waveforms in (signed
+    * sample values, channel-interleaved — the decoded form an audio
+    * model consumes; container parsing is the engine's decode stage,
+    * [[Multimodal.decodeWavSamples]]), one embedding per waveform out —
+    * the audio twin of [[ImageEmbedder]], same batch/purity/determinism
+    * contract so a verifying oracle replays it from closed-form
+    * samples. */
+  trait AudioEmbedder extends Serializable {
+    def dim: Int
+    def embedBatch(waves: Array[Array[Long]]): Array[Array[Long]]
+  }
+
+  /** Audio-embedder algorithm version for fixture stamps — the
+    * [[imageEmbedAlgoVersion]] discipline on the audio face. */
+  val audioEmbedAlgoVersion = 1
+
+  /** Deterministic integer waveform projection: dim k (1-based) =
+    * Σ_t s_t · (((t + 1) · (k + 5)) mod 19 − 9) over the waveform's
+    * samples — a fixed ±9 projection matrix indexed by sample position
+    * (the [[PixelProjectionEmbedder]] role for audio rows; a production
+    * model swaps `embedBatch` and nothing else). */
+  final class WaveProjectionEmbedder(val dim: Int) extends AudioEmbedder {
+    def embedBatch(waves: Array[Array[Long]]): Array[Array[Long]] =
+      waves.map { s =>
+        val e = new Array[Long](dim)
+        var t = 0
+        while (t < s.length) {
+          var k = 1
+          while (k <= dim) {
+            e(k - 1) += s(t) * (((t + 1).toLong * (k + 5)) % 19 - 9)
+            k += 1
+          }
+          t += 1
+        }
+        e
+      }
+  }
+
+  /** Run `model` over `df`'s `wavesCol` (array<bigint> PCM samples),
+    * emitting every other column unchanged plus `emb array<bigint>` —
+    * [[embed]]'s contract on audio rows. */
+  def embedAudio(df: DataFrame, wavesCol: String, model: AudioEmbedder,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"inference batch size must be >= 1, got $batchSize")
+    val inSchema = df.schema
+    val wavesIdx = inSchema.fieldIndex(wavesCol)
+    val keep = inSchema.fields.indices.filterNot(_ == wavesIdx)
+    val outSchema = StructType(
+      keep.map(inSchema.fields) :+
+        StructField("emb", ArrayType(LongType, containsNull = false),
+          nullable = false))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val embs = model.embedBatch(batch.iterator
+          .map(_.getSeq[Long](wavesIdx).toArray).toArray)
         require(embs.length == batch.length,
           s"model returned ${embs.length} embeddings for ${batch.length} inputs")
         batch.iterator.zip(embs.iterator).map { case (r, e) =>

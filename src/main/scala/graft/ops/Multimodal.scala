@@ -417,4 +417,102 @@ object Multimodal {
       MediaRow(id, "image", syntheticPng(id),
         -1L))).map(m => m.copy(n_bytes = m.content.length.toLong)).toDF()
   }
+
+  /** Synthetic-WAV builder algorithm version for fixture stamps — bump
+    * when [[syntheticWav]]'s sample/encode recipe changes ([[
+    * mediaAlgoVersion]]'s role on the audio corpus). */
+  val audioMediaAlgoVersion = 1
+
+  /** Deterministic synthetic waveform for media_id: n = 48 + id mod 17
+    * mono PCM-16 samples at 8 kHz, sample t =
+    *   ((id·13 + t²·7 + t·29) mod 65536) − 32768
+    * encoded as a REAL RIFF/WAVE payload (the bytes a pipeline would
+    * carry — [[decodeWav]]/[[decodeWavSamples]] parse it as a genuine
+    * container pass) while the sample function stays closed-form for
+    * the oracle. */
+  def syntheticWav(mediaId: Long): Array[Byte] = {
+    val n = (48 + mediaId % 17).toInt
+    val dataBytes = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(16000) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var t = 0
+    while (t < n) {
+      out.putShort(
+        (((mediaId * 13 + t.toLong * t * 7 + t * 29L) % 65536) - 32768).toShort)
+      t += 1
+    }
+    out.array()
+  }
+
+  /** REAL audio PCM decode — [[decodeWav]]'s RIFF/WAVE chunk walk,
+    * extended to slurp the `data` chunk as signed samples (16-bit LE;
+    * channel-interleaved order preserved — the waveform an audio model
+    * consumes). None for anything that is not parseable 16-bit PCM, so
+    * callers route to a quarantine path instead of embedding noise. */
+  def decodeWavSamples(content: Array[Byte]): Option[Array[Long]] = {
+    def le16(i: Int) = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long =
+      (content(i) & 0xffL) | ((content(i + 1) & 0xffL) << 8) |
+        ((content(i + 2) & 0xffL) << 16) | ((content(i + 3) & 0xffL) << 24)
+    def tag(i: Int) = new String(content, i, 4, "US-ASCII")
+    if (content.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var i = 12
+      var bits = -1
+      var data: Option[(Int, Int)] = None // (offset, nBytes)
+      while (i + 8 <= content.length && (bits < 0 || data.isEmpty)) {
+        val id = tag(i)
+        val sz = le32(i + 4)
+        if (id == "fmt " && i + 24 <= content.length && le16(i + 8) == 1)
+          bits = le16(i + 22)
+        if (id == "data" && i + 8 + sz <= content.length)
+          data = Some((i + 8, sz.toInt))
+        if (sz < 0 || sz > content.length) i = content.length
+        else i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      for ((off, nBytes) <- data if bits == 16) yield {
+        val samples = new Array[Long](nBytes / 2)
+        var j = 0
+        while (j < samples.length) {
+          samples(j) = le16(off + j * 2).toShort.toLong // sign-extend
+          j += 1
+        }
+        samples
+      }
+    }
+  }
+
+  /** Decoded waveform row — the audio twin of [[ImageTensor]]. */
+  final case class WaveRow(media_id: Long, n_samples: Long,
+      samples: Array[Long])
+
+  /** The audio decode pipeline stage: WAV payloads → signed PCM
+    * waveforms, batched partition-local (the decode→embed front half of
+    * the audio seam — same contract as [[resizeTensors]] on images).
+    * Unparseable payloads are dropped (quarantine sink in production). */
+  def decodeWaves(spark: SparkSession, media: DataFrame): Dataset[WaveRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.grouped(batchSize).flatMap(b =>
+      b.flatMap(m => decodeWavSamples(m.content).map(s =>
+        WaveRow(m.media_id, s.length.toLong, s)))))
+  }
+
+  /** Synthetic-WAV media corpus keyed by doc_id — [[syntheticImageMedia]]
+    * on the audio modality. */
+  def syntheticAudioMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map(id =>
+      MediaRow(id, "audio", syntheticWav(id),
+        -1L))).map(m => m.copy(n_bytes = m.content.length.toLong)).toDF()
+  }
 }

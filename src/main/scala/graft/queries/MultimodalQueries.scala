@@ -204,6 +204,7 @@ object MultimodalQueries {
         val stamp =
           graft.ops.Fixtures.datasetStamp(s, s"$d/documents.parquet") +
             s"|media=${Multimodal.mediaAlgoVersion}" +
+            s"|emb=${graft.ops.ModelInference.imageEmbedAlgoVersion}" +
             s"|dim=$embDim|bits=$bucketBits|maxdim=$maxDim|fmt=1"
         graft.ops.Fixtures.ensure(s, idx, stamp) { stg =>
           encode(mediaStore(s, d)).write.mode("overwrite").parquet(stg)
@@ -300,5 +301,146 @@ object MultimodalQueries {
          |  CAST(nrm AS BIGINT) AS nrm
          |FROM ev""".stripMargin))
 
-  val all: Seq[Q] = Seq(q25, q133, q210, q214)
+  /** q215 — AUDIO NEAR-DUP RETRIEVAL through the model seam: the media
+    * triad's audio face completed end to end, mirroring q210's
+    * composition exactly — a REAL RIFF/WAVE corpus (closed-form PCM
+    * samples, [[graft.ops.Multimodal.syntheticWav]]) → genuine
+    * container decode ([[graft.ops.Multimodal.decodeWaves]]) →
+    * [[graft.ops.ModelInference.embedAudio]] (deterministic
+    * `WaveProjectionEmbedder`) → a STORED sign-bucket ANN index
+    * (stamped fixture) → live query-batch decode+embed + bucket probe
+    * + exact cosine rerank to each query's best non-self match.
+    *
+    * The oracle replays decode→embed→bucket→probe end-to-end from the
+    * closed-form sample formula — hash-green pins every sample's
+    * contribution to every embedding dim, the whole audio-to-retrieval
+    * pipeline.
+    *
+    * Scale shape (100 TB): identical to q210 — embed is scan-local
+    * batched compute, the probe is one equi join on the bucket key
+    * (bucket-partitioned index layout at scale), rerank is per-query
+    * window-bounded; never corpus × queries. */
+  private val audioEmbDim = 16
+
+  /** decode→embed→bucket for audio media rows — q210's [[encodeMedia]]
+    * on the audio modality (stateless batched mapPartitions +
+    * expressions, streaming-ready unchanged). */
+  private[graft] def encodeAudio(s: org.apache.spark.sql.SparkSession,
+      media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val model =
+      new graft.ops.ModelInference.WaveProjectionEmbedder(audioEmbDim)
+    val batch = s.conf.get(graft.ops.ModelInference.batchSizeKey,
+      graft.ops.ModelInference.defaultBatchSize.toString).toInt
+    graft.ops.ModelInference.embedAudio(
+      Multimodal.decodeWaves(s, media).toDF()
+        .select("media_id", "samples"),
+      "samples", model, batch)
+      .select(col("media_id"),
+        col("emb").as("e"),
+        aggregate(transform(col("emb"), x => x * x), lit(0L),
+          (acc, x) => acc + x).as("nrm"))
+      .withColumn("bucket", bucketCol(col("e")))
+  }
+
+  /** The stored synthetic-WAV corpus ([[mediaStore]] on audio). */
+  private[graft] def audioStore(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val store = s"${graft.ops.Fixtures.root(s)}/media_wav_" +
+      graft.ops.Fixtures.pathKey(d)
+    val stamp =
+      graft.ops.Fixtures.datasetStamp(s, s"$d/documents.parquet") +
+        s"|algo=${Multimodal.audioMediaAlgoVersion}|fmt=1"
+    graft.ops.Fixtures.ensure(s, store, stamp) { stg =>
+      Multimodal.syntheticAudioMedia(s, Catalog.documents(s, d))
+        .write.mode("overwrite").parquet(stg)
+    }
+    s.read.parquet(store)
+  }
+
+  /** The shared oracle prefix of the audio family: closed-form samples
+    * (`syntheticWav`'s formula verbatim) → per-dim projection sums
+    * (`WaveProjectionEmbedder`'s matrix: sample t's weight for dim k is
+    * ((t + 1)(k + 5)) mod 19 − 9) → norm + sign bucket, ending at the
+    * same `ev(id, e, nrm, bucket)` relation [[mediaEvCtes]] ends at. */
+  private def audioEvCtes: String = {
+    val embCols = (1 to audioEmbDim).map(k =>
+      s"CAST(sum(s * (((t + 1) * ${k + 5}) % 19 - 9)) AS BIGINT) AS e$k")
+      .mkString(",\n")
+    val eList = (1 to audioEmbDim).map(k => s"e$k").mkString("[", ", ", "]")
+    val bucketSql = (1 to bucketBits).map(k =>
+      s"CASE WHEN e[$k] > 0 THEN ${1L << (k - 1)} ELSE 0 END")
+      .mkString(" + ")
+    s"""sm AS (
+       |  SELECT doc_id AS id, t,
+       |    ((doc_id * 13 + t * t * 7 + t * 29) % 65536) - 32768 AS s
+       |  FROM documents,
+       |    LATERAL unnest(generate_series(0, 47 + doc_id % 17)) AS tt(t)),
+       |emb AS MATERIALIZED (
+       |  SELECT id, $embCols
+       |  FROM sm GROUP BY id),
+       |ev AS MATERIALIZED (
+       |  SELECT id, e,
+       |    list_aggregate(list_transform(e, x -> x * x), 'sum') AS nrm,
+       |    $bucketSql AS bucket
+       |  FROM (SELECT id, $eList AS e FROM emb))""".stripMargin
+  }
+
+  val q215 = {
+    val queryMod = 103L
+    Q("q215_audio_neardup_ann",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        // stored audio-ANN index: one stamped build per generation
+        val idx = s"${graft.ops.Fixtures.root(s)}/audio_ann_" +
+          graft.ops.Fixtures.pathKey(d)
+        val stamp =
+          graft.ops.Fixtures.datasetStamp(s, s"$d/documents.parquet") +
+            s"|media=${Multimodal.audioMediaAlgoVersion}" +
+            s"|emb=${graft.ops.ModelInference.audioEmbedAlgoVersion}" +
+            s"|dim=$audioEmbDim|bits=$bucketBits|fmt=1"
+        graft.ops.Fixtures.ensure(s, idx, stamp) { stg =>
+          encodeAudio(s, audioStore(s, d)).write.mode("overwrite").parquet(stg)
+        }
+        val index = s.read.parquet(idx)
+        // serving path: live container decode→embed of the query batch
+        val queries = encodeAudio(s,
+            audioStore(s, d).filter(col("media_id") % queryMod === 0))
+          .select(col("media_id").as("query_id"), col("e").as("qe"),
+            col("nrm").as("qnrm"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("match_id"))
+        queries.join(index, "bucket")
+          .filter(col("media_id") =!= col("query_id"))
+          .select(col("query_id"), col("media_id").as("match_id"),
+            (aggregate(zip_with(col("qe"), col("e"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).cast("double")
+              / sqrt(greatest(col("qnrm"), lit(1L)).cast("double")
+                * greatest(col("nrm"), lit(1L)).cast("double")))
+              .as("cosine"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("match_id"), col("cosine"))
+      },
+      Some {
+        s"""WITH $audioEvCtes,
+           |hits AS (
+           |  SELECT q.id AS query_id, c.id AS match_id,
+           |    CAST(list_aggregate(list_transform(
+           |        generate_series(1, $audioEmbDim), i -> q.e[i] * c.e[i]),
+           |        'sum') AS DOUBLE)
+           |      / sqrt(CAST(greatest(q.nrm, 1) AS DOUBLE)
+           |             * CAST(greatest(c.nrm, 1) AS DOUBLE)) AS cosine
+           |  FROM ev q JOIN ev c ON q.bucket = c.bucket
+           |  WHERE q.id % $queryMod = 0 AND c.id <> q.id)
+           |SELECT query_id, match_id, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, match_id) AS rn
+           |  FROM hits)
+           |WHERE rn = 1""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] = Seq(q25, q133, q210, q214, q215)
 }
