@@ -19,8 +19,11 @@ class BenchLineSpec extends SparkSuite {
     // worst-case env flags too: every query 99× its trailing median
     // (the flag set caps at 8 entries regardless of how many qualify)
     val trailing = SparkEntry.registry.map(q => q.name -> 1.0).toMap
+    // worst-case canary series (one per 20 queries, all untrimmable)
+    // and a streaming-prime field ride the line too
+    val canary = Seq.fill(SparkEntry.registry.size / 20 + 1)(99.94)
     val line = Bench.compactLine(worst, "/root/testdata/sf0.1", stats,
-      trailing)
+      trailing, canary, Some(99.94))
     assert(line.length < 1900,
       s"bench line is ${line.length} bytes at ${worst.size} queries — " +
         "the driver tail keeps ~2000; shorten the rendering before " +
