@@ -239,6 +239,31 @@ object SqlScript {
     out
   }
 
+  /** Evaluate a 1-row scalar control statement (a SET body, an IF
+    * condition). Script control flow is usually a constant-foldable
+    * literal expression after variable substitution, and Catalyst's
+    * optimizer has ALREADY evaluated those by the time the optimized
+    * plan exists (ConstantFolding → `Project [literal] +-
+    * OneRowRelation`) — so the fast path reads the literal off the
+    * optimized plan and skips physical planning + execution, which
+    * profile at ~3× the optimizer's own cost per statement (the
+    * script front door's repeated-analysis tax, VERDICT r11 #3).
+    * Anything that doesn't fold to a literal (e.g. a scalar subquery
+    * over a bound table) falls back to a real execution — semantics
+    * identical either way, because a folded literal IS the
+    * optimizer's evaluation of the same expression. */
+  private def evalScalar(spark: SparkSession, sql: String): Row = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+    val df = spark.sql(sql)
+    df.queryExecution.optimizedPlan match {
+      case Project(Seq(Alias(l: Literal, _)), _: OneRowRelation) =>
+        Row(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => df.first()
+    }
+  }
+
   /** Logical table key of a statement-text name: backticks stripped,
     * last dot-component (the reference writes 3-part templated ids). */
   private def tableKey(name: String): String =
@@ -338,23 +363,41 @@ object SqlScript {
     // have died inside a staged publish — every bound table must be a
     // complete generation before any statement reads it
     tables.values.foreach(recoverTable(spark, _))
-    val stripped = stripComments(script).trim
-    val body = stripped
-      .replaceFirst("(?is)^BEGIN\\b", "")
-      .replaceFirst("(?is)\\bEND\\s*;?\\s*$", "")
-    group(splitStatements(body)).foreach(exec(ctx, _))
+    parsedScript(script).foreach(exec(ctx, _))
     ScriptResult(ctx.vars.map { case (k, v) => k -> v.value }.toMap,
       ctx.rowCount)
   }
 
+  /** The statement tree of a bound script, memoized per script TEXT
+    * (pure text → immutable tree, so reuse can't change semantics):
+    * a load protocol runs the same script per batch, and q172/q173
+    * re-execute it twice per invocation — the strip/split/group pass
+    * is per-text constant, the q139 plan-memo discipline applied to
+    * the script front door. */
+  private val parseMemo =
+    scala.collection.concurrent.TrieMap.empty[String, List[Node]]
+
+  private def parsedScript(script: String): List[Node] =
+    parseMemo.getOrElseUpdate(script, {
+      val stripped = stripComments(script).trim
+      val body = stripped
+        .replaceFirst("(?is)^BEGIN\\b", "")
+        .replaceFirst("(?is)\\bEND\\s*;?\\s*$", "")
+      group(splitStatements(body))
+    })
+
   private def exec(ctx: Ctx, node: Node): Unit = node match {
     case IfNode(cond, t, e) =>
       registerBound(ctx, cond)
-      val b = ctx.spark
-        .sql(s"SELECT coalesce((${subst(ctx, cond)}), FALSE)")
-        .first().getBoolean(0)
+      val b = evalScalar(ctx.spark,
+        s"SELECT coalesce((${subst(ctx, cond)}), FALSE)").getBoolean(0)
       (if (b) t else e).foreach(exec(ctx, _))
-    case Stmt(text) => execStmt(ctx, text)
+    case Stmt(text) =>
+      if (sys.env.contains("SPARK_GRAFT_SCRIPT_TRACE")) {
+        val t0 = System.nanoTime()
+        execStmt(ctx, text)
+        System.err.println(f"[script] ${(System.nanoTime() - t0) / 1e6}%8.1f ms  ${text.linesIterator.next().take(70)}")
+      } else execStmt(ctx, text)
   }
 
   private val declareRe =
@@ -386,7 +429,7 @@ object SqlScript {
         case "date" => s"date_format((${subst(ctx, expr)}), 'yyyy-MM-dd')"
         case t => s"CAST((${subst(ctx, expr)}) AS ${sparkTypeOf(t)})"
       }
-      val row = ctx.spark.sql(s"SELECT $rendering").first()
+      val row = evalScalar(ctx.spark, s"SELECT $rendering")
       v.value = if (row.isNullAt(0)) None else Some(row.get(0).toString)
 
     case copyRe(dest, src) =>
