@@ -25,6 +25,11 @@ object Bench {
       // 122.5s on vs 142.0s off; 3 queries regressed >0.2s vs ~40
       // improved. Semantics unaffected (partitioning only).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // write timestamps as INT64 MICROS, not the stats-less INT96
+      // default: lossless (Catalyst IS micros) and it gives every
+      // written fact footer min/max on its event-time column — the
+      // prune ops/MetadataMax and any table-format reader need
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

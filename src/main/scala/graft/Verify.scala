@@ -18,6 +18,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Verify keeps the INT96 default ON PURPOSE: the DuckDB compare
+      // types adjusted-to-UTC INT64 micros as TIMESTAMPTZ while every
+      // oracle computes naive TIMESTAMP — same instants, failed
+      // schema/hash compare (14 queries red when this was flipped).
+      // Bench + tests write TIMESTAMP_MICROS and exercise the footer
+      // prune (ops/MetadataMax); under Verify the prune refuses INT96
+      // and falls back to the scan — identical results either way.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

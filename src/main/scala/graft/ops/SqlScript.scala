@@ -260,7 +260,17 @@ object SqlScript {
     df.queryExecution.optimizedPlan match {
       case Project(Seq(Alias(l: Literal, _)), _: OneRowRelation) =>
         Row(CatalystTypeConverters.convertToScala(l.value, l.dataType))
-      case _ => df.first()
+      case plan =>
+        // scalar subquery over a bound table: a script offset SET is
+        // `(SELECT IFNULL(MAX(cdc_ts) - INTERVAL …, …) FROM target)` —
+        // evaluate the MAX from parquet footer stats when provably
+        // exact (ops/MetadataMax), the flat-directory twin of the
+        // Scala protocol's latest-partition prune (A1). Refusal falls
+        // back to the ordinary full execution.
+        MetadataMax.rewrite(spark, plan)
+          .map(p => MetadataMax.evalFolded(p).getOrElse(
+            org.apache.spark.sql.GraftSqlBridge.ofRows(spark, p).first()))
+          .getOrElse(df.first())
     }
   }
 

@@ -13,6 +13,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // MICROS (not the INT96 default): lossless for Catalyst
+      // timestamps and the only encoding with footer stats — see
+      // ops/MetadataMax
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
