@@ -11,7 +11,13 @@ object Bench {
     val scratch = graft.ops.Scratch.sessionScratch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // static shuffle width; SPARK_GRAFT_SHUFFLE_PARTITIONS is the
+      // write-side A/B lever (AQE coalesces the READ side of tiny
+      // exchanges, but map tasks still write `this many` buckets —
+      // r11 VERDICT #7 asked what the 154 sub-second dataflows pay
+      // for the 32-way default)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       // ephemeral protocol scratch (stream checkpoints, staged sources)
       // on RAM when the box has it: a local-mode bench's checkpoint
@@ -31,6 +37,13 @@ object Bench {
       // prune ops/MetadataMax and any table-format reader need
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
+    // generic A/B lever: "k=v;k=v" extra RUNTIME confs (PERF.md
+    // attribution runs — e.g. codegen off to price a cold plan's JIT)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
