@@ -580,6 +580,49 @@ object LoadQueries {
     },
     q127.oracle)
 
+  /** q216 — SMALL-FILE COMPACTION as a published protocol
+    * ([[graft.ops.Compact]], the Delta `OPTIMIZE … ZORDER BY` analog):
+    * events land round-robin-fragmented into 64 small files (one per
+    * micro-batch/task of a long-lived ingest — every file spans the
+    * full user range, so zone maps prune nothing), then one staged
+    * compact-and-publish rewrites them into 8 balanced files
+    * range-clustered AND sorted on user_id, restoring the layout
+    * [[graft.ops.DataSkipping]]'s zone maps and
+    * [[graft.ops.TargetedDelete]]'s file pruning depend on. The query
+    * returns the post-compact table, which must equal the source rows
+    * exactly — proving the rewrite is semantically a no-op (the q127
+    * convention: file-level surgery, row-level identity). CompactSpec
+    * pins the physical claims the oracle can't see: file count 64→n,
+    * balanced sizes, staged-swap publish, and the zone-map survivor
+    * count collapsing after clustering.
+    *
+    * Scale shape (100 TB): the listing and bin arithmetic are
+    * O(files) driver-side metadata — exactly what any table-format
+    * OPTIMIZE materializes; the rewrite is ONE range-partitioned
+    * shuffle + per-task sort, each output task owning ~targetBytes;
+    * publish is two renames. Compaction cost amortizes over every
+    * subsequent read's saved per-file opens + restored pruning. */
+  val q216 = Q("q216_compact_publish",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_compact/$tag/events_smallfiles"
+      Catalog.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), round(col("value") * 100).cast("bigint")
+            .as("cents"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(base)
+      val total = graft.ops.Compact.parquetBytes(s, base)
+      graft.ops.Compact.compact(s, base, targetBytes = total / 8 + 1,
+        clusterBy = Seq("user_id"))
+      s.read.parquet(base)
+    },
+    Some(
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events""".stripMargin))
+
   val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127, q132, q152,
-    q163, q172, q173)
+    q163, q172, q173, q216)
 }
