@@ -623,6 +623,55 @@ object LoadQueries {
         |       CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events""".stripMargin))
 
+  /** q217 — METADATA-ONLY OFFSET DISCOVERY ([[graft.ops.MetadataMax]]
+    * as a first-class query face): the load protocol's delta-offset
+    * scalar (`IFNULL(MAX(cdc) - lookback, minimum)` — ref
+    * `Incremental_load_fact_item_status.sql:10-20`) answered from
+    * parquet FOOTER STATISTICS instead of a scan. The query stages a
+    * MICROS-encoded copy of events (stats-bearing, whatever the
+    * session default), then REQUIRES the footer rewrite to fire —
+    * failing loudly rather than silently falling back to the scan —
+    * and returns the folded literals. The oracle computes the same
+    * three maxima by actually scanning, so hash-green proves the
+    * metadata answer IS the scan answer (timestamp + two bigint
+    * maxima, the IFNULL/interval arithmetic included).
+    *
+    * Scale shape (100 TB): O(files) driver-side footer reads — the
+    * metadata any table-format planner already materializes — and
+    * ZERO executor work; this is what "compute the incremental
+    * offset" should cost on a 100 TB fact. */
+  val q217 = Q("q217_metadata_max_offset",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_metamax_q/$tag/events_micros"
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.get(key, "INT96")
+      s.conf.set(key, "TIMESTAMP_MICROS")
+      try Catalog.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .write.mode("overwrite").parquet(base)
+      finally s.conf.set(key, prev)
+      s.read.parquet(base).createOrReplaceTempView("mm_events_q217")
+      val df = s.sql(
+        """SELECT IFNULL(MAX(ts) - INTERVAL 3 DAY,
+          |         CAST('1900-01-01' AS TIMESTAMP)) AS delta_offset,
+          |       MAX(event_id) AS max_event_id,
+          |       MAX(user_id) AS max_user_id
+          |FROM mm_events_q217""".stripMargin)
+      val folded = graft.ops.MetadataMax
+        .rewrite(s, df.queryExecution.optimizedPlan)
+        .getOrElse(throw new IllegalStateException(
+          "footer-stats rewrite must fire on a MICROS-written table"))
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, folded)
+    },
+    Some(
+      """SELECT IFNULL(MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 3 DAY,
+        |         CAST('1900-01-01' AS TIMESTAMP)) AS delta_offset,
+        |       MAX(event_id) AS max_event_id,
+        |       MAX(user_id) AS max_user_id
+        |FROM events""".stripMargin))
+
   val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127, q132, q152,
-    q163, q172, q173, q216)
+    q163, q172, q173, q216, q217)
 }
