@@ -113,10 +113,11 @@ object Bench {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def cs(v: Double): String = math.round(v * 100).toString
-    // top-10 (15 through r11, 20 through r9): at a 215-query registry
-    // the line must stay under the driver's ~2000-byte stdout tail;
-    // qcs keeps full per-query fidelity regardless
-    val heavy = results.filter(_._2 >= 0.95).sortBy(-_._2).take(10)
+    // top-8 (10 through r12, 15 through r11, 20 through r9): at a
+    // 217-query registry the line must stay under the driver's
+    // ~2000-byte stdout tail; qcs keeps full per-query fidelity
+    // regardless
+    val heavy = results.filter(_._2 >= 0.95).sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rq(v) }
       .mkString("{", ",", "}")
     val qcs = results.map { case (_, v) => cs(v) }.mkString(",")
@@ -175,7 +176,7 @@ object Bench {
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
       s"""$oracleField"queries":$heavy,"qcs":"$qcs","top":$top,"env":$env,""" +
       canaryField + primeField +
-      s""""note":"centisec: qcs(name-sorted),canary(probe/20q); queries>=0.95s; top={cs,shuffleMB,gcMs}; env=x/median; prime=stream warmup; oracle=ORACLE_BENCH.json","sf":"$sfShort"}"""
+      s""""note":"centisec: qcs(name-sorted),canary(/20q); q>=0.95s; top={cs,shmb,gc}; env=x/med; prime=warmup; oracle=ORACLE_BENCH.json","sf":"$sfShort"}"""
   }
 
   /** Trailing per-query time medians from prior rounds' driver
