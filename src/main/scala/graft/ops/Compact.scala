@@ -77,4 +77,61 @@ object Compact {
     fs.delete(retired, true)
     parts
   }
+
+  /** SELECTIVE compaction — rewrite ONLY files smaller than
+    * `smallBytes`, leaving every already-right-sized file's bytes (and
+    * page-cache / object-store copies) untouched. This is the shape
+    * that matters at 100 TB: a long-lived ingest target is mostly
+    * full-size files plus a small-file tail from recent micro-batches;
+    * [[compact]]'s whole-table rewrite is O(history) per invocation,
+    * while this is O(tail) — the Delta/Iceberg `OPTIMIZE` semantics
+    * (bin-pack the small files, skip compacted ones).
+    *
+    * Publish protocol: IDENTICAL to [[TargetedDelete.erase]]'s
+    * file-level surgery, deliberately — staged replacement files land
+    * under `dir/.erase_staging` first, a manifest of the originals
+    * certifies completeness, then originals drop and staged files move
+    * in. One shared protocol means ONE recovery procedure:
+    * [[Recovery.completeErase]] finishes a crashed compaction exactly
+    * as it finishes a crashed erase (manifest ⇒ roll forward; no
+    * manifest ⇒ roll back, table untouched). CompactSpec crash-drills
+    * both states.
+    *
+    * Returns the number of files written (0 = nothing worth
+    * compacting: fewer than `minSmalls` small files). */
+  def compactSmall(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      smallBytes: Long = 32L << 20,
+      clusterBy: Seq[String] = Nil,
+      minSmalls: Int = 2): Int = {
+    Recovery.completeErase(spark, path)
+    val fs = fsFor(spark, path)
+    val files = fs.listStatus(new Path(path))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val smalls = files.filter(_.getLen < smallBytes)
+    if (smalls.length < minSmalls) return 0
+    val bytes = smalls.map(_.getLen).sum
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val staging = new Path(path, ".erase_staging")
+    fs.delete(staging, true)
+    val src = spark.read.parquet(
+      smalls.map(_.getPath.toString).toIndexedSeq: _*)
+    val arranged =
+      if (clusterBy.isEmpty) src.repartition(parts)
+      else src.repartitionByRange(parts,
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+    arranged.write.parquet(staging.toString)
+    // manifest AFTER the staged write: its presence certifies the
+    // staging as complete and names exactly which originals must go
+    CertFile.write(fs, new Path(staging, TargetedDelete.manifestName),
+      smalls.map(_.getPath.toString).mkString("\n"))
+    smalls.foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(staging).iterator
+      .filterNot(f => f.getPath.getName.startsWith("_") ||
+        f.getPath.getName.startsWith("."))
+      .foreach(f => fs.rename(f.getPath, new Path(path, f.getPath.getName)))
+    fs.delete(staging, true)
+    parts
+  }
 }

@@ -269,4 +269,93 @@ class CompactSpec extends SparkSuite {
     val after = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
     assert(after == before)
   }
+
+  test("selective compaction: only the small-file tail is rewritten") {
+    val path = "/tmp/graft_compact/events_selective"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    val src = Catalog.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    // 2 big files + a 12-file small tail (the long-lived-ingest shape)
+    src.filter(col("event_id") % 4 =!= 0).repartition(2)
+      .write.parquet(path)
+    src.filter(col("event_id") % 4 === 0).repartition(12)
+      .write.mode("append").parquet(path)
+    def listing(): Map[String, Long] = {
+      val it = fs.listFiles(p, false)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.getName -> f.getLen
+      }
+      b.result()
+    }
+    val before = listing()
+    val bigs = before.filter(_._2 >= before.values.max / 2).keySet
+    assert(before.size == 14 && bigs.size == 2)
+    val rows = src.collect().map(_.toString).sorted.toSeq
+    // cut below the merged-tail size so the compacted output itself
+    // is no longer "small" — size-selection's fixpoint (at this sf the
+    // 12 smalls sum to several times the cut once per-file parquet
+    // overhead collapses)
+    val smallCut = before.values.max / 2
+    val tailBytes = before.filter(_._2 < smallCut).values.sum
+    val n = graft.ops.Compact.compactSmall(spark, path,
+      targetBytes = tailBytes + 1, smallBytes = smallCut)
+    val after = listing()
+    assert(n == 1 && after.size == 3,
+      s"12-file tail should become 1 file, got $after")
+    // the big files kept their exact names AND bytes — zero rewrite
+    bigs.foreach(b => assert(after(b) == before(b)))
+    assert(spark.read.parquet(path).collect().map(_.toString).sorted
+      .toSeq == rows)
+    // fixpoint: the merged tail is no longer small → second pass no-ops
+    assert(graft.ops.Compact.compactSmall(spark, path,
+      targetBytes = tailBytes + 1, smallBytes = smallCut) == 0)
+  }
+
+  test("selective compaction crash drill: manifest rolls forward, none rolls back") {
+    val path = "/tmp/graft_compact/events_crash"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    val src = Catalog.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    src.repartition(6).write.parquet(path)
+    val rows = src.collect().map(_.toString).sorted.toSeq
+    val staging = new org.apache.hadoop.fs.Path(path, ".erase_staging")
+
+    // CRASH POINT A (before the manifest): staged bytes exist, no
+    // cert — recovery must roll BACK, table untouched
+    spark.read.parquet(path).limit(10).coalesce(1)
+      .write.parquet(staging.toString)
+    graft.ops.Recovery.completeErase(spark, path)
+    assert(!fs.exists(staging))
+    assert(spark.read.parquet(path).collect().map(_.toString).sorted
+      .toSeq == rows)
+
+    // CRASH POINT B (manifest written, originals not yet dropped):
+    // recovery must roll FORWARD — originals go, staged files move in
+    val smalls = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    fs.delete(staging, true)
+    spark.read.parquet(
+        smalls.map(_.getPath.toString).toIndexedSeq: _*)
+      .repartition(1).write.parquet(staging.toString)
+    graft.ops.CertFile.write(fs,
+      new org.apache.hadoop.fs.Path(staging,
+        graft.ops.TargetedDelete.manifestName),
+      smalls.map(_.getPath.toString).mkString("\n"))
+    graft.ops.Recovery.completeErase(spark, path)
+    assert(!fs.exists(staging))
+    val names = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(names.length == 1, s"6 originals → 1 compacted, got ${names.toSeq}")
+    assert(spark.read.parquet(path).collect().map(_.toString).sorted
+      .toSeq == rows)
+  }
 }
