@@ -133,6 +133,30 @@ class MetadataMaxSpec extends SparkSuite {
     assert(viaStats === full)
   }
 
+  test("property: footer max == scan max for random longs (negatives included)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic ScalaCheck sampling (the repo convention): three
+    // fixed seeds, values spanning sign boundaries and Long extremes
+    val gen = Gen.listOfN(200, Gen.oneOf(
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2),
+      Gen.choose(-1000L, 1000L),
+      Gen.const(Long.MinValue + 1), Gen.const(Long.MaxValue)))
+    (1 to 3).foreach { i =>
+      val vals = gen(org.scalacheck.Gen.Parameters.default,
+        Seed(42L + i)).get
+      val dir = freshDir(s"prop$i")
+      import SparkSpec.spark.implicits._
+      vals.toDF("v").repartition(3).write.parquet(dir)
+      spark.read.parquet(dir).createOrReplaceTempView("mm_prop")
+      val q = "SELECT MAX(v) FROM mm_prop"
+      val full = spark.sql(q).first()
+      val (rewritten, viaStats) = scalarViaRewrite(q)
+      assert(rewritten, s"seed ${42 + i}: must take the footer path")
+      assert(viaStats === full, s"seed ${42 + i}")
+    }
+  }
+
   test("scalar subquery inside a SET-shaped statement is rewritten") {
     val dir = freshDir("subq")
     spark.range(0, 200)
