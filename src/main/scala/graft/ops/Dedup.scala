@@ -69,6 +69,66 @@ object Dedup {
   def hashedShingles(docs: DataFrame, n: Int): DataFrame =
     shingles(docs, n).select(col("doc_id"), ringHash(col("shingle")).as("h"))
 
+  /** (doc_id, hs: array<bigint>) — each document's DISTINCT
+    * hashed-shingle SET as one in-row array, computed entirely
+    * MAP-SIDE (tokenize → shingle → hash → array_distinct, one
+    * projection, zero shuffles). This is the representation the
+    * 1000×-scale stress forced: the exploded [[hashedShingles]] form
+    * is ~40× the input bytes, and pushing it through a per-doc
+    * aggregation (signatures) or a corpus-wide distinct made those
+    * shuffles the dominant transient footprint (~70 GB of spill at 5M
+    * docs — PERF.md round 13). In array form the per-doc set NEVER
+    * shuffles: signatures fold in-row ([[signatureFromArrays]]),
+    * set sizes are `size(hs)`, and only genuinely corpus-wide steps
+    * (document frequency, the candidate join) explode — each with
+    * map-side partial aggregation. Same (doc, h) set as
+    * `hashedShingles(docs, n).distinct()`, bit-identical hashes. */
+  def hashedShingleArrays(docs: DataFrame, n: Int): DataFrame = {
+    val tokenized = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val idx = when(size(col("toks")) >= n,
+      sequence(lit(1), size(col("toks")) - (n - 1))).otherwise(array())
+    val shingled = tokenized.select(col("doc_id"),
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))
+        .as("shingles"))
+    shingled.select(col("doc_id"),
+      array_distinct(transform(col("shingles"),
+        s => TextAnalysis.hash60(s) % P)).as("hs"))
+  }
+
+  /** DF-cap on the array representation (same semantics as
+    * [[capHashed]]): drop every hash whose document frequency exceeds
+    * `maxDf` from each document's set. The DF pass explodes with
+    * map-side partial counts (per-doc sets are already distinct, so
+    * `count(*)` ≡ `count(DISTINCT doc_id)`); the hot list is tiny by
+    * construction, so it rides a 1-row broadcast and the cap itself is
+    * a map-side array filter — the corpus never shuffles. */
+  def capArrays(arrs: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) arrs
+    else {
+      val hot = arrs.select(explode(col("hs")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .agg(collect_list(col("h")).as("hot")) // empty list when no hot hashes
+      arrs.crossJoin(broadcast(hot))
+        .select(col("doc_id"),
+          filter(col("hs"), h => !array_contains(col("hot"), h)).as("hs"))
+    }
+
+  /** Per-doc minhash signature folded IN-ROW from the hash-set array —
+    * `array_min` over each (a·h+c) mod P transform, one map-side
+    * projection, zero shuffles (vs [[minhashSignature]]'s grouped min
+    * over the exploded relation — identical values, minhash being
+    * multiset-invariant). Documents whose set is empty (shorter than
+    * the shingle width, or fully DF-capped) produce no row, matching
+    * the exploded form where they have no rows to aggregate. */
+  def signatureFromArrays(arrs: DataFrame): DataFrame =
+    arrs.filter(size(col("hs")) > 0).select(col("doc_id") +:
+      minhashParams.zipWithIndex.map { case ((a, c), k) =>
+        array_min(transform(col("hs"), h => (h * a + c) % P)).as(s"mh$k")
+      }: _*)
+
   /** Drop hashed shingles whose document frequency exceeds `maxDf` — the
     * standard hot-shingle (boilerplate) skew mitigation before any
     * shingle-keyed self-join: a shingle in d docs fans a candidate join
@@ -115,24 +175,32 @@ object Dedup {
       }: _*)).as("bh"))
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * Signature derivation is fully ARRAY-SIDE ([[hashedShingleArrays]]
+    * → [[capArrays]] → [[signatureFromArrays]]): the per-doc shingle
+    * set never shuffles, so the only corpus-shaped exchanges left are
+    * the DF pre-pass (map-side partial counts) and the band-bucket
+    * self-join itself. The exploded predecessor pushed ~40× the input
+    * bytes through a grouped-min signature shuffle — at 5M docs that
+    * transient spill exhausted a 71 GB disk (PERF.md round 13); this
+    * shape removed it.
+    *
     * The signature relation feeds BOTH sides of the self-join; without
     * materialization Spark re-runs the whole shingle→md5→signature
     * pipeline per side (no ReusedExchange across a broadcast/shuffle
-    * split), so persist it — at scale this is the standard
-    * persist-before-LSH-self-join pattern (MEMORY_AND_DISK spills).
-    * Persisting the one-row-per-doc signatures (8 longs) rather than the
-    * 4×-exploded band rows keeps the cached footprint minimal; the band
-    * explode is recomputed per side map-side, which is cheap. The final
-    * pair dedup is a groupBy (same shuffle as distinct, clearer intent). */
+    * split), so persist it — persisting the one-row-per-doc signatures
+    * (8 longs) rather than the 4×-exploded band rows keeps the cached
+    * footprint minimal; the band explode is recomputed per side
+    * map-side, which is cheap. The final pair dedup is a groupBy (same
+    * shuffle as distinct, clearer intent). */
   def minhashCandidates(docs: DataFrame, shingleN: Int,
       maxDf: Long = Long.MaxValue): DataFrame = {
-    val hs0 = hashedShingles(docs, shingleN)
-    val hs =
-      if (maxDf == Long.MaxValue) hs0
-      else capHashed(
-        hs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        maxDf) // DF pre-pass and signature agg share one materialization
-    val sigs = minhashSignature(hs)
+    val arrs0 = hashedShingleArrays(docs, shingleN)
+    val arrs =
+      if (maxDf == Long.MaxValue) arrs0
+      else capArrays(
+        arrs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        maxDf) // DF pre-pass and the capped projection share one cache
+    val sigs = signatureFromArrays(arrs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = lshBands(sigs).as("a")
     val b = lshBands(sigs).as("b")
@@ -179,13 +247,19 @@ object Dedup {
     * exactly by the oracle). */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxDf: Long = Long.MaxValue): DataFrame = {
-    // persisted ONCE, pre-cap: feeds the DF pre-pass, both self-join
-    // sides, and the per-doc sizes — the string→hash shingle pipeline
-    // runs exactly once; everything after is 2×bigint rows
-    val hs = hashedShingles(docs, n).distinct()
+    // per-doc DISTINCT hash-set arrays, persisted ONCE pre-cap: the
+    // string→hash shingle pipeline runs exactly once and the
+    // corpus-wide distinct the exploded form needed is now a map-side
+    // array_distinct; DF pre-pass, both self-join sides and the
+    // per-doc sizes all derive from this one cache map-side
+    val arrs = hashedShingleArrays(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = capHashed(hs, maxDf)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val capped = capArrays(arrs, maxDf)
+    // set size is an in-row size() — the grouped count the exploded
+    // form paid a doc_id shuffle for
+    val sizes = capped.select(col("doc_id"),
+      size(col("hs")).cast("long").as("n_sh"))
+    val sh = capped.select(col("doc_id"), explode(col("hs")).as("h"))
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.h") === col("b.h") &&
@@ -226,20 +300,23 @@ object Dedup {
   def jaccardPrefixPairs(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // Cached relations are pinned to an EXPLICIT width keyed on their
-    // consumers' join/agg keys (explicit-N repartition is exempt from
-    // AQE cache-plan coalescing, which otherwise narrows every
-    // downstream stage to 1-2 tasks at small SF — StageProbe r11: the
-    // candidate-verify stage ran 930 ms on 2 of 32 cores). Keying hs
-    // on h makes the dedup, the df aggregate AND the df join all
-    // partition-local: one exchange where distinct+agg+join cost three.
-    // (Widening the scan-width shingle stage was tried and reverted:
-    // its 363 ms is stage-constant — codegen/setup, not compute — so a
-    // pre-exchange of the raw text only added cost. StageProbe r11.)
-    val hs = hashedShingles(docs, n)
-      .repartition(par, col("h")).dropDuplicates()
+    // Per-doc DISTINCT hash-set arrays, map-side — the corpus-wide
+    // dropDuplicates exchange the exploded form paid (its largest
+    // shuffle: every (doc, h) occurrence row) is now an in-row
+    // array_distinct. The array cache is the compact representation;
+    // the exploded view below is recomputed from it map-side per use.
+    val arrs = hashedShingleArrays(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfRel = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Exchanges pinned to an EXPLICIT width keyed on the consumers'
+    // join/agg keys (explicit-N repartition is exempt from AQE
+    // cache-plan coalescing, which otherwise narrows every downstream
+    // stage to 1-2 tasks at small SF — StageProbe r11: the
+    // candidate-verify stage ran 930 ms on 2 of 32 cores). Keying the
+    // exploded view on h makes the df aggregate AND the df join
+    // partition-local: one exchange where agg+join cost two.
+    val ex = arrs.select(col("doc_id"), explode(col("hs")).as("h"))
+      .repartition(par, col("h"))
+    val dfRel = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // ONE per-doc aggregation builds everything doc-local at once: the
     // rarest-first order (sort_array over (df, h) structs — an in-memory
     // ~|doc| sort per group), the prefix (array slice), and the full
@@ -248,7 +325,7 @@ object Dedup {
     // collect_list — an extra full-corpus exchange and a corpus-wide
     // sort this shape never needs. The doc-key exchange is explicit so
     // the per-doc sort runs full-width and the cache stays wide.
-    val sets = hs.join(dfRel, "h")
+    val sets = ex.join(dfRel, "h")
       .repartition(par, col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"),
