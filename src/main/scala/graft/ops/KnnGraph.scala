@@ -30,11 +30,13 @@ import org.apache.spark.sql.functions._
   * so a DuckDB oracle can replay construction hash-exact.
   *
   * Scale shape (100 TB): both stages are shuffle-on-key joins with
-  * degree-bounded fan-out (the init key is tunable — more sign bits or
-  * a trained quantizer shrink blocks; refinement cost is O(N·k²)
-  * regardless of block skew), and each round is one join + one
-  * windowed top-k — the standard large-scale kNN-graph recipe, no
-  * driver-side state beyond the loop counter.
+  * degree-bounded fan-out (the init key width SCALES WITH the corpus —
+  * [[adaptiveBits]] keeps expected block occupancy constant, so the
+  * init term stays linear; a trained quantizer is the committed path
+  * past the bit clamp; refinement cost is O(N·k²) regardless of block
+  * skew), and each round is one join + one windowed top-k — the
+  * standard large-scale kNN-graph recipe, no driver-side state beyond
+  * the loop counter.
   */
 object KnnGraph {
 
@@ -43,6 +45,29 @@ object KnnGraph {
     * [[signBucket]] change, so stored graphs rebuild instead of
     * silently replaying the old algorithm. */
   val algoVersion = 1
+
+  /** INIT-WIDTH POLICY, as code (round-13 doctrine was scaladoc-only):
+    * the sign-bucket init's pair fan-out is Σ_b n_b² ≈ N²/2^bits —
+    * with `bits` FIXED it grows quadratically in the corpus, the one
+    * super-linear term the 10× scale-stress named. Scaling bits with N
+    * keeps expected bucket occupancy ≤ `targetBlock`, making the init
+    * term N·targetBlock — linear. Returns
+    * `max(floor, ⌈log2(n / targetBlock)⌉)` clamped to `maxBits`
+    * (two disjoint multi-table keys must fit the embedding's leading
+    * dimensions: 2·maxBits ≤ dim; beyond the clamp a trained
+    * quantizer init — the q60 IVF path — is the committed answer for
+    * corpora where axis-sign blocking skews). `floor` preserves the
+    * deployment's chosen width on small corpora, so oracle-replayed
+    * bucket values are unchanged at test scale. */
+  def adaptiveBits(n: Long, floor: Int, targetBlock: Long = 256L,
+      maxBits: Int = 16): Int = {
+    require(floor >= 1 && floor <= maxBits && targetBlock >= 1,
+      s"adaptiveBits: need 1 <= floor($floor) <= maxBits($maxBits), " +
+        s"targetBlock($targetBlock) >= 1")
+    var bits = floor
+    while (bits < maxBits && n.toDouble / (1L << bits) > targetBlock) bits += 1
+    bits
+  }
 
   /** Blocking key: sign bits of `bits` dimensions of the
     * integer-scaled vector starting after `offset` (1-based

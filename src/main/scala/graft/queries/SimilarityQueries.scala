@@ -1093,7 +1093,7 @@ object SimilarityQueries {
           if (kids.isEmpty) st.getModificationTime
           else kids.map(_.getModificationTime).max)
       } else (st.getLen, st.getModificationTime)
-    s"$d:$len:$mtime:bits=$graphBits:fmt=2"
+    s"$d:$len:$mtime:bits=${effectiveGraphBits(s, d)}:fmt=2"
   }
 
   /** STORED refined k-NN graph over `d`'s embeddings — the
@@ -1111,7 +1111,7 @@ object SimilarityQueries {
     val store = s"${graft.ops.Fixtures.root(s)}/knn_graph_${tag}_" +
       graft.ops.Fixtures.pathKey(d)
     val stamp = graft.ops.Fixtures.datasetStamp(s, s"$d/embeddings.parquet") +
-      s"|k=$graphK|rounds=$graphRounds|bits=$graphBits|tag=$tag" +
+      s"|k=$graphK|rounds=$graphRounds|bits=${effectiveGraphBits(s, d)}|tag=$tag" +
       s"|algo=${graft.ops.KnnGraph.algoVersion}|fmt=1"
     graft.ops.Fixtures.ensure(s, store, stamp) { stg =>
       val vecs = graphVecs(s, d)
@@ -1122,15 +1122,36 @@ object SimilarityQueries {
     s.read.parquet(store)
   }
 
+  /** EFFECTIVE sign-bucket init width for dataset `d` — the
+    * [[graft.ops.KnnGraph.adaptiveBits]] policy applied to the
+    * corpus's exact row count read from parquet FOOTERS (driver-side
+    * metadata, zero jobs; one `count()` job as the refusal fallback).
+    * At the registered test scales (≤2k vectors) this resolves to the
+    * `graphBits` floor, so bucket values — and therefore every stored
+    * graph fixture and oracle replay — are unchanged; on a 100×+
+    * corpus the width grows with log(N) and the init term stays
+    * linear instead of inheriting N²/2^bits silently. Memoized per
+    * dataset (the stamp sites and the column derivation must agree). */
+  private val graphBitsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private[graft] def effectiveGraphBits(s: SparkSession, d: String): Int =
+    graphBitsMemo.getOrElseUpdate(d, {
+      val n = graft.ops.MetadataMax
+        .parquetRowCount(s, s"$d/embeddings.parquet")
+        .getOrElse(Catalog.embeddings(s, d).count())
+      graft.ops.KnnGraph.adaptiveBits(n, graphBits)
+    })
+
   private val graphVecsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def graphVecs(s: SparkSession, d: String): DataFrame = {
     val df = graphVecsMemo.getOrElseUpdate((s, d), {
       val iv = Similarity.intVec(col("embedding"))
+      val bits = effectiveGraphBits(s, d)
       Catalog.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"),
-          graft.ops.KnnGraph.signBucket(iv, graphBits).as("sb1"),
-          graft.ops.KnnGraph.signBucket(iv, graphBits, graphBits).as("sb2"))
+          graft.ops.KnnGraph.signBucket(iv, bits).as("sb1"),
+          graft.ops.KnnGraph.signBucket(iv, bits, bits).as("sb2"))
     })
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -1640,10 +1661,13 @@ object SimilarityQueries {
         val iv = Similarity.intVec(col("embedding"))
         val corpus = e.unionAll(e.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        // same adaptive width as graphVecs (the dup injection is a
+        // fixed 1.2× of the base corpus — one policy source)
+        val bits = effectiveGraphBits(s, d)
         val vecs = corpus
           .select(col("vec_id"), col("embedding"),
-            graft.ops.KnnGraph.signBucket(iv, graphBits).as("sb1"),
-            graft.ops.KnnGraph.signBucket(iv, graphBits, graphBits).as("sb2"))
+            graft.ops.KnnGraph.signBucket(iv, bits).as("sb1"),
+            graft.ops.KnnGraph.signBucket(iv, bits, bits).as("sb2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val graph = graft.ops.KnnGraph.build(vecs, graphK,
           rounds = graphRounds, bucketCols = Seq("sb1", "sb2"))

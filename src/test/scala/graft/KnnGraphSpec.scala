@@ -28,6 +28,33 @@ class KnnGraphSpec extends SparkSuite {
       .select(col("u"), col("v"),
         graft.functions.CosineScaled(col("ea"), col("eb")).as("cosine"))
 
+  test("adaptiveBits: expected block occupancy stays bounded as N grows") {
+    val floor = 4; val target = 256L; val maxBits = 16
+    var prev = floor
+    for (exp <- 8 to 40) { // N from 256 to ~1T
+      val n = 1L << exp
+      val bits = KnnGraph.adaptiveBits(n, floor, target, maxBits)
+      assert(bits >= floor && bits <= maxBits)
+      assert(bits >= prev, s"width must be monotone in N (n=$n)")
+      // the policy's whole point: below the clamp, expected bucket
+      // occupancy n/2^bits never exceeds the target — the init term
+      // is N·target, linear, not N²/2^bits
+      if (bits < maxBits)
+        assert(n.toDouble / (1L << bits) <= target, s"n=$n bits=$bits")
+      prev = bits
+    }
+    // registered test scales keep the floor: bucket values (and every
+    // stored graph fixture / oracle replay) are unchanged there
+    assert(KnnGraph.adaptiveBits(500, 4) == 4) // sf0.01 embeddings
+    assert(KnnGraph.adaptiveBits(2000, 4) == 4) // sf0.1 embeddings
+    assert(KnnGraph.adaptiveBits(2400, 4) == 4) // q168's 1.2× corpus
+    // the scale path actually widens: 100× / 1000× corpora
+    assert(KnnGraph.adaptiveBits(200000L, 4) == 10)
+    assert(KnnGraph.adaptiveBits(2000000L, 4) == 13)
+    // the wired policy resolves to the floor on this suite's dataset
+    assert(SimilarityQueries.effectiveGraphBits(spark, sf) == 4)
+  }
+
   test("graph edges: no self loops, no duplicates, degree <= k") {
     val g = KnnGraph.build(vecs, k, rounds = 1)
     assert(g.filter(col("u") === col("v")).count() == 0)
