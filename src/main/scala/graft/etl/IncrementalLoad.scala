@@ -34,8 +34,10 @@ import org.apache.spark.sql.types._
   *
   * Scale ledger (delta run, date-partitioned target):
   *  - offset max-scan prunes to the single lexicographically-latest
-  *    `cdc_day=` partition (directory listing picks the day; only that
-  *    partition's footers are read);
+  *    `cdc_day=` partition (directory listing picks the day), and the
+  *    pruned MAX itself folds from that partition's parquet FOOTER
+  *    stats when provably exact (ops/MetadataMax) — zero jobs; INT96
+  *    or missing stats fall back to scanning just that partition;
   *  - the deleted @@row_count is ONE conditional aggregate over the
   *    lookback partitions only (no full-target count, no second scan);
   *  - the publish rewrites only partitions with `cdc_day >= date(offset)`
@@ -199,9 +201,17 @@ object IncrementalLoad {
         }
         // date_format renders in the UTC session zone with full micros, so
         // the string round-trips losslessly through the later cast.
-        val row = pruned.agg(date_format(
+        val aggDf = pruned.agg(date_format(
           max(col(cdcCol)) - expr(s"INTERVAL ${params.deltaDayCount} DAYS"),
-          "yyyy-MM-dd HH:mm:ss.SSSSSS")).first()
+          "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        // answer the pruned MAX from the partition's parquet footers
+        // when provably exact (ops/MetadataMax: the same fold the
+        // script front door uses) — zero jobs; refusal (e.g. INT96
+        // encodings) falls back to the one-partition scan
+        val row = graft.ops.MetadataMax
+          .rewrite(spark, aggDf.queryExecution.optimizedPlan)
+          .flatMap(graft.ops.MetadataMax.evalFolded)
+          .getOrElse(aggDf.first())
         if (row.isNullAt(0)) params.minimumDate else row.getString(0)
       }
     val offsetTs = lit(offset).cast("timestamp")

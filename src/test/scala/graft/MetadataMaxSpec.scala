@@ -81,7 +81,7 @@ class MetadataMaxSpec extends SparkSuite {
     assert(rw2 && v2 === spark.sql(qn).first())
   }
 
-  test("refusals: filter, non-MAX sibling, string MAX, INT96") {
+  test("refusals: data filter, unsupported sibling, string MAX, INT96") {
     val dir = freshDir("refuse")
     spark.range(0, 100)
       .select(col("id"), concat(lit("s"), col("id")).as("s"),
@@ -91,8 +91,10 @@ class MetadataMaxSpec extends SparkSuite {
     spark.read.parquet(dir).createOrReplaceTempView("mm_refuse")
     for (q <- Seq(
         "SELECT MAX(ts) FROM mm_refuse WHERE id > 10",
-        "SELECT MAX(ts), COUNT(*) FROM mm_refuse",
+        "SELECT MAX(ts), SUM(id) FROM mm_refuse",
+        "SELECT COUNT(DISTINCT id) FROM mm_refuse",
         "SELECT MAX(s) FROM mm_refuse",
+        "SELECT MIN(s) FROM mm_refuse",
         "SELECT MAX(ts) FROM mm_refuse GROUP BY id % 2")) {
       val df = spark.sql(q)
       assert(MetadataMax.rewrite(spark,
@@ -154,6 +156,129 @@ class MetadataMaxSpec extends SparkSuite {
       val (rewritten, viaStats) = scalarViaRewrite(q)
       assert(rewritten, s"seed ${42 + i}: must take the footer path")
       assert(viaStats === full, s"seed ${42 + i}")
+    }
+  }
+
+  test("MIN + MAX + COUNT(*) + COUNT(col) in one aggregate, all from footers") {
+    val dir = freshDir("faces")
+    spark.range(0, 1000).repartition(4)
+      .select(col("id"),
+        when(col("id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("id")).as("v"),
+        (lit("2024-01-01 00:00:00").cast("timestamp")
+          + expr("make_interval(0,0,0,0,0,0,id)")).as("ts"))
+      .write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("mm_faces")
+    val q = "SELECT MIN(ts), MAX(ts), MIN(v), MAX(v), COUNT(*), COUNT(v)," +
+      " COUNT(ts) FROM mm_faces"
+    val full = spark.sql(q).first()
+    val (rewritten, viaStats) = scalarViaRewrite(q)
+    assert(rewritten, "all faces supported: must take the footer path")
+    assert(viaStats === full)
+  }
+
+  test("counts over empty and all-null input are 0/0, min NULL — not a lie") {
+    val dir = freshDir("cnt0")
+    spark.range(0, 10).select(col("id"),
+        lit(null).cast("long").as("v"))
+      .write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("mm_cnt0")
+    val q = "SELECT COUNT(*), COUNT(v), MIN(v) FROM mm_cnt0"
+    val full = spark.sql(q).first()
+    val (rewritten, viaStats) = scalarViaRewrite(q)
+    assert(rewritten && viaStats === full)
+  }
+
+  test("partition-pruning filter is eligible; data filter is not") {
+    val dir = freshDir("part")
+    spark.range(0, 300)
+      .select(col("id"),
+        (col("id") % 3).cast("int").as("day"),
+        (lit("2024-03-01 00:00:00").cast("timestamp")
+          + expr("make_interval(0,0,0,0,0,0,id)")).as("ts"))
+      .write.partitionBy("day").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("mm_part")
+    val q = "SELECT MAX(ts), MIN(id), COUNT(*) FROM mm_part WHERE day = 1"
+    val full = spark.sql(q).first()
+    val (rewritten, viaStats) = scalarViaRewrite(q)
+    assert(rewritten, "partition-only filter must take the footer path")
+    assert(viaStats === full)
+    // same shape, but MIN/MAX/COUNT of the PARTITION column: refuse
+    // (no footer presence; the null partition would lie)
+    val qp = "SELECT MAX(day) FROM mm_part"
+    assert(MetadataMax.rewrite(spark,
+      spark.sql(qp).queryExecution.optimizedPlan).isEmpty)
+    // filter touching a DATA column: refuse
+    val qd = "SELECT MAX(ts) FROM mm_part WHERE day = 1 AND id > 5"
+    assert(MetadataMax.rewrite(spark,
+      spark.sql(qd).queryExecution.optimizedPlan).isEmpty)
+  }
+
+  test("foreign-written directory (non-.parquet data file) refuses") {
+    val dir = freshDir("foreign")
+    spark.range(0, 100).select(col("id")).write.parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a Hive-written data file: rename one part file so it
+    // loses the .parquet suffix — the table still READS fine, but the
+    // footer fold must refuse rather than answer from a subset
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new org.apache.hadoop.fs.Path(
+      part.getParent, "000000_0"))
+    spark.read.parquet(dir).createOrReplaceTempView("mm_foreign")
+    for (q <- Seq("SELECT MAX(id) FROM mm_foreign",
+        "SELECT COUNT(*) FROM mm_foreign")) {
+      assert(MetadataMax.rewrite(spark,
+        spark.sql(q).queryExecution.optimizedPlan).isEmpty, s"must refuse: $q")
+    }
+  }
+
+  test("LEGACY datetime rebase marker refuses temporal min/max, not counts") {
+    val dir = freshDir("rebase")
+    val key = "spark.sql.parquet.datetimeRebaseModeInWrite"
+    val prev = spark.conf.get(key, "EXCEPTION")
+    spark.conf.set(key, "LEGACY")
+    try spark.range(0, 50)
+      .select(col("id"), date_add(lit("1500-01-01").cast("date"),
+        col("id").cast("int")).as("d"))
+      .write.parquet(dir)
+    finally spark.conf.set(key, prev)
+    spark.read.parquet(dir).createOrReplaceTempView("mm_rebase")
+    // the scan rebases Julian→proleptic on read; footer values differ
+    assert(MetadataMax.rewrite(spark,
+      spark.sql("SELECT MAX(d) FROM mm_rebase")
+        .queryExecution.optimizedPlan).isEmpty)
+    assert(MetadataMax.rewrite(spark,
+      spark.sql("SELECT MIN(d) FROM mm_rebase")
+        .queryExecution.optimizedPlan).isEmpty)
+    // counts and non-temporal extremes are rebase-immune: still folded
+    val q = "SELECT COUNT(*), COUNT(d), MAX(id) FROM mm_rebase"
+    val full = spark.sql(q).first()
+    val (rewritten, viaStats) = scalarViaRewrite(q)
+    assert(rewritten && viaStats === full)
+  }
+
+  test("property: footer min/max/count == scan for random nullable longs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(200, Gen.oneOf(
+      Gen.option(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)),
+      Gen.option(Gen.choose(-1000L, 1000L)),
+      Gen.const(Some(Long.MinValue + 1)), Gen.const(Some(Long.MaxValue)),
+      Gen.const(None)))
+    (1 to 3).foreach { i =>
+      val vals = gen(org.scalacheck.Gen.Parameters.default,
+        Seed(4242L + i)).get
+      val dir = freshDir(s"propmc$i")
+      import SparkSpec.spark.implicits._
+      vals.toDF("v").repartition(3).write.parquet(dir)
+      spark.read.parquet(dir).createOrReplaceTempView("mm_propmc")
+      val q = "SELECT MIN(v), MAX(v), COUNT(*), COUNT(v) FROM mm_propmc"
+      val full = spark.sql(q).first()
+      val (rewritten, viaStats) = scalarViaRewrite(q)
+      assert(rewritten, s"seed ${4242 + i}: must take the footer path")
+      assert(viaStats === full, s"seed ${4242 + i}")
     }
   }
 

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Build a replica-disjoint Nx scale leg from a testdata sf dir (dev
+tool; committed so scale-stress legs are reproducible across rounds —
+the round-13 builder was ad-hoc and died with its /tmp dir).
+
+Construction (PERF.md round-13 method):
+  - documents xN: doc_id offset per replica; every word suffixed `_i`
+    (space -> `_i ` + trailing suffix), so shingle/gram/posting
+    structure is N DISJOINT copies of the 1x corpus — the
+    linear-scaling reference. n_chars recomputed.
+  - embeddings xN: vec_id offset per replica; the vector ROTATED by
+    (i mod dim) per replica — same norm and coordinate distribution,
+    decorrelated replicas, no artificially N-x-popular sign buckets.
+  - lineitem xN: disjoint order/part/supp key spaces per replica.
+  - every other table symlinked, so canary queries (q11) see
+    IDENTICAL input across legs.
+
+Usage:
+    python3 tools/build_scale.py N outDir [srcDir] [tables]
+e.g.
+    python3 tools/build_scale.py 100 /tmp/scale100 /root/testdata/sf0.1 documents,embeddings
+"""
+import os, sys
+from pathlib import Path
+
+import duckdb
+
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    n = int(sys.argv[1])
+    out = Path(sys.argv[2])
+    src = Path(sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1")
+    tables = (sys.argv[4].split(",") if len(sys.argv) > 4
+              else ["documents", "embeddings"])
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+
+    if "documents" in tables:
+        con.execute(f"""
+          COPY (
+            SELECT d.doc_id + r.i * 100000000 AS doc_id,
+                   replace(d.text, ' ', '_' || r.i || ' ')
+                     || '_' || r.i AS text,
+                   d.lang, d.source,
+                   length(replace(d.text, ' ', '_' || r.i || ' ')
+                     || '_' || r.i) AS n_chars
+            FROM read_parquet('{src}/documents.parquet') d,
+                 range({n}) r(i)
+          ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+        print(f"documents x{n} written")
+
+    if "embeddings" in tables:
+        dim = con.execute(
+            f"SELECT len(embedding) FROM read_parquet("
+            f"'{src}/embeddings.parquet') LIMIT 1").fetchone()[0]
+        con.execute(f"""
+          COPY (
+            SELECT e.vec_id + r.i * 100000000 AS vec_id,
+                   list_concat(
+                     list_slice(e.embedding, (r.i % {dim}) + 1, {dim}),
+                     list_slice(e.embedding, 1, r.i % {dim}))
+                     ::FLOAT[] AS embedding,
+                   e.label
+            FROM read_parquet('{src}/embeddings.parquet') e,
+                 range({n}) r(i)
+          ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+        print(f"embeddings x{n} written")
+
+    if "lineitem" in tables:
+        con.execute(f"""
+          COPY (
+            SELECT l.l_orderkey + r.i * 1000000000 AS l_orderkey,
+                   l.l_partkey + r.i * 10000000 AS l_partkey,
+                   l.l_suppkey + r.i * 1000000 AS l_suppkey,
+                   l.l_linenumber, l.l_quantity, l.l_extendedprice,
+                   l.l_discount, l.l_tax, l.l_returnflag,
+                   l.l_linestatus, l.l_shipdate
+            FROM read_parquet('{src}/lineitem.parquet') l,
+                 range({n}) r(i)
+          ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+        print(f"lineitem x{n} written")
+
+    for t in ALL_TABLES:
+        dst = out / f"{t}.parquet"
+        if t not in tables and not dst.exists():
+            os.symlink(src / f"{t}.parquet", dst)
+    print(f"leg ready: {out} (x{n}: {','.join(tables)}; rest symlinked)")
+
+
+if __name__ == "__main__":
+    main()
