@@ -97,8 +97,15 @@ object Compact {
     * manifest ⇒ roll back, table untouched). CompactSpec crash-drills
     * both states.
     *
+    * Partitioned/nested layouts: each non-hidden subdirectory (a
+    * `k=v` partition dir, or deeper nesting) is its own flat parquet
+    * unit and is compacted INDEPENDENTLY by recursion — per-leaf
+    * staging, per-leaf recovery, rewritten files stay inside their
+    * partition. A mixed directory (loose files AND subdirs) handles
+    * both. Nothing is silently skipped.
+    *
     * Returns the number of files written (0 = nothing worth
-    * compacting: fewer than `minSmalls` small files). */
+    * compacting: fewer than `minSmalls` small files anywhere). */
   def compactSmall(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20,
       smallBytes: Long = 32L << 20,
@@ -106,10 +113,17 @@ object Compact {
       minSmalls: Int = 2): Int = {
     Recovery.completeErase(spark, path)
     val fs = fsFor(spark, path)
-    val files = fs.listStatus(new Path(path))
+    val entries = fs.listStatus(new Path(path))
+    val fromLeaves = entries.iterator
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .map(s => compactSmall(spark, s.getPath.toString, targetBytes,
+        smallBytes, clusterBy, minSmalls))
+      .sum
+    val files = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val smalls = files.filter(_.getLen < smallBytes)
-    if (smalls.length < minSmalls) return 0
+    if (smalls.length < minSmalls) return fromLeaves
     val bytes = smalls.map(_.getLen).sum
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val staging = new Path(path, ".erase_staging")
@@ -132,6 +146,6 @@ object Compact {
         f.getPath.getName.startsWith("."))
       .foreach(f => fs.rename(f.getPath, new Path(path, f.getPath.getName)))
     fs.delete(staging, true)
-    parts
+    fromLeaves + parts
   }
 }

@@ -672,6 +672,161 @@ object LoadQueries {
         |       MAX(user_id) AS max_user_id
         |FROM events""".stripMargin))
 
+  /** q218 — METADATA-ONLY MIN / COUNT(*) / COUNT(col)
+    * ([[graft.ops.MetadataMax]]'s remaining faces as a query): the
+    * stats-based-planning answers a lakehouse maintenance loop asks
+    * every cycle — exact row counts from row-group counts, null-aware
+    * column counts from footer `numNulls`, watermark MIN/MAX from
+    * footer extremes. The staged copy carries a NULLIF-produced
+    * nullable column so COUNT(col) ≠ COUNT(*) is actually exercised.
+    * Like q217, the query REQUIRES the rewrite to fire — failing
+    * loudly rather than silently falling back to the scan — and the
+    * oracle recomputes all five answers by scanning, so hash-green
+    * proves footer metadata IS the scan answer.
+    *
+    * Scale shape (100 TB): O(files) driver-side footer reads, ZERO
+    * executor work — row counts and null counts are free planner
+    * metadata; this is what OPTIMIZE/statistics jobs should cost. */
+  val q218 = Q("q218_metadata_min_count",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_metamax_q/$tag/events_faces"
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.get(key, "INT96")
+      s.conf.set(key, "TIMESTAMP_MICROS")
+      try Catalog.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          nullif(col("event_type"), lit("click")).as("maybe_type"))
+        .write.mode("overwrite").parquet(base)
+      finally s.conf.set(key, prev)
+      s.read.parquet(base).createOrReplaceTempView("mm_events_q218")
+      val df = s.sql(
+        """SELECT COUNT(*) AS n_rows,
+          |       COUNT(maybe_type) AS n_typed,
+          |       MIN(ts) AS min_ts,
+          |       MIN(event_id) AS min_event_id,
+          |       MAX(user_id) AS max_user_id
+          |FROM mm_events_q218""".stripMargin)
+      val folded = graft.ops.MetadataMax
+        .rewrite(s, df.queryExecution.optimizedPlan)
+        .getOrElse(throw new IllegalStateException(
+          "footer-stats rewrite must fire on a MICROS-written table"))
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, folded)
+    },
+    Some(
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(NULLIF(event_type, 'click')) AS n_typed,
+        |       MIN(CAST(ts AS TIMESTAMP)) AS min_ts,
+        |       MIN(event_id) AS min_event_id,
+        |       MAX(user_id) AS max_user_id
+        |FROM events""".stripMargin))
+
+  /** q219 — SELECTIVE small-file compaction as a query face
+    * ([[graft.ops.Compact.compactSmall]], the Delta/Iceberg `OPTIMIZE`
+    * bin-pack semantics): a long-lived ingest target is 2 full-size
+    * history files plus a 16-file small tail from recent
+    * micro-batches; one O(tail) pass merges ONLY the tail — the big
+    * files keep their exact names and bytes (CompactSpec pins that
+    * physical claim, plus the partitioned-layout recursion and the
+    * manifest crash drill) — and the table reads back row-identical,
+    * which is what the oracle verifies (the q127 convention:
+    * file-level surgery, row-level identity). The size cut is derived
+    * from the listing itself, so the query is scale-factor-proof.
+    *
+    * Scale shape (100 TB): whole-table [[graft.ops.Compact.compact]]
+    * is O(history) per invocation; this is O(tail) — the listing is
+    * driver-side metadata, the rewrite reads only the small files
+    * (one narrow scan + one repartition), and the publish is the
+    * shared TargetedDelete manifest protocol (one recovery procedure
+    * for erase AND compaction). */
+  val q219 = Q("q219_compact_small_tail",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_compact/$tag/events_tail"
+      val src = Catalog.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), round(col("value") * 100).cast("bigint")
+            .as("cents"))
+      src.filter(col("event_id") % 4 =!= 0).repartition(2)
+        .write.mode("overwrite").parquet(base)
+      src.filter(col("event_id") % 4 === 0).repartition(16)
+        .write.mode("append").parquet(base)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(base), s.sparkContext.hadoopConfiguration)
+      val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen)
+      val cut = sizes.max / 2
+      val tail = sizes.filter(_ < cut).sum
+      graft.ops.Compact.compactSmall(s, base,
+        targetBytes = tail + 1, smallBytes = cut)
+      s.read.parquet(base)
+    },
+    q216.oracle)
+
+  /** q220 — metadata aggregate UNDER A PARTITION-PRUNING FILTER: the
+    * per-partition stats probe (row count + key extremes of one day)
+    * every incremental pipeline runs before deciding what to load.
+    * The relation is day-partitioned; the filter references ONLY the
+    * partition column, so [[graft.ops.MetadataMax]] answers it by
+    * pruning the FILE INDEX (every row of a surviving partition
+    * satisfies the predicate) and folding just those files' footers —
+    * zero jobs, zero scan. A filter touching a data column refuses
+    * (MetadataMaxSpec pins both directions). The oracle scans.
+    *
+    * Scale shape (100 TB): partition pruning + footer folds are the
+    * planner's own metadata path — O(files-in-partition) driver-side
+    * reads; the day probe costs the same whether the table holds one
+    * day or ten years. */
+  val q220 = Q("q220_metadata_pruned_day",
+    (s, d) => {
+      val tag = Paths.get(d).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_metamax_q/$tag/events_by_day"
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.get(key, "INT96")
+      s.conf.set(key, "TIMESTAMP_MICROS")
+      try Catalog.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          to_date(col("ts")).as("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(base)
+      finally s.conf.set(key, prev)
+      // the probed day: the table's first day, computed from the
+      // PARTITION LISTING (directory names — no data touched), so the
+      // filter below is a literal on the partition column
+      val firstDay = s.read.parquet(base).select(col("day"))
+        .queryExecution.optimizedPlan
+        .collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[org.apache.spark.sql.execution
+              .datasources.HadoopFsRelation]
+            .location.inputFiles.map(_.split("/day=")(1).split("/")(0))
+            .min
+        }.get
+      val df = s.read.parquet(base)
+        .filter(col("day") === lit(firstDay).cast("date"))
+        .agg(count(lit(1)).as("n_day"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          max(col("ts")).as("last_ts"))
+      val folded = graft.ops.MetadataMax
+        .rewrite(s, df.queryExecution.optimizedPlan)
+        .getOrElse(throw new IllegalStateException(
+          "partition-pruned footer rewrite must fire"))
+      org.apache.spark.sql.GraftSqlBridge.ofRows(s, folded)
+    },
+    Some(
+      """SELECT COUNT(*) AS n_day,
+        |       MIN(event_id) AS min_id,
+        |       MAX(event_id) AS max_id,
+        |       MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) =
+        |      (SELECT MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events)
+        |""".stripMargin))
+
   val all: Seq[Q] = Seq(q12, q13, q85, q94, q115, q119, q127, q132, q152,
-    q163, q172, q173, q216, q217)
+    q163, q172, q173, q216, q217, q218, q219, q220)
 }

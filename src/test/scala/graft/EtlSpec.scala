@@ -317,6 +317,50 @@ class CompactSpec extends SparkSuite {
       targetBytes = tailBytes + 1, smallBytes = smallCut) == 0)
   }
 
+  test("selective compaction recurses into partitioned layouts") {
+    val path = "/tmp/graft_compact/events_partitioned"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    val src = Catalog.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("user_id") % 2).as("shard"))
+    // each partition dir gets a big file + an 8-file small tail
+    src.filter(col("event_id") % 4 =!= 0).repartition(1)
+      .write.partitionBy("shard").parquet(path)
+    src.filter(col("event_id") % 4 === 0).repartition(8)
+      .write.partitionBy("shard").mode("append").parquet(path)
+    def leafFiles(shard: Int): Map[String, Long] = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(path, s"shard=$shard"), false)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.getName -> f.getLen
+      }
+      b.result()
+    }
+    val before0 = leafFiles(0); val before1 = leafFiles(1)
+    assert(before0.size == 9 && before1.size == 9)
+    val rows = src.collect().map(_.toString).sorted.toSeq
+    val cut = math.min(before0.values.max, before1.values.max) / 2
+    val tailBytes = (before0.values ++ before1.values).filter(_ < cut).sum
+    // a partitioned target must compact EVERY leaf, not silently no-op
+    val n = graft.ops.Compact.compactSmall(spark, path,
+      targetBytes = tailBytes + 1, smallBytes = cut)
+    assert(n == 2, s"one merged tail per partition, got $n")
+    val after0 = leafFiles(0); val after1 = leafFiles(1)
+    assert(after0.size == 2 && after1.size == 2,
+      s"each leaf: big + merged tail, got $after0 / $after1")
+    // the big file of each partition kept its exact name and bytes
+    val big0 = before0.maxBy(_._2); val big1 = before1.maxBy(_._2)
+    assert(after0(big0._1) == big0._2 && after1(big1._1) == big1._2)
+    assert(spark.read.parquet(path).collect().map(_.toString).sorted
+      .toSeq == rows)
+  }
+
   test("selective compaction crash drill: manifest rolls forward, none rolls back") {
     val path = "/tmp/graft_compact/events_crash"
     val fs = org.apache.hadoop.fs.FileSystem.get(
