@@ -132,9 +132,19 @@ object MetadataMax {
       }
     }
     inlined match {
-      case Project(exprs, _: OneRowRelation) if exprs.forall(_.foldable) =>
-        Some(org.apache.spark.sql.Row.fromSeq(exprs.map(e =>
-          CatalystTypeConverters.convertToScala(e.eval(null), e.dataType))))
+      case Project(exprs, _: OneRowRelation)
+          // an Alias is never foldable itself (NamedExpression pins
+          // foldable=false) — evaluate THROUGH it
+          if exprs.forall {
+            case Alias(e, _) => e.foldable
+            case e => e.foldable
+          } =>
+        Some(org.apache.spark.sql.Row.fromSeq(exprs.map {
+          case Alias(e, _) =>
+            CatalystTypeConverters.convertToScala(e.eval(null), e.dataType)
+          case e =>
+            CatalystTypeConverters.convertToScala(e.eval(null), e.dataType)
+        }))
       case _ => None
     }
   }

@@ -65,6 +65,28 @@ class IncrementalLoadSpec extends SparkSuite {
     targetPath = s"$base/$target", auditPath = s"$base/audit_$target",
     tableName = target, startTimestamp = "2024-02-01 00:00:00")
 
+  test("delta-offset aggregate folds from the latest partition's footers") {
+    wipe()
+    // a MICROS-written protocol target (the test session default)
+    IncrementalLoad.run(spark, params("FULL_LOAD", "fold"), fact(None),
+      "cdc_ts")
+    val target = spark.read.parquet(s"$base/fold")
+    val latest = target.select(max(col(IncrementalLoad.partCol))).first()
+      .getDate(0).toString
+    val aggDf = target
+      .filter(col(IncrementalLoad.partCol) === lit(latest))
+      .agg(date_format(max(col("cdc_ts")) - expr("INTERVAL 3 DAYS"),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val folded = graft.ops.MetadataMax
+      .rewrite(spark, aggDf.queryExecution.optimizedPlan)
+    assert(folded.nonEmpty,
+      "the protocol's pruned offset aggregate must take the footer path")
+    val viaFooter = graft.ops.MetadataMax.evalFolded(folded.get)
+    assert(viaFooter.nonEmpty,
+      s"the folded plan must evaluate driver-side:\n${folded.get.treeString}")
+    assert(viaFooter.get === aggDf.first())
+  }
+
   test("C3/§5.3 invariant: FULL_LOAD == (delta ∘ prefix) on the same input") {
     wipe()
     // path A: one FULL_LOAD over everything
