@@ -160,13 +160,25 @@ object MetadataMax {
     val fs = try org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
       catch { case _: Exception => return None }
     if (!fs.exists(p)) return None
+    // a file is visible only if ITSELF and every directory between it
+    // and `p` is non-hidden — a Spark scan's InMemoryFileIndex ignores
+    // anything under _temporary/.staging leftovers, so counting them
+    // here would over-count vs the scan
+    def visible(f: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = f
+      while (cur != null && cur != p) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
     val files = mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
-        if (!name.endsWith(".parquet")) return None
+      if (visible(f.getPath)) {
+        if (!f.getPath.getName.endsWith(".parquet")) return None
         files += f.getPath
       }
     }
@@ -207,7 +219,13 @@ object MetadataMax {
       eligibleChild(child).flatMap { case (rel, fs) =>
         val partCols = rel.relation.asInstanceOf[HadoopFsRelation]
           .partitionSchema.fieldNames.toSet
-        if (cond.deterministic && cond.references.nonEmpty &&
+        // a subquery (e.g. `day = (SELECT MAX(day) …)`) references only
+        // partition columns but is Unevaluable during partition pruning
+        // — refuse rather than crash inside listFiles
+        val hasSubquery = cond.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .PlanExpression[_]])
+        if (!hasSubquery && cond.deterministic && cond.references.nonEmpty &&
             cond.references.forall(a => partCols.contains(a.name)))
           Some((rel, cond +: fs))
         else None
@@ -269,10 +287,14 @@ object MetadataMax {
     * directory would be a lie, not an answer. */
   private def dataFiles(fs: HadoopFsRelation,
       partFilters: Seq[Expression]): Option[Seq[String]] = {
-    val paths =
+    // listFiles evaluates the filters against partition values; any
+    // expression it cannot evaluate (belt to eligibleChild's subquery
+    // suspenders) must refuse, never crash the caller's statement
+    val paths = try {
       if (partFilters.isEmpty) fs.location.inputFiles.toSeq
       else fs.location.listFiles(partFilters, Nil)
         .flatMap(_.files.map(_.getPath.toString))
+    } catch { case _: Exception => return None }
     if (paths.exists(!_.endsWith(".parquet"))) None else Some(paths)
   }
 
@@ -382,7 +404,17 @@ object MetadataMax {
         }
       case (LongType, l: java.lang.Long) if logical == null =>
         Some(l.longValue)
-      case (IntegerType, i: java.lang.Integer) => Some(i.longValue)
+      case (IntegerType, i: java.lang.Integer)
+          // mirror the LongType gate: plain INT32, or an explicitly
+          // SIGNED int annotation of width <= 32 — a DECIMAL/unsigned
+          // annotation surfaced as Catalyst int would fold raw signed
+          // order over differently-ordered values
+          if logical == null || (logical match {
+            case ann: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+              ann.isSigned && ann.getBitWidth <= 32
+            case _ => false
+          }) =>
+        Some(i.longValue)
       case (DateType, i: java.lang.Integer)
           if logical.isInstanceOf[LogicalTypeAnnotation
             .DateLogicalTypeAnnotation] =>

@@ -282,6 +282,121 @@ class MetadataMaxSpec extends SparkSuite {
     }
   }
 
+  test("partition filter containing a scalar subquery refuses, never crashes") {
+    val dir = freshDir("subqfilter")
+    spark.range(0, 300)
+      .select(col("id"),
+        (col("id") % 3).cast("int").as("day"),
+        (lit("2024-03-01 00:00:00").cast("timestamp")
+          + expr("make_interval(0,0,0,0,0,0,id)")).as("ts"))
+      .write.partitionBy("day").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("mm_subqf")
+    // cond.references is just {day} and the condition is deterministic,
+    // but a ScalarSubquery is Unevaluable during partition pruning —
+    // the gate must refuse BEFORE listFiles, not throw inside it
+    for (q <- Seq(
+        "SELECT MAX(ts) FROM mm_subqf WHERE day = (SELECT MAX(day) FROM mm_subqf)",
+        "SELECT COUNT(*) FROM mm_subqf WHERE day IN (SELECT day FROM mm_subqf WHERE day > 1)")) {
+      val plan = spark.sql(q).queryExecution.optimizedPlan
+      assert(MetadataMax.rewrite(spark, plan).isEmpty, s"must refuse: $q")
+    }
+    // the script front door rides the same path with no try/catch:
+    // a SET-shaped statement with a subquery filter must fall back to
+    // the scan answer, not crash the whole script
+    val setShaped = "SELECT MAX(ts) FROM mm_subqf" +
+      " WHERE day = (SELECT MAX(day) FROM mm_subqf)"
+    val full = spark.sql(setShaped).first()
+    val (rewritten, v) = scalarViaRewrite(setShaped)
+    assert(!rewritten && v === full)
+  }
+
+  test("parquetRowCount ignores files under hidden dirs, like the scan") {
+    val dir = freshDir("hiddenrc")
+    spark.range(0, 123).select(col("id")).write.parquet(dir)
+    val scanCount = spark.read.parquet(dir).count()
+    assert(MetadataMax.parquetRowCount(spark, dir) === Some(scanCount))
+    // plant parquet under _temporary/ and .staging/ — the debris a
+    // crashed write or mid-compaction leaves; a Spark scan ignores
+    // them, so the footer count must too
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    for (hidden <- Seq("_temporary/0/task_1", ".staging")) {
+      val sub = new org.apache.hadoop.fs.Path(s"$dir/$hidden")
+      fs.mkdirs(sub)
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+        new org.apache.hadoop.fs.Path(sub, part.getName),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    assert(spark.read.parquet(dir).count() === scanCount,
+      "precondition: the scan itself ignores hidden dirs")
+    assert(MetadataMax.parquetRowCount(spark, dir) === Some(scanCount))
+    // a NON-parquet visible file still refuses (foreign dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "000000_0"))
+    out.write(1); out.close()
+    assert(MetadataMax.parquetRowCount(spark, dir).isEmpty)
+  }
+
+  test("every metadata face still folds after compaction (and refuses after INT96 rewrite)") {
+    // q216/q219 rewrite files; q217/q218/q220 depend on footer stats
+    // being present and exact afterward — pin that the compacted table
+    // qualifies for every face, flat and partitioned
+    val dir = freshDir("compactfold")
+    val write = spark.range(0, 1000).repartition(6)
+      .select(col("id"),
+        when(col("id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("id")).as("v"),
+        (lit("2024-05-01 00:00:00").cast("timestamp")
+          + expr("make_interval(0,0,0,0,0,0,id)")).as("ts"))
+    write.write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("mm_cf")
+    val q = "SELECT MIN(ts), MAX(ts), MIN(v), MAX(v), COUNT(*), COUNT(v)," +
+      " COUNT(ts) FROM mm_cf"
+    val before = spark.sql(q).first()
+    assert(graft.ops.Compact.compactSmall(spark, dir,
+      smallBytes = 64L << 20) > 0, "the 6 small files must compact")
+    spark.read.parquet(dir).createOrReplaceTempView("mm_cf")
+    val (rewritten, viaStats) = scalarViaRewrite(q)
+    assert(rewritten, "a compacted table must still take the footer path")
+    assert(viaStats === before)
+
+    // partitioned layout: compactSmall recurses into k=v leaves; the
+    // pruned-partition face must survive too
+    val pdir = freshDir("compactfoldp")
+    spark.range(0, 300).repartition(5)
+      .select(col("id"), (col("id") % 3).cast("int").as("day"),
+        (lit("2024-05-01 00:00:00").cast("timestamp")
+          + expr("make_interval(0,0,0,0,0,0,id)")).as("ts"))
+      .write.partitionBy("day").parquet(pdir)
+    spark.read.parquet(pdir).createOrReplaceTempView("mm_cfp")
+    val qp = "SELECT MAX(ts), MIN(id), COUNT(*) FROM mm_cfp WHERE day = 1"
+    val beforeP = spark.sql(qp).first()
+    assert(graft.ops.Compact.compactSmall(spark, pdir,
+      smallBytes = 64L << 20) > 0)
+    spark.read.parquet(pdir).createOrReplaceTempView("mm_cfp")
+    val (rwP, vP) = scalarViaRewrite(qp)
+    assert(rwP && vP === beforeP)
+
+    // refusal drill: a compaction run under an INT96 writer config
+    // strips usable timestamp stats — temporal min/max must refuse
+    // (counts and long extremes still fold)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try assert(graft.ops.Compact.compact(spark, dir) > 0,
+      "whole-table re-compact under INT96")
+    finally spark.conf.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.read.parquet(dir).createOrReplaceTempView("mm_cf96")
+    assert(MetadataMax.rewrite(spark,
+      spark.sql("SELECT MAX(ts) FROM mm_cf96")
+        .queryExecution.optimizedPlan).isEmpty,
+      "INT96-rewritten timestamps must refuse")
+    val q96 = "SELECT COUNT(*), COUNT(ts), MAX(v) FROM mm_cf96"
+    val full96 = spark.sql(q96).first()
+    val (rw96, v96) = scalarViaRewrite(q96)
+    assert(rw96 && v96 === full96)
+  }
+
   test("scalar subquery inside a SET-shaped statement is rewritten") {
     val dir = freshDir("subq")
     spark.range(0, 200)

@@ -9,8 +9,12 @@ Construction (PERF.md round-13 method):
     structure is N DISJOINT copies of the 1x corpus — the
     linear-scaling reference. n_chars recomputed.
   - embeddings xN: vec_id offset per replica; the vector ROTATED by
-    (i mod dim) per replica — same norm and coordinate distribution,
-    decorrelated replicas, no artificially N-x-popular sign buckets.
+    (i mod dim) AND, for replicas beyond the first dim (block = i//dim
+    > 0), coordinate signs flipped by a hash(block,coord) pattern —
+    same norm and coordinate distribution, decorrelated replicas even
+    when N > dim (rotation alone has only dim distinct images), no
+    artificially N-x-popular sign buckets. Block 0 is pure rotation,
+    so an N<=dim leg reproduces the old construction byte-for-byte.
   - lineitem xN: disjoint order/part/supp key spaces per replica.
   - every other table symlinked, so canary queries (q11) see
     IDENTICAL input across legs.
@@ -60,9 +64,14 @@ def main():
         con.execute(f"""
           COPY (
             SELECT e.vec_id + r.i * 100000000 AS vec_id,
-                   list_concat(
-                     list_slice(e.embedding, (r.i % {dim}) + 1, {dim}),
-                     list_slice(e.embedding, 1, r.i % {dim}))
+                   list_transform(
+                     list_concat(
+                       list_slice(e.embedding, (r.i % {dim}) + 1, {dim}),
+                       list_slice(e.embedding, 1, r.i % {dim})),
+                     (x, j) -> CASE
+                       WHEN r.i // {dim} = 0 THEN x
+                       WHEN hash((r.i // {dim}) * 1000003 + j) % 2 = 0
+                         THEN x ELSE -x END)
                      ::FLOAT[] AS embedding,
                    e.label
             FROM read_parquet('{src}/embeddings.parquet') e,
