@@ -59,6 +59,68 @@ object KMeans {
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
   }
 
+  /** Assignment against a trained codebook as a broadcast RELATION —
+    * the large-k form. [[assignToCentroids]] plants k struct
+    * expressions in ONE projection: ideal at IVF probe sizes (codegen
+    * keeps everything in registers), fatal to planning/codegen at the
+    * 10^4+ cells a past-the-clamp graph init needs. Here the codebook
+    * broadcasts as a k-row relation; the nested-loop fan-out is N·k
+    * rows but `min(struct)`'s partial aggregation folds them map-side,
+    * so the one shuffle carries N rows. Same exact integer zip_with
+    * arithmetic and (d2, cid) lexicographic tie-break — the two forms
+    * are bit-identical (pinned by KnnGraphSpec). */
+  def assignBroadcast(vecs: DataFrame,
+      cent: Seq[(Long, Seq[Long])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centDf = cent.toDF("cid", "carr")
+    vecs.select(col("vec_id"), col("iv"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), struct(
+        aggregate(
+          zip_with(col("iv"), col("carr"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        col("cid").as("cid")).as("m"))
+      .groupBy(col("vec_id")).agg(min(col("m")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+  }
+
+  /** Train a `k`-cell codebook over `train` (vec_id, iv) with `iters`
+    * Lloyd passes and return the collected centroids, cids 0..k-1.
+    * Seeds are the k vectors at id-rank [seedRank·k, (seedRank+1)·k)
+    * in ascending vec_id — rank-based (sparse id spaces work), and
+    * DISJOINT seed slices per `seedRank` give independent codebooks:
+    * the multi-table trick for a trained-quantizer blocking key
+    * ([[KnnGraph.withInitBuckets]]). Driver materialization is the
+    * sanctioned k×dim codebook (+ the seed slice read once). Uses
+    * [[assignBroadcast]] for the training passes, so k is unbounded
+    * by expression size. */
+  def trainCodebook(train: DataFrame, k: Int, iters: Int,
+      seedRank: Int = 0): Seq[(Long, Seq[Long])] = {
+    require(k >= 1 && iters >= 1 && seedRank >= 0,
+      s"trainCodebook: need k($k) >= 1, iters($iters) >= 1, " +
+        s"seedRank($seedRank) >= 0")
+    val seedRows = train.select(col("vec_id"), col("iv"))
+      .orderBy(col("vec_id")).limit((seedRank + 1) * k)
+      .collect().drop(seedRank * k)
+    require(seedRows.length == k,
+      s"trainCodebook: seed slice $seedRank needs ${(seedRank + 1) * k} " +
+        s"vectors, corpus has only ${seedRank * k + seedRows.length}")
+    var cent: Seq[(Long, Seq[Long])] = seedRows.zipWithIndex.map {
+      case (r, i) => (i.toLong, r.getSeq[Long](1))
+    }.toSeq
+    for (_ <- 2 to iters) {
+      val asg = assignBroadcast(train, cent)
+      cent = collectCentroids(
+        train.join(asg.select("vec_id", "cid"), "vec_id")
+          .select(col("cid"), posexplode(col("iv")))
+          .groupBy(col("cid"), col("pos").as("p"))
+          .agg(round(sum(col("col")).cast("double") / count(lit(1)))
+            .cast("bigint").as("c")))
+    }
+    cent
+  }
+
   /** (vec_id, cid, d2) after `iters` assignment passes (d2 = exact
     * squared integer distance to the winning centroid). */
   def assign(vecs: DataFrame, k: Long, iters: Int): DataFrame = {

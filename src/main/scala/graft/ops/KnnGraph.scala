@@ -69,6 +69,70 @@ object KnnGraph {
     bits
   }
 
+  /** The init blocking-key KIND for a corpus — which key family, and
+    * its width. Sign buckets cost nothing to derive but have at most
+    * 2^maxBits distinct values (two disjoint multi-table keys must fit
+    * the embedding's leading dims); a trained quantizer has unbounded
+    * cells and adapts to density, but costs training passes. */
+  sealed trait InitKind
+  object InitKind {
+    /** Multi-table axis-sign LSH, `bits` per table. */
+    final case class SignBuckets(bits: Int) extends InitKind
+    /** Trained coarse-quantizer cells ([[KMeans]] codebooks, one per
+      * table, independently seeded), `cells` per table. */
+    final case class QuantizerCells(cells: Int) extends InitKind
+  }
+
+  /** INIT-KEY POLICY INCLUDING PAST THE CLAMP, as code: sign buckets
+    * at [[adaptiveBits]]'s width while that keeps expected occupancy
+    * ≤ `targetBlock`; once the bit clamp binds AND occupancy still
+    * exceeds the target (≈17M vectors at the defaults), the init key
+    * becomes the q60 trained-quantizer cell id with
+    * `cells = ⌈n / targetBlock⌉` — expected occupancy stays exactly
+    * `targetBlock` at ANY corpus size, so the init term stays
+    * N·targetBlock, linear, three decades past where axis-sign
+    * blocking runs out of bits (and k-means cells track density where
+    * correlated dims skew sign buckets). `cells` saturates at
+    * Int.MaxValue — occupancy only drifts above the target past
+    * ~275 billion vectors at the default block. */
+  def initKind(n: Long, floor: Int, targetBlock: Long = 256L,
+      maxBits: Int = 16): InitKind = {
+    val bits = adaptiveBits(n, floor, targetBlock, maxBits)
+    if (bits == maxBits && n.toDouble / (1L << bits) > targetBlock) {
+      val cells = (n + targetBlock - 1) / targetBlock
+      InitKind.QuantizerCells(math.min(cells, Int.MaxValue.toLong).toInt)
+    } else InitKind.SignBuckets(bits)
+  }
+
+  /** Attach one blocking-key column per name to `vecs` (which must
+    * carry `vec_id` and the integer-scaled `iv`) according to `kind`:
+    * sign-bucket tables over disjoint leading dims, or — past the
+    * clamp — independently-seeded trained-quantizer cell ids
+    * ([[KMeans.trainCodebook]] seed slice t, [[KMeans.assignBroadcast]]
+    * full-corpus assignment, one keyed join per table). `trainSampleMod`
+    * trains each codebook on the deterministic `vec_id % mod = 0`
+    * sample — at 10^7+ vectors the Lloyd update doesn't need every
+    * row, only the assignment does. */
+  def withInitBuckets(vecs: DataFrame, kind: InitKind,
+      names: Seq[String] = Seq("sb1", "sb2"), trainIters: Int = 2,
+      trainSampleMod: Long = 1L): DataFrame = kind match {
+    case InitKind.SignBuckets(bits) =>
+      names.zipWithIndex.foldLeft(vecs) { case (df, (nm, i)) =>
+        df.withColumn(nm, signBucket(col("iv"), bits, i * bits))
+      }
+    case InitKind.QuantizerCells(cells) =>
+      val train =
+        if (trainSampleMod <= 1L) vecs
+        else vecs.filter(col("vec_id") % trainSampleMod === 0)
+      names.zipWithIndex.foldLeft(vecs) { case (df, (nm, t)) =>
+        val cent = KMeans.trainCodebook(train, cells, trainIters,
+          seedRank = t)
+        val asg = KMeans.assignBroadcast(vecs, cent)
+          .select(col("vec_id"), col("cid").as(nm))
+        df.join(asg, "vec_id")
+      }
+  }
+
   /** Blocking key: sign bits of `bits` dimensions of the
     * integer-scaled vector starting after `offset` (1-based
     * `element_at`, matching the oracle's `iv[i]`). Several keys over

@@ -1093,7 +1093,7 @@ object SimilarityQueries {
           if (kids.isEmpty) st.getModificationTime
           else kids.map(_.getModificationTime).max)
       } else (st.getLen, st.getModificationTime)
-    s"$d:$len:$mtime:bits=${effectiveGraphBits(s, d)}:fmt=2"
+    s"$d:$len:$mtime:${initToken(s, d)}:fmt=2"
   }
 
   /** STORED refined k-NN graph over `d`'s embeddings — the
@@ -1111,7 +1111,7 @@ object SimilarityQueries {
     val store = s"${graft.ops.Fixtures.root(s)}/knn_graph_${tag}_" +
       graft.ops.Fixtures.pathKey(d)
     val stamp = graft.ops.Fixtures.datasetStamp(s, s"$d/embeddings.parquet") +
-      s"|k=$graphK|rounds=$graphRounds|bits=${effectiveGraphBits(s, d)}|tag=$tag" +
+      s"|k=$graphK|rounds=$graphRounds|${initToken(s, d)}|tag=$tag" +
       s"|algo=${graft.ops.KnnGraph.algoVersion}|fmt=1"
     graft.ops.Fixtures.ensure(s, store, stamp) { stg =>
       val vecs = graphVecs(s, d)
@@ -1122,36 +1122,51 @@ object SimilarityQueries {
     s.read.parquet(store)
   }
 
-  /** EFFECTIVE sign-bucket init width for dataset `d` — the
-    * [[graft.ops.KnnGraph.adaptiveBits]] policy applied to the
-    * corpus's exact row count read from parquet FOOTERS (driver-side
-    * metadata, zero jobs; one `count()` job as the refusal fallback).
-    * At the registered test scales (≤2k vectors) this resolves to the
-    * `graphBits` floor, so bucket values — and therefore every stored
-    * graph fixture and oracle replay — are unchanged; on a 100×+
-    * corpus the width grows with log(N) and the init term stays
-    * linear instead of inheriting N²/2^bits silently. Memoized per
-    * dataset (the stamp sites and the column derivation must agree). */
-  private val graphBitsMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
-  private[graft] def effectiveGraphBits(s: SparkSession, d: String): Int =
-    graphBitsMemo.getOrElseUpdate(d, {
+  /** EFFECTIVE init-key kind for dataset `d` — the
+    * [[graft.ops.KnnGraph.initKind]] policy applied to the corpus's
+    * exact row count read from parquet FOOTERS (driver-side metadata,
+    * zero jobs; one `count()` job as the refusal fallback). At the
+    * registered test scales (≤2k vectors) this resolves to sign
+    * buckets at the `graphBits` floor, so bucket values — and
+    * therefore every stored graph fixture and oracle replay — are
+    * unchanged; on a 100×+ corpus the width grows with log(N), and
+    * past the 16-bit clamp (~17M vectors at targetBlock 256) the key
+    * becomes the q60 trained-quantizer cell id — the init term stays
+    * linear at ANY N instead of inheriting N²/2^bits silently.
+    * Memoized per dataset (the stamp sites and the column derivation
+    * must agree). */
+  private val graphInitMemo = scala.collection.concurrent
+    .TrieMap.empty[String, graft.ops.KnnGraph.InitKind]
+  private[graft] def effectiveInitKind(s: SparkSession,
+      d: String): graft.ops.KnnGraph.InitKind =
+    graphInitMemo.getOrElseUpdate(d, {
       val n = graft.ops.MetadataMax
         .parquetRowCount(s, s"$d/embeddings.parquet")
         .getOrElse(Catalog.embeddings(s, d).count())
-      graft.ops.KnnGraph.adaptiveBits(n, graphBits)
+      graft.ops.KnnGraph.initKind(n, graphBits)
     })
+
+  /** The init kind as a stamp token for the stored-graph fixtures.
+    * The sign path keeps the legacy `bits=N` spelling so every
+    * existing stored fixture stays valid (no rebuild churn — the q170
+    * r14 lesson); a quantizer corpus stamps `qcells=N`, forcing a
+    * rebuild if a corpus ever crosses the clamp in place. */
+  private def initToken(s: SparkSession, d: String): String =
+    effectiveInitKind(s, d) match {
+      case graft.ops.KnnGraph.InitKind.SignBuckets(b) => s"bits=$b"
+      case graft.ops.KnnGraph.InitKind.QuantizerCells(c) => s"qcells=$c"
+    }
 
   private val graphVecsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def graphVecs(s: SparkSession, d: String): DataFrame = {
     val df = graphVecsMemo.getOrElseUpdate((s, d), {
-      val iv = Similarity.intVec(col("embedding"))
-      val bits = effectiveGraphBits(s, d)
-      Catalog.embeddings(s, d)
+      val base = Catalog.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"),
-          graft.ops.KnnGraph.signBucket(iv, bits).as("sb1"),
-          graft.ops.KnnGraph.signBucket(iv, bits, bits).as("sb2"))
+          Similarity.intVec(col("embedding")).as("iv"))
+      graft.ops.KnnGraph
+        .withInitBuckets(base, effectiveInitKind(s, d))
+        .drop("iv")
     })
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -1661,13 +1676,13 @@ object SimilarityQueries {
         val iv = Similarity.intVec(col("embedding"))
         val corpus = e.unionAll(e.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-        // same adaptive width as graphVecs (the dup injection is a
+        // same init-key policy as graphVecs (the dup injection is a
         // fixed 1.2× of the base corpus — one policy source)
-        val bits = effectiveGraphBits(s, d)
-        val vecs = corpus
-          .select(col("vec_id"), col("embedding"),
-            graft.ops.KnnGraph.signBucket(iv, bits).as("sb1"),
-            graft.ops.KnnGraph.signBucket(iv, bits, bits).as("sb2"))
+        val vecs = graft.ops.KnnGraph
+          .withInitBuckets(
+            corpus.select(col("vec_id"), col("embedding"), iv.as("iv")),
+            effectiveInitKind(s, d))
+          .drop("iv")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val graph = graft.ops.KnnGraph.build(vecs, graphK,
           rounds = graphRounds, bucketCols = Seq("sb1", "sb2"))

@@ -51,8 +51,96 @@ class KnnGraphSpec extends SparkSuite {
     // the scale path actually widens: 100× / 1000× corpora
     assert(KnnGraph.adaptiveBits(200000L, 4) == 10)
     assert(KnnGraph.adaptiveBits(2000000L, 4) == 13)
-    // the wired policy resolves to the floor on this suite's dataset
-    assert(SimilarityQueries.effectiveGraphBits(spark, sf) == 4)
+    // the wired policy resolves to sign buckets at the floor on this
+    // suite's dataset
+    assert(SimilarityQueries.effectiveInitKind(spark, sf) ==
+      KnnGraph.InitKind.SignBuckets(4))
+  }
+
+  test("initKind: trained-quantizer cells past the clamp, occupancy bounded at ANY N") {
+    import KnnGraph.InitKind._
+    // below the clamp: sign buckets at adaptiveBits' width
+    assert(KnnGraph.initKind(2000, 4) == SignBuckets(4))
+    assert(KnnGraph.initKind(200000L, 4) == SignBuckets(10))
+    // AT the boundary: occupancy at maxBits exactly == target → still
+    // sign buckets (the cheap key suffices)
+    val atClamp = 256L << 16
+    assert(KnnGraph.initKind(atClamp, 4) == SignBuckets(16))
+    // one vector past: the clamp binds, the key switches to quantizer
+    // cells with ceil(n/target) cells — occupancy back to the target
+    KnnGraph.initKind(atClamp + 1, 4) match {
+      case QuantizerCells(c) => assert(c == (atClamp + 1 + 255) / 256)
+      case other => fail(s"expected QuantizerCells past the clamp: $other")
+    }
+    // three decades past the clamp: expected occupancy n/cells stays
+    // within [target/2, target] — the init term is N·target, linear
+    // (up to 2^38 ≈ 275B vectors; past that `cells` saturates at
+    // Int.MaxValue and occupancy drifts above the target — noted in
+    // the initKind scaladoc, three decades beyond any measured leg)
+    for (exp <- 25 to 38) {
+      val n = 1L << exp
+      KnnGraph.initKind(n, 4) match {
+        case QuantizerCells(c) =>
+          val occ = n.toDouble / c
+          assert(occ <= 256.0 && occ >= 128.0, s"n=$n cells=$c occ=$occ")
+        case SignBuckets(b) =>
+          assert(n.toDouble / (1L << b) <= 256.0, s"n=$n bits=$b")
+      }
+    }
+  }
+
+  test("assignBroadcast ≡ assignToCentroids: bit-identical assignment, any k") {
+    import graft.ops.KMeans
+    val iv = Catalog.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.intVec(col("embedding")).as("iv"))
+      .persist()
+    for (k <- Seq(3, 8)) {
+      val cent = KMeans.trainCodebook(iv, k, iters = 2)
+      assertSameRows(KMeans.assignBroadcast(iv, cent),
+        KMeans.assignToCentroids(iv, cent))
+    }
+    iv.unpersist()
+  }
+
+  test("quantizer-cell init: independent tables, full assignment, graph invariants") {
+    import KnnGraph.InitKind
+    val base = Catalog.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.intVec(col("embedding")).as("iv"))
+      .persist()
+    val n = base.count()
+    // force the clamp at toy scale: maxBits=2 and targetBlock=16 make
+    // n/4 > 16 for any corpus >= 65 vectors → QuantizerCells(⌈n/16⌉)
+    val kind = KnnGraph.initKind(n, floor = 1, targetBlock = 16L,
+      maxBits = 2)
+    val cells = kind match {
+      case InitKind.QuantizerCells(c) => assert(c == (n + 15) / 16); c
+      case other => fail(s"forced clamp must yield QuantizerCells: $other")
+    }
+    val bucketed = KnnGraph
+      .withInitBuckets(base, kind, Seq("sb1", "sb2")).persist()
+    // every row assigned, both tables, no nulls
+    assert(bucketed.count() == n)
+    assert(bucketed.filter(col("sb1").isNull || col("sb2").isNull)
+      .count() == 0)
+    // cell ids live in [0, cells)
+    val rng = bucketed.agg(min(col("sb1")), max(col("sb1")),
+      min(col("sb2")), max(col("sb2"))).head()
+    assert(rng.getLong(0) >= 0 && rng.getLong(1) < cells)
+    assert(rng.getLong(2) >= 0 && rng.getLong(3) < cells)
+    // the two tables are INDEPENDENT codebooks (disjoint seed slices):
+    // they must not be the same partition of the corpus
+    assert(bucketed.filter(col("sb1") =!= col("sb2")).count() > 0)
+    // deterministic: a second derivation is row-identical
+    assertSameRows(bucketed,
+      KnnGraph.withInitBuckets(base, kind, Seq("sb1", "sb2")))
+    // the built graph holds the structural invariants on this init
+    val g = KnnGraph.build(bucketed, k, rounds = 1,
+      bucketCols = Seq("sb1", "sb2")).persist()
+    assert(g.filter(col("u") === col("v")).count() == 0)
+    assert(g.count() == g.distinct().count())
+    assert(g.groupBy("u").count().agg(max("count")).head().getLong(0) <= k)
+    g.unpersist(); bucketed.unpersist(); base.unpersist()
   }
 
   test("graph edges: no self loops, no duplicates, degree <= k") {
