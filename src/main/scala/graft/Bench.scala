@@ -78,7 +78,7 @@ object Bench {
     * (VERDICT r8 #1). None when the file is absent or records a
     * different scale factor than this run's. */
   private[graft] def oracleTimedSec(timedNames: Seq[String], sfDir: String,
-      dir: String = "."): Option[Double] = {
+      dir: String = ".", includeFixtures: Boolean = true): Option[Double] = {
     try {
       val p = java.nio.file.Paths.get(dir, "ORACLE_BENCH.json")
       if (!java.nio.file.Files.exists(p)) return None
@@ -92,7 +92,8 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       val wanted = timedNames.toSet
       val sum = entries.collect {
-        case (n, v) if v > 0 && (n.startsWith("_fixture:") || wanted(n)) => v
+        case (n, v) if v > 0 &&
+          ((includeFixtures && n.startsWith("_fixture:")) || wanted(n)) => v
       }.sum
       if (sum > 0) Some(sum) else None
     } catch { case _: Throwable => None }
@@ -113,15 +114,15 @@ object Bench {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def cs(v: Double): String = math.round(v * 100).toString
-    // top-8 (10 through r12, 15 through r11, 20 through r9): at a
-    // 217-query registry the line must stay under the driver's
-    // ~2000-byte stdout tail; qcs keeps full per-query fidelity
-    // regardless
-    val heavy = results.filter(_._2 >= 0.95).sortBy(-_._2).take(8)
+    // top-6 (8 through r14, 10 through r12, 15 through r11, 20 through
+    // r9): at a 220-query registry the line must stay under the
+    // driver's ~2000-byte stdout tail; qcs keeps full per-query
+    // fidelity regardless
+    val heavy = results.filter(_._2 >= 0.95).sortBy(-_._2).take(6)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rq(v) }
       .mkString("{", ",", "}")
     val qcs = results.map { case (_, v) => cs(v) }.mkString(",")
-    val top = results.sortBy(-_._2).take(5).map { case (k, v) =>
+    val top = results.sortBy(-_._2).take(4).map { case (k, v) =>
       val st = stats.getOrElse(k, RunStats(0L, 0L))
       "\"" + k.takeWhile(_ != '_') +
         s"""":{"cs":${cs(v)},"shmb":${st.shuffleMb},"gc":${st.gcMs}}"""
@@ -137,7 +138,7 @@ object Bench {
       trailing.get(k).filter(m => m >= 0.10 && v > 2 * m)
         .map(m => k -> BigDecimal(v / m).setScale(1,
           BigDecimal.RoundingMode.HALF_UP))
-    }.sortBy(-_._2).take(6)
+    }.sortBy(-_._2).take(5)
       .map { case (k, x) => "\"" + k.takeWhile(_ != '_') + "\":" + x }
       .mkString("{", ",", "}")
     val sfShort = new java.io.File(sfDir).getName
@@ -164,6 +165,27 @@ object Bench {
           purePair.getOrElse("")
       case _ => ""
     }
+    // PER-CLASS SUBTOTALS (VERDICT r14 #5): the overall/dataflow split
+    // hides which attributed class drifted; emit seconds + per-class
+    // oracle ratio for dataflow ("df"), protocol ("pr") and streaming
+    // ("st") so drift within a class is visible from the artifact
+    // alone. `_fixture:` oracle amortization rides only the dataflow
+    // class (the fixtures serve dataflow oracles).
+    val clsField = {
+      val byCls = results.groupBy { case (n, _) => queries.Q.cls(n) }
+      Seq("dataflow" -> "df", "protocol" -> "pr", "streaming" -> "st")
+        .flatMap { case (c, short) =>
+          byCls.get(c).map { rs =>
+            val s = rs.map(_._2).sum
+            val x = oracleTimedSec(rs.map(_._1), sfDir,
+                includeFixtures = c == "dataflow")
+              .filter(_ > 0).filter(_ => s > 0)
+              .map(o => ",\"x\":" + BigDecimal(s / o).setScale(2,
+                BigDecimal.RoundingMode.HALF_UP)).getOrElse("")
+            s""""$short":{"s":${rq(s)}$x}"""
+          }
+        }.mkString("\"cls\":{", ",", "},")
+    }
     // NOISE CANARY (VERDICT r11 #6): the same trivial fixed query timed
     // between every ~20 registry queries — its per-window spread
     // quantifies container inflation INSIDE the artifact (a flat canary
@@ -174,9 +196,9 @@ object Bench {
     val primeField =
       primeSec.fold("")(p => s""""prime_sec":${r3(p)},""")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
-      s"""$oracleField"queries":$heavy,"qcs":"$qcs","top":$top,"env":$env,""" +
+      s"""$oracleField$clsField"queries":$heavy,"qcs":"$qcs","top":$top,"env":$env,""" +
       canaryField + primeField +
-      s""""note":"centisec: qcs(name-sorted),canary(/20q); q>=0.95s; top={cs,shmb,gc}; env=x/med; prime=warmup; oracle=ORACLE_BENCH.json","sf":"$sfShort"}"""
+      s""""note":"cs: qcs(name-sorted),canary(/20q); q>=.95s; top={cs,shmb,gc}; env=x/med; cls={s,x=/oracle}; oracle=ORACLE_BENCH.json","sf":"$sfShort"}"""
   }
 
   /** Trailing per-query time medians from prior rounds' driver

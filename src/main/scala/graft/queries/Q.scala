@@ -57,6 +57,22 @@ object Q {
     "q172_sql_script_frontdoor", // whole-script staged-swap runs
     "q173_sql_script_audit") // same script runs, audit side
 
+  /** Benchmark COST CLASS of a query — the three structurally
+    * different cost regimes the spark-vs-oracle ratio mixes (r14
+    * VERDICT asked for the split to ride the bench line so per-class
+    * drift is visible round-over-round without re-deriving it):
+    *  - `dataflow`: pure reads — compares like-with-like against the
+    *    DuckDB oracle;
+    *  - `streaming`: checkpointed micro-batch protocols — pays a
+    *    measured planning + state-store + commit-log floor the
+    *    oracle's SELECT never pays;
+    *  - `protocol`: staged writes / publishes / index builds —
+    *    durability I/O the oracle's SELECT never pays. */
+  def cls(name: String): String =
+    if (!sideEffecting(name)) "dataflow"
+    else if (name.contains("stream")) "streaming"
+    else "protocol"
+
   /** Correctness-only calibration/audit queries: still verified
     * triple-green every round (they stay in the registry and the
     * oracle gate), but EXCLUDED from the timed bench, because what

@@ -65,6 +65,27 @@ class BenchLineSpec extends SparkSuite {
     assert(bare.contains("\"env\":{}"))
   }
 
+  test("per-class subtotals ride the line (dataflow/protocol/streaming)") {
+    val results = Seq(
+      "q01_pure" -> 1.5, "q02_pure" -> 0.5, // dataflow
+      "q12_incremental_load" -> 2.0, // protocol
+      "q26_streaming_ingest" -> 3.0) // streaming
+    val line = Bench.compactLine(results, "/root/testdata/sf0.1")
+    assert(line.contains(""""df":{"s":2"""))
+    assert(line.contains(""""pr":{"s":2"""))
+    assert(line.contains(""""st":{"s":3"""))
+    // a selection with no side-effecting queries emits only its class
+    val pure = Bench.compactLine(Seq("q01_pure" -> 1.0),
+      "/root/testdata/sf0.1")
+    assert(pure.contains(""""cls":{"df":{"s":1"""))
+    assert(!pure.contains(""""pr":""") && !pure.contains(""""st":"""))
+    // classification agrees with the registry taxonomy
+    assert(queries.Q.cls("q19_dedup_minhash_lsh") == "dataflow")
+    assert(queries.Q.cls("q12_incremental_load") == "protocol")
+    assert(queries.Q.cls("q201_stream_dedup") == "streaming")
+    assert(queries.Q.cls("q138_persistent_ann_index") == "protocol")
+  }
+
   test("every sideEffecting name exists in the registry") {
     val names = SparkEntry.registry.map(_.name).toSet
     val ghosts = queries.Q.sideEffecting.diff(names)

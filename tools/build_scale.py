@@ -16,6 +16,9 @@ Construction (PERF.md round-13 method):
     artificially N-x-popular sign buckets. Block 0 is pure rotation,
     so an N<=dim leg reproduces the old construction byte-for-byte.
   - lineitem xN: disjoint order/part/supp key spaces per replica.
+  - orders xN: o_orderkey offset matching lineitem's l_orderkey offset
+    (and o_custkey offset), so header<->items joins stay 1:N per
+    replica — the shape q149's cogroup reconcile needs at scale.
   - every other table symlinked, so canary queries (q11) see
     IDENTICAL input across legs.
 
@@ -92,6 +95,18 @@ def main():
                  range({n}) r(i)
           ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
         print(f"lineitem x{n} written")
+
+    if "orders" in tables:
+        con.execute(f"""
+          COPY (
+            SELECT o.o_orderkey + r.i * 1000000000 AS o_orderkey,
+                   o.o_custkey + r.i * 10000000 AS o_custkey,
+                   o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+                   o.o_orderpriority
+            FROM read_parquet('{src}/orders.parquet') o,
+                 range({n}) r(i)
+          ) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+        print(f"orders x{n} written")
 
     for t in ALL_TABLES:
         dst = out / f"{t}.parquet"
