@@ -2588,8 +2588,91 @@ object SimilarityQueries {
          |$layerSelects""".stripMargin
     })
 
+  /** q221 — kNN-graph construction on the TRAINED-QUANTIZER init (the
+    * past-the-clamp key [[graft.ops.KnnGraph.initKind]] switches to at
+    * ~17M vectors, exercised here at a forced fixed width so the whole
+    * path is hash-verified at test scale): two independently-seeded
+    * k-means codebooks ([[graft.ops.KMeans.trainCodebook]], rank-based
+    * disjoint seed slices, one Lloyd update) assign every vector a
+    * cell id per table ([[graft.ops.KMeans.assignBroadcast]] — the
+    * broadcast-relation form whose min(struct) partial aggregation
+    * keeps the assignment shuffle at N rows at ANY codebook size),
+    * then the standard NN-Descent build runs on the cell keys.
+    * Hash-green means seeding, both Lloyd passes, the broadcast
+    * argmin tie-breaks, the multi-table cell init AND the refinement
+    * rounds are bit-identical to the oracle end to end — the same
+    * guarantee q164 gives the sign-bucket init.
+    *
+    * Scale shape (100 TB): training passes are O(N·cells·dim) map-side
+    * arithmetic + one N-row shuffle each (and train on a `vec_id %
+    * mod` sample past 10^7 vectors); the init self-join is bounded by
+    * cell occupancy ≈ targetBlock by construction — the linear init
+    * term sign buckets cannot provide past 2^16 buckets. */
+  val q221 = {
+    val cells = 8
+    // oracle side of one rank-seeded trainCodebook(k=8, iters=2) +
+    // full-corpus assignBroadcast: seeds = vec_id-ranks
+    // [t·8+1, (t+1)·8] (cid 0..7), one round-mean update, final
+    // nearest-centroid assignment with (d2, cid) tie-break
+    def kmeansSql(t: Int): String = {
+      val lo = t * cells + 1
+      val hi = (t + 1) * cells
+      s"""sd$t AS (SELECT rk.r - $lo AS cid, d.p, d.x AS c
+         |       FROM rk JOIN dims d USING (vec_id)
+         |       WHERE rk.r BETWEEN $lo AND $hi),
+         |dist1_$t AS (SELECT d.vec_id, s.cid,
+         |         sum((d.x - s.c) * (d.x - s.c)) AS d2
+         |       FROM dims d JOIN sd$t s USING (p) GROUP BY 1, 2),
+         |a1_$t AS (SELECT vec_id, cid FROM (
+         |       SELECT vec_id, cid, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |       FROM dist1_$t) WHERE rn = 1),
+         |c1_$t AS (SELECT a.cid, d.p,
+         |         CAST(round(CAST(sum(d.x) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS c
+         |       FROM dims d JOIN a1_$t a USING (vec_id) GROUP BY 1, 2),
+         |dist2_$t AS (SELECT d.vec_id, c.cid,
+         |         sum((d.x - c.c) * (d.x - c.c)) AS d2
+         |       FROM dims d JOIN c1_$t c USING (p) GROUP BY 1, 2),
+         |asg$t AS (SELECT vec_id, cid FROM (
+         |       SELECT vec_id, cid, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |       FROM dist2_$t) WHERE rn = 1)""".stripMargin
+    }
+    Q("q221_graph_quantizer_init",
+      (s, d) => {
+        val base = Catalog.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.intVec(col("embedding")).as("iv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bucketed = graft.ops.KnnGraph
+          .withInitBuckets(base,
+            graft.ops.KnnGraph.InitKind.QuantizerCells(cells))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.ops.KnnGraph.build(bucketed, graphK, rounds = graphRounds,
+          bucketCols = Seq("sb1", "sb2"))
+          .select(col("u"), col("v"))
+      },
+      Some(
+        s"""WITH iv AS ($intVecsSql),
+           |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+           |dims AS (SELECT vec_id, p, iv[p] AS x FROM iv, pos),
+           |rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS r
+           |       FROM iv),
+           |${kmeansSql(0)},
+           |${kmeansSql(1)},
+           |n AS MATERIALIZED (SELECT i.vec_id, i.iv,
+           |       CAST(list_aggregate(list_transform(i.iv, x -> x * x),
+           |         'sum') AS DOUBLE) AS nrm,
+           |       a0.cid AS sb1, b1.cid AS sb2
+           |     FROM iv i JOIN asg0 a0 USING (vec_id)
+           |       JOIN asg1 b1 USING (vec_id)),
+           |${graphChainSql("n", "")}
+           |SELECT u, v FROM ref""".stripMargin))
+  }
+
   val all: Seq[Q] =
     Seq(q23, q24, q36, q56, q58, q60, q68, q84, q102, q138, q150, q153,
       q164, q165, q166, q167, q168, q169, q170, q171, q174, q175, q177,
-      q179, q181, q182, q186, q192, q206, q211)
+      q179, q181, q182, q186, q192, q206, q211, q221)
 }
