@@ -140,7 +140,30 @@ class KnnGraphSpec extends SparkSuite {
     assert(g.filter(col("u") === col("v")).count() == 0)
     assert(g.count() == g.distinct().count())
     assert(g.groupBy("u").count().agg(max("count")).head().getLong(0) <= k)
-    g.unpersist(); bucketed.unpersist(); base.unpersist()
+    // recall guard (the standard every approximate path carries): the
+    // quantizer-init graph must overlap the brute-force true top-k on
+    // the audited nodes — cells that track density should give the
+    // NN-Descent rounds at least as good a start as axis signs
+    val audited = bucketed.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id")).persist()
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("cosine").desc, col("v"))
+    val brute = audited.select(col("vec_id").as("u"))
+      .join(bucketed.select(col("vec_id").as("v"),
+        col("embedding").as("eb")), col("u") =!= col("v"))
+      .join(bucketed.select(col("vec_id").as("u"), col("embedding")
+        .as("ea")), "u")
+      .select(col("u"), col("v"),
+        graft.functions.CosineScaled(col("ea"), col("eb")).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("u"), col("v"))
+    val nAudited = audited.count()
+    val overlap = g.join(brute, Seq("u", "v")).count()
+    assert(overlap > nAudited,
+      s"quantizer-init recall too low: $overlap true edges over " +
+        s"$nAudited audited nodes (k=$k)")
+    audited.unpersist(); g.unpersist(); bucketed.unpersist()
+    base.unpersist()
   }
 
   test("graph edges: no self loops, no duplicates, degree <= k") {
