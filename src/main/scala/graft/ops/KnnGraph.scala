@@ -79,28 +79,42 @@ object KnnGraph {
     /** Multi-table axis-sign LSH, `bits` per table. */
     final case class SignBuckets(bits: Int) extends InitKind
     /** Trained coarse-quantizer cells ([[KMeans]] codebooks, one per
-      * table, independently seeded), `cells` per table. */
-    final case class QuantizerCells(cells: Int) extends InitKind
+      * table, independently seeded), COMPOSED with `subBits` axis-sign
+      * bits inside each cell: bucket = cid·2^subBits + signs. The
+      * composite is what keeps the policy linear: occupancy is
+      * n/(cells·2^subBits), so `cells` stays tiny (the sign bits carry
+      * 2^subBits of the split for free, map-side) and the one real
+      * cost of a trained key — the n·cells·dim assignment — never
+      * grows past rounding error of the scan itself. `subBits = 0`
+      * degenerates to the pure cell id (the fixed-width q221 drill). */
+    final case class QuantizerCells(cells: Int, subBits: Int)
+      extends InitKind
   }
 
   /** INIT-KEY POLICY INCLUDING PAST THE CLAMP, as code: sign buckets
     * at [[adaptiveBits]]'s width while that keeps expected occupancy
     * ≤ `targetBlock`; once the bit clamp binds AND occupancy still
     * exceeds the target (≈17M vectors at the defaults), the init key
-    * becomes the q60 trained-quantizer cell id with
-    * `cells = ⌈n / targetBlock⌉` — expected occupancy stays exactly
-    * `targetBlock` at ANY corpus size, so the init term stays
-    * N·targetBlock, linear, three decades past where axis-sign
-    * blocking runs out of bits (and k-means cells track density where
-    * correlated dims skew sign buckets). `cells` saturates at
-    * Int.MaxValue — occupancy only drifts above the target past
-    * ~275 billion vectors at the default block. */
+    * becomes the q60 trained-quantizer cell id COMPOSED with the
+    * clamped sign bits — `cells = ⌈n / (targetBlock·2^maxBits)⌉`
+    * k-means cells per table, each sub-split by the same `maxBits`
+    * axis signs the clamp already pays for, so expected occupancy
+    * returns to `targetBlock` at ANY corpus size and the init term
+    * stays N·targetBlock, linear. The composite is deliberate: a PURE
+    * cell key would need n/targetBlock cells and its n·cells·dim
+    * assignment pass would grow quadratically (≈3 h of cluster time
+    * at 10^9 vectors); composed, `cells` is 2 at the 17M boundary,
+    * ~60 at 10^9 and ~6000 at 10^11 — the assignment stays within a
+    * small factor of the scan, and k-means cells still absorb the
+    * density skew that axis signs alone cannot. */
   def initKind(n: Long, floor: Int, targetBlock: Long = 256L,
       maxBits: Int = 16): InitKind = {
     val bits = adaptiveBits(n, floor, targetBlock, maxBits)
     if (bits == maxBits && n.toDouble / (1L << bits) > targetBlock) {
-      val cells = (n + targetBlock - 1) / targetBlock
-      InitKind.QuantizerCells(math.min(cells, Int.MaxValue.toLong).toInt)
+      val per = targetBlock * (1L << maxBits)
+      val cells = (n + per - 1) / per
+      InitKind.QuantizerCells(
+        math.min(cells, Int.MaxValue.toLong).toInt, maxBits)
     } else InitKind.SignBuckets(bits)
   }
 
@@ -120,7 +134,7 @@ object KnnGraph {
       names.zipWithIndex.foldLeft(vecs) { case (df, (nm, i)) =>
         df.withColumn(nm, signBucket(col("iv"), bits, i * bits))
       }
-    case InitKind.QuantizerCells(cells) =>
+    case InitKind.QuantizerCells(cells, subBits) =>
       val train =
         if (trainSampleMod <= 1L) vecs
         else vecs.filter(col("vec_id") % trainSampleMod === 0)
@@ -128,8 +142,14 @@ object KnnGraph {
         val cent = KMeans.trainCodebook(train, cells, trainIters,
           seedRank = t)
         val asg = KMeans.assignBroadcast(vecs, cent)
-          .select(col("vec_id"), col("cid").as(nm))
-        df.join(asg, "vec_id")
+          .select(col("vec_id"), col("cid"))
+        // composite bucket: trained cell, sub-split by this table's
+        // disjoint sign-bit slice (map-side, free) — see initKind
+        val bucket =
+          if (subBits == 0) col("cid")
+          else col("cid") * (1L << subBits) +
+            signBucket(col("iv"), subBits, t * subBits)
+        df.join(asg, "vec_id").withColumn(nm, bucket).drop("cid")
       }
   }
 

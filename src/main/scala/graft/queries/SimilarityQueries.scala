@@ -1154,7 +1154,8 @@ object SimilarityQueries {
   private def initToken(s: SparkSession, d: String): String =
     effectiveInitKind(s, d) match {
       case graft.ops.KnnGraph.InitKind.SignBuckets(b) => s"bits=$b"
-      case graft.ops.KnnGraph.InitKind.QuantizerCells(c) => s"qcells=$c"
+      case graft.ops.KnnGraph.InitKind.QuantizerCells(c, sb) =>
+        s"qcells=${c}x$sb"
     }
 
   private val graphVecsMemo =
@@ -2597,19 +2598,26 @@ object SimilarityQueries {
     * cell id per table ([[graft.ops.KMeans.assignBroadcast]] — the
     * broadcast-relation form whose min(struct) partial aggregation
     * keeps the assignment shuffle at N rows at ANY codebook size),
-    * then the standard NN-Descent build runs on the cell keys.
+    * then the standard NN-Descent build runs on the COMPOSITE keys —
+    * cell id · 2^subBits + that table's disjoint sign-bit slice, the
+    * form the policy ships past the clamp (the signs carry 2^subBits
+    * of the split for free, so the trained codebook stays tiny and
+    * its n·cells·dim assignment stays scan-cheap at any N).
     * Hash-green means seeding, both Lloyd passes, the broadcast
-    * argmin tie-breaks, the multi-table cell init AND the refinement
-    * rounds are bit-identical to the oracle end to end — the same
-    * guarantee q164 gives the sign-bucket init.
+    * argmin tie-breaks, the composite multi-table init AND the
+    * refinement rounds are bit-identical to the oracle end to end —
+    * the same guarantee q164 gives the sign-bucket init.
     *
-    * Scale shape (100 TB): training passes are O(N·cells·dim) map-side
-    * arithmetic + one N-row shuffle each (and train on a `vec_id %
-    * mod` sample past 10^7 vectors); the init self-join is bounded by
-    * cell occupancy ≈ targetBlock by construction — the linear init
-    * term sign buckets cannot provide past 2^16 buckets. */
+    * Scale shape (100 TB): training passes are O(N·cells·dim)
+    * map-side arithmetic + one N-row shuffle each (cells ≈ n/2^24
+    * under the policy — 2 at the 17M clamp boundary, ~60 at 10^9;
+    * train on a `vec_id % mod` sample past 10^7 vectors); the init
+    * self-join is bounded by composite occupancy ≈ targetBlock by
+    * construction — the linear init term sign buckets cannot provide
+    * past 2^16 buckets. */
   val q221 = {
     val cells = 8
+    val subBits = 3
     // oracle side of one rank-seeded trainCodebook(k=8, iters=2) +
     // full-corpus assignBroadcast: seeds = vec_id-ranks
     // [t·8+1, (t+1)·8] (cid 0..7), one round-mean update, final
@@ -2647,7 +2655,7 @@ object SimilarityQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bucketed = graft.ops.KnnGraph
           .withInitBuckets(base,
-            graft.ops.KnnGraph.InitKind.QuantizerCells(cells))
+            graft.ops.KnnGraph.InitKind.QuantizerCells(cells, subBits))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.ops.KnnGraph.build(bucketed, graphK, rounds = graphRounds,
           bucketCols = Seq("sb1", "sb2"))
@@ -2661,11 +2669,21 @@ object SimilarityQueries {
            |       FROM iv),
            |${kmeansSql(0)},
            |${kmeansSql(1)},
-           |n AS MATERIALIZED (SELECT i.vec_id, i.iv,
-           |       CAST(list_aggregate(list_transform(i.iv, x -> x * x),
+           |n AS MATERIALIZED (SELECT v.vec_id, v.iv,
+           |       CAST(list_aggregate(list_transform(v.iv, x -> x * x),
            |         'sum') AS DOUBLE) AS nrm,
-           |       a0.cid AS sb1, b1.cid AS sb2
-           |     FROM iv i JOIN asg0 a0 USING (vec_id)
+           |       a0.cid * ${1 << subBits} + list_aggregate(
+           |         list_transform(generate_series(1, $subBits),
+           |           i -> CASE WHEN v.iv[i] > 0
+           |                THEN CAST(1 AS BIGINT) << (i - 1)
+           |                ELSE CAST(0 AS BIGINT) END), 'sum') AS sb1,
+           |       b1.cid * ${1 << subBits} + list_aggregate(
+           |         list_transform(
+           |           generate_series($subBits + 1, $subBits + $subBits),
+           |           i -> CASE WHEN v.iv[i] > 0
+           |                THEN CAST(1 AS BIGINT) << (i - $subBits - 1)
+           |                ELSE CAST(0 AS BIGINT) END), 'sum') AS sb2
+           |     FROM iv v JOIN asg0 a0 USING (vec_id)
            |       JOIN asg1 b1 USING (vec_id)),
            |${graphChainSql("n", "")}
            |SELECT u, v FROM ref""".stripMargin))

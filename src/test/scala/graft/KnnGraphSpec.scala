@@ -66,23 +66,25 @@ class KnnGraphSpec extends SparkSuite {
     // sign buckets (the cheap key suffices)
     val atClamp = 256L << 16
     assert(KnnGraph.initKind(atClamp, 4) == SignBuckets(16))
-    // one vector past: the clamp binds, the key switches to quantizer
-    // cells with ceil(n/target) cells — occupancy back to the target
-    KnnGraph.initKind(atClamp + 1, 4) match {
-      case QuantizerCells(c) => assert(c == (atClamp + 1 + 255) / 256)
-      case other => fail(s"expected QuantizerCells past the clamp: $other")
-    }
-    // three decades past the clamp: expected occupancy n/cells stays
-    // within [target/2, target] — the init term is N·target, linear
-    // (up to 2^38 ≈ 275B vectors; past that `cells` saturates at
-    // Int.MaxValue and occupancy drifts above the target — noted in
-    // the initKind scaladoc, three decades beyond any measured leg)
-    for (exp <- 25 to 38) {
+    // one vector past: the clamp binds, the key switches to the
+    // composite quantizer·sign key — ⌈n/(target·2^maxBits)⌉ k-means
+    // cells, each sub-split by the maxBits signs the clamp already
+    // pays for; occupancy returns to the target with a TINY codebook
+    // (2 cells here — the n·cells·dim assignment stays scan-cheap)
+    assert(KnnGraph.initKind(atClamp + 1, 4) == QuantizerCells(2, 16))
+    // six decades past the clamp: expected composite occupancy
+    // n/(cells·2^subBits) stays within (target/2, target] and the
+    // codebook stays small — the init term is N·target, linear, and
+    // the assignment term N·cells never dominates
+    for (exp <- 25 to 44) {
       val n = 1L << exp
       KnnGraph.initKind(n, 4) match {
-        case QuantizerCells(c) =>
-          val occ = n.toDouble / c
-          assert(occ <= 256.0 && occ >= 128.0, s"n=$n cells=$c occ=$occ")
+        case QuantizerCells(c, sb) =>
+          assert(sb == 16)
+          val occ = n.toDouble / (c.toDouble * (1L << sb))
+          assert(occ <= 256.0 && occ > 128.0, s"n=$n cells=$c occ=$occ")
+          assert(c <= (n >> 24) + 1, s"n=$n cells=$c — codebook must " +
+            "stay ~n/2^24, not n/256")
         case SignBuckets(b) =>
           assert(n.toDouble / (1L << b) <= 256.0, s"n=$n bits=$b")
       }
@@ -110,11 +112,14 @@ class KnnGraphSpec extends SparkSuite {
       .persist()
     val n = base.count()
     // force the clamp at toy scale: maxBits=2 and targetBlock=16 make
-    // n/4 > 16 for any corpus >= 65 vectors → QuantizerCells(⌈n/16⌉)
+    // n/4 > 16 for any corpus >= 65 vectors → composite key with
+    // ⌈n/(16·4)⌉ cells × 2 sign bits per table
     val kind = KnnGraph.initKind(n, floor = 1, targetBlock = 16L,
       maxBits = 2)
-    val cells = kind match {
-      case InitKind.QuantizerCells(c) => assert(c == (n + 15) / 16); c
+    val buckets = kind match {
+      case InitKind.QuantizerCells(c, sb) =>
+        assert(c == (n + 63) / 64 && sb == 2)
+        c.toLong * (1L << sb)
       case other => fail(s"forced clamp must yield QuantizerCells: $other")
     }
     val bucketed = KnnGraph
@@ -123,11 +128,11 @@ class KnnGraphSpec extends SparkSuite {
     assert(bucketed.count() == n)
     assert(bucketed.filter(col("sb1").isNull || col("sb2").isNull)
       .count() == 0)
-    // cell ids live in [0, cells)
+    // composite bucket ids live in [0, cells·2^subBits)
     val rng = bucketed.agg(min(col("sb1")), max(col("sb1")),
       min(col("sb2")), max(col("sb2"))).head()
-    assert(rng.getLong(0) >= 0 && rng.getLong(1) < cells)
-    assert(rng.getLong(2) >= 0 && rng.getLong(3) < cells)
+    assert(rng.getLong(0) >= 0 && rng.getLong(1) < buckets)
+    assert(rng.getLong(2) >= 0 && rng.getLong(3) < buckets)
     // the two tables are INDEPENDENT codebooks (disjoint seed slices):
     // they must not be the same partition of the corpus
     assert(bucketed.filter(col("sb1") =!= col("sb2")).count() > 0)
