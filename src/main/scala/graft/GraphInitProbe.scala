@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: A/B the kNN-graph INIT KINDS on one corpus — the policy
+  * key at the defaults vs the composite quantizer·sign key forced past
+  * a lowered bit clamp — printing build wall time, bucket-occupancy
+  * stats and mean edge cosine (the equal-k quality proxy: both builds
+  * keep top-k per node, so a better init shows up as better neighbors,
+  * not more of them). Usage:
+  *
+  *   sbt "runMain graft.GraphInitProbe [sfDir] [maxBitsForced]"
+  *
+  * The probe exists because the composite path fires only past ~17M
+  * vectors at the shipped defaults — three decades beyond the bundled
+  * testdata — so its measured evidence comes from forcing the clamp
+  * lower on a scale leg (e.g. `tools/build_scale.py 100` embeddings,
+  * 200k vectors, maxBits=8 → 4 cells × 256 signs per table) and
+  * comparing against the sign key the policy would otherwise pick.
+  */
+object GraphInitProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val forcedMaxBits = if (args.length > 1) args(1).toInt else 8
+    val spark = Bench.session()
+    val base = tables.Catalog.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        ops.Similarity.intVec(col("embedding")).as("iv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    val k = 6
+
+    def run(tag: String, kind: ops.KnnGraph.InitKind): Unit = {
+      val t0 = System.nanoTime()
+      val bucketed = ops.KnnGraph
+        .withInitBuckets(base, kind)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val occ = bucketed.groupBy("sb1").count()
+        .agg(max("count").as("mx"), avg("count").as("av"),
+          count(lit(1)).as("nb")).head()
+      // the init self-join's true pair volume: Σ_b n_b² over BOTH
+      // tables (variance, not average occupancy, is what costs)
+      val pairVol = Seq("sb1", "sb2").map { c =>
+        bucketed.groupBy(c).count()
+          .agg(sum(col("count") * col("count"))).head().getLong(0)
+      }.sum
+      val g = ops.KnnGraph.build(bucketed, k, rounds = 2,
+        bucketCols = Seq("sb1", "sb2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = g.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val quality = ops.KnnGraph.score(g, bucketed).agg(avg("cosine"))
+        .head().getDouble(0)
+      println(f"[init-probe] $tag%-10s n=$n kind=$kind: " +
+        f"$secs%.2f s, edges=$edges, pair_vol=$pairVol, " +
+        f"buckets=${occ.getLong(2)}, max_occ=${occ.getLong(0)}, " +
+        f"avg_occ=${occ.getDouble(1)}%.1f, mean_cosine=$quality%.6f")
+      g.unpersist(); bucketed.unpersist()
+    }
+
+    // order is a flag because the FIRST build pays the session's
+    // whole-stage-codegen/JIT warm-up — A/B both orders before
+    // believing a wall-time delta
+    val runs = Seq(
+      "policy" -> ops.KnnGraph.initKind(n, 4),
+      "composite" -> ops.KnnGraph.initKind(n, 4, maxBits = forcedMaxBits))
+    val ordered = if (args.length > 2 && args(2) == "reverse")
+      runs.reverse else runs
+    // each kind twice: the second reading per kind is steady-state
+    // (first-position builds carry the session's codegen/JIT warm-up)
+    (ordered ++ ordered).foreach { case (tag, kind) => run(tag, kind) }
+    spark.stop()
+  }
+}
