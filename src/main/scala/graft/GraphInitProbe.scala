@@ -69,6 +69,29 @@ object GraphInitProbe {
     // each kind twice: the second reading per kind is steady-state
     // (first-position builds carry the session's codegen/JIT warm-up)
     (ordered ++ ordered).foreach { case (tag, kind) => run(tag, kind) }
+
+    // PHASE SPLIT for the composite kind (r15 VERDICT #1): time the
+    // codebook training and the full-corpus assignment separately from
+    // the graph build they feed — at hundreds of cells the training
+    // passes stop being noise, and this is where that shows or doesn't.
+    // Runs AFTER the A/B rows so the JVM is warm (steady-state split).
+    ops.KnnGraph.initKind(n, 4, maxBits = forcedMaxBits) match {
+      case ops.KnnGraph.InitKind.QuantizerCells(cells, subBits) =>
+        for (t <- 0 to 1) {
+          val t0 = System.nanoTime()
+          val cent = ops.KMeans.trainCodebook(base, cells, 2, seedRank = t)
+          val tTrain = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val asgN = ops.KMeans.assignBroadcast(base, cent).count()
+          val tAssign = (System.nanoTime() - t1) / 1e9
+          println(f"[init-phase] table=$t cells=$cells subBits=$subBits: " +
+            f"train=$tTrain%.2f s (2 Lloyd passes incl. seed collect), " +
+            f"assign=$tAssign%.2f s ($asgN rows)")
+        }
+      case other =>
+        println(s"[init-phase] forced kind is not QuantizerCells ($other); " +
+          "no split to measure")
+    }
     spark.stop()
   }
 }

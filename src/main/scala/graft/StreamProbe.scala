@@ -16,22 +16,42 @@ object StreamProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 1
     val spark = Bench.session()
+    // per-batch durationMs terms, summed across the iter's batches —
+    // the compact floor decomposition (planning vs WAL/offset-log I/O
+    // vs state commit vs addBatch work); prettyJson stays for detail
+    val sums = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit =
         println(s"[probe] started ${e.id} at ${e.timestamp}")
       override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit =
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        batches.incrementAndGet()
+        e.progress.durationMs.forEach((k, v) =>
+          sums.merge(k, v.longValue(), (a, b) => a + b))
         println(s"[probe] progress ${e.progress.prettyJson}")
+      }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         println(s"[probe] terminated ${e.id}")
     })
     val q = SparkEntry.queries(name)
     (1 to iters).foreach { i =>
+      sums.clear(); batches.set(0)
       val t0 = System.nanoTime()
       val n = q(spark, sfDir).count()
-      println(f"[probe] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events land asynchronously; AvailableNow queries
+      // awaitTermination inside run, so by here they have all fired
+      Thread.sleep(500)
+      val terms = {
+        import scala.jdk.CollectionConverters._
+        sums.asScala.toSeq.sortBy(-_._2)
+          .map { case (k, v) => f"$k=${v / 1000.0}%.3fs" }.mkString(" ")
+      }
+      println(f"[probe] $name iter $i: $wall%.3f s ($n rows), " +
+        f"batches=${batches.get()}, terms: $terms")
     }
     spark.stop()
   }

@@ -138,8 +138,20 @@ object KnnGraph {
       val train =
         if (trainSampleMod <= 1L) vecs
         else vecs.filter(col("vec_id") % trainSampleMod === 0)
+      // [[initKind]]'s cells formula assumes policy-scale N; a forced
+      // clamp on a tiny corpus (GraphInitProbe, specs) would ask
+      // trainCodebook for more disjoint seed slices than rows exist
+      // and trip its require. Degrade deterministically instead:
+      // shrink cells so every table can seed its slice, and below one
+      // cell per table fall back to the sign-bucket key outright.
+      val nTrain = train.count()
+      val usable = math.min(cells.toLong, nTrain / math.max(names.length, 1))
+      if (usable < 1L)
+        withInitBuckets(vecs,
+          InitKind.SignBuckets(math.max(subBits, 1)), names)
+      else
       names.zipWithIndex.foldLeft(vecs) { case (df, (nm, t)) =>
-        val cent = KMeans.trainCodebook(train, cells, trainIters,
+        val cent = KMeans.trainCodebook(train, usable.toInt, trainIters,
           seedRank = t)
         val asg = KMeans.assignBroadcast(vecs, cent)
           .select(col("vec_id"), col("cid"))

@@ -163,10 +163,15 @@ object MetadataMax {
     // a file is visible only if ITSELF and every directory between it
     // and `p` is non-hidden — a Spark scan's InMemoryFileIndex ignores
     // anything under _temporary/.staging leftovers, so counting them
-    // here would over-count vs the scan
+    // here would over-count vs the scan. The walk stops at the
+    // QUALIFIED root: listFiles returns fully-qualified paths
+    // (scheme://…), so comparing against the raw constructor path
+    // would never terminate the loop and a hidden-named ANCESTOR of
+    // the table root (/data/.cache/tbl) would filter every file out.
+    val qp = fs.makeQualified(p)
     def visible(f: org.apache.hadoop.fs.Path): Boolean = {
       var cur = f
-      while (cur != null && cur != p) {
+      while (cur != null && cur != qp) {
         val n = cur.getName
         if (n.startsWith("_") || n.startsWith(".")) return false
         cur = cur.getParent
@@ -174,14 +179,19 @@ object MetadataMax {
       true
     }
     val files = mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    var sawAny = false
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
+      sawAny = true
       if (visible(f.getPath)) {
         if (!f.getPath.getName.endsWith(".parquet")) return None
         files += f.getPath
       }
     }
+    // files exist but every one was filtered as hidden: refuse rather
+    // than answer Some(0) — callers fall back to a real count
+    if (sawAny && files.isEmpty) return None
     var rows = 0L
     files.foreach { f =>
       val reader = try ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))

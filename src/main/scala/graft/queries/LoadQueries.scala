@@ -19,14 +19,14 @@ import graft.tables.Catalog
   */
 object LoadQueries {
 
-  private val t1Cut = "2024-01-20" // run-1 source horizon
-  private val minDate = "2024-01-01"
-  private val lookbackDays = 3
-  private val start = "2024-02-01 00:00:00" // current_timestamp surrogate
+  private[graft] val t1Cut = "2024-01-20" // run-1 source horizon
+  private[graft] val minDate = "2024-01-01"
+  private[graft] val lookbackDays = 3
+  private[graft] val start = "2024-02-01 00:00:00" // current_timestamp surrogate
 
   /** The single-source fact for the protocol: normalized events
     * projection with `ts` as the CDC column. */
-  private def eventsFact(spark: SparkSession, dir: String,
+  private[graft] def eventsFact(spark: SparkSession, dir: String,
       horizon: Option[String])(offset: String): DataFrame = {
     val src = Catalog.events(spark, dir)
       .filter(col("ts") >= lit(offset).cast("timestamp"))

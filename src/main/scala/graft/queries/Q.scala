@@ -70,8 +70,21 @@ object Q {
     *    durability I/O the oracle's SELECT never pays. */
   def cls(name: String): String =
     if (!sideEffecting(name)) "dataflow"
-    else if (name.contains("stream")) "streaming"
+    else if (streaming(name)) "streaming"
     else "protocol"
+
+  /** The checkpointed micro-batch members of [[sideEffecting]],
+    * enumerated explicitly rather than derived from the name (r15
+    * ADVICE: a name-substring rule misclassifies any future
+    * side-effecting query that merely mentions "stream"). BenchLineSpec
+    * asserts every [[sideEffecting]] name is classified here on purpose:
+    * member of this set, or deliberately protocol. */
+  val streaming: Set[String] = Set(
+    "q26_streaming_ingest", "q124_stream_stream_join",
+    "q125_stream_window_agg", "q134_stream_upsert",
+    "q156_stream_token_budget", "q187_stream_lm_counts",
+    "q201_stream_dedup", "q213_stream_scored_ingest",
+    "q214_stream_media_ingest")
 
   /** Correctness-only calibration/audit queries: still verified
     * triple-green every round (they stay in the registry and the

@@ -1133,13 +1133,19 @@ object SimilarityQueries {
     * past the 16-bit clamp (~17M vectors at targetBlock 256) the key
     * becomes the q60 trained-quantizer cell id — the init term stays
     * linear at ANY N instead of inheriting N²/2^bits silently.
-    * Memoized per dataset (the stamp sites and the column derivation
-    * must agree). */
+    * Memoized per dataset CONTENT STAMP, not per path (r15 VERDICT
+    * #6): an in-place dataset regeneration changes the stamp, so the
+    * kind is re-derived from the NEW row count in the same process —
+    * a path-keyed memo would keep serving the old kind for the
+    * process lifetime even after the corpus crossed the clamp. */
   private val graphInitMemo = scala.collection.concurrent
-    .TrieMap.empty[String, graft.ops.KnnGraph.InitKind]
+    .TrieMap.empty[(String, String), graft.ops.KnnGraph.InitKind]
+  private def embStamp(s: SparkSession, d: String): String =
+    try graft.ops.Fixtures.datasetStamp(s, s"$d/embeddings.parquet")
+    catch { case _: Exception => "nostamp" }
   private[graft] def effectiveInitKind(s: SparkSession,
       d: String): graft.ops.KnnGraph.InitKind =
-    graphInitMemo.getOrElseUpdate(d, {
+    graphInitMemo.getOrElseUpdate((d, embStamp(s, d)), {
       val n = graft.ops.MetadataMax
         .parquetRowCount(s, s"$d/embeddings.parquet")
         .getOrElse(Catalog.embeddings(s, d).count())
@@ -1158,17 +1164,27 @@ object SimilarityQueries {
         s"qcells=${c}x$sb"
     }
 
-  private val graphVecsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // cached AND persisted, so staleness would serve old DATA, not just
+  // an old plan: the memo value carries the content stamp it was built
+  // under, and a stamp mismatch (in-place regeneration) unpersists the
+  // stale cache and derives fresh — under the then-current init kind
+  private val graphVecsMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), (String, DataFrame)]
   private def graphVecs(s: SparkSession, d: String): DataFrame = {
-    val df = graphVecsMemo.getOrElseUpdate((s, d), {
-      val base = Catalog.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), col("label"),
-          Similarity.intVec(col("embedding")).as("iv"))
-      graft.ops.KnnGraph
-        .withInitBuckets(base, effectiveInitKind(s, d))
-        .drop("iv")
-    })
+    val stamp = embStamp(s, d)
+    val df = graphVecsMemo.get((s, d)) match {
+      case Some((st, cached)) if st == stamp => cached
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        val base = Catalog.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            Similarity.intVec(col("embedding")).as("iv"))
+        val fresh = graft.ops.KnnGraph
+          .withInitBuckets(base, effectiveInitKind(s, d))
+          .drop("iv")
+        graphVecsMemo((s, d)) = (stamp, fresh)
+        fresh
+    }
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

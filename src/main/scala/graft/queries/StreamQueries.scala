@@ -45,7 +45,12 @@ object StreamQueries {
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    // SPARK_GRAFT_STATE_PARTITIONS overrides the per-query pin — the
+    // A/B lever StreamProbe uses to attribute the state-store-instance
+    // share of the streaming floor (never set in driver/bench runs)
+    val eff = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(n)
+    s.conf.set(key, eff.toString)
     try body finally s.conf.set(key, prev)
   }
 

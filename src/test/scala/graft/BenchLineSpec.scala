@@ -92,6 +92,34 @@ class BenchLineSpec extends SparkSuite {
     assert(ghosts.isEmpty, s"sideEffecting names not in registry: $ghosts")
   }
 
+  test("streaming/protocol taxonomy is explicit and total over " +
+      "sideEffecting") {
+    // the streaming set is enumerated, not name-derived (r15 ADVICE):
+    // it must be a subset of sideEffecting, and every sideEffecting
+    // member must land in exactly one class on purpose — this list is
+    // the reviewed protocol roster; a new side-effecting query must be
+    // added here (or to Q.streaming) deliberately
+    assert(queries.Q.streaming.subsetOf(queries.Q.sideEffecting),
+      s"streaming names outside sideEffecting: " +
+        s"${queries.Q.streaming.diff(queries.Q.sideEffecting)}")
+    val protocol = queries.Q.sideEffecting.diff(queries.Q.streaming)
+    val expectedProtocol = Set(
+      "q12_incremental_load", "q13_audit_log", "q33_csv_roundtrip",
+      "q38_json_roundtrip", "q39_orc_roundtrip", "q69_schema_evolution",
+      "q71_incremental_agg", "q127_targeted_delete", "q132_time_travel",
+      "q131_observed_metrics", "q138_persistent_ann_index",
+      "q170_persistent_graph_index", "q175_layered_graph_search",
+      "q145_xml_roundtrip", "q150_ann_recall", "q152_sql_delete_frontdoor",
+      "q163_sql_insert_frontdoor", "q172_sql_script_frontdoor",
+      "q173_sql_script_audit")
+    assert(protocol == expectedProtocol,
+      s"unreviewed protocol-class members: ${protocol.diff(expectedProtocol)}"
+        + s"; missing: ${expectedProtocol.diff(protocol)}")
+    // a hypothetical side-effecting query merely MENTIONING "stream"
+    // would not be misclassified: cls consults the set, not the name
+    assert(queries.Q.cls("q999_downstream_compact") == "dataflow")
+  }
+
   test("every benchExcluded name exists in the registry (and stays " +
       "correctness-covered)") {
     val names = SparkEntry.registry.map(_.name).toSet

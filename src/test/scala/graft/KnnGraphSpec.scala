@@ -171,6 +171,37 @@ class KnnGraphSpec extends SparkSuite {
     base.unpersist()
   }
 
+  test("quantizer-cell init on a too-small corpus degrades, never crashes") {
+    import KnnGraph.InitKind
+    val spk = spark
+    import spk.implicits._
+    // 6 vectors cannot seed 2 disjoint 8-vector slices — a forced
+    // clamp (GraphInitProbe on a toy input, or policy math applied to
+    // a filtered corpus) used to trip trainCodebook's require (r15
+    // ADVICE). Now cells clamp to ⌊n/tables⌋ = 3, and the chain runs.
+    val tiny = (1L to 6L).map(i =>
+      (i, Seq.fill(64)(if (i % 2 == 0) 0.5f else -0.5f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.intVec(col("embedding")).as("iv"))
+    val b = KnnGraph.withInitBuckets(tiny,
+      InitKind.QuantizerCells(cells = 8, subBits = 2), Seq("sb1", "sb2"))
+    assert(b.count() == 6 &&
+      b.filter(col("sb1").isNull || col("sb2").isNull).count() == 0)
+    // below one cell per table (1 vector, 2 tables): sign-bucket
+    // fallback, still total
+    val one = tiny.limit(1)
+    val b1 = KnnGraph.withInitBuckets(one,
+      InitKind.QuantizerCells(cells = 8, subBits = 2), Seq("sb1", "sb2"))
+    assert(b1.count() == 1 &&
+      b1.filter(col("sb1").isNull || col("sb2").isNull).count() == 0)
+    // and subBits=0 (the fixed-width drill shape) must also degrade
+    // without tripping signBucket's empty-reduce
+    val b0 = KnnGraph.withInitBuckets(one,
+      InitKind.QuantizerCells(cells = 8, subBits = 0), Seq("sb1", "sb2"))
+    assert(b0.count() == 1)
+  }
+
   test("graph edges: no self loops, no duplicates, degree <= k") {
     val g = KnnGraph.build(vecs, k, rounds = 1)
     assert(g.filter(col("u") === col("v")).count() == 0)
@@ -453,5 +484,43 @@ class KnnGraphSpec extends SparkSuite {
     // lineage via Checkpoints, so the store's parquet scan runs in the
     // upstream jobs and never appears in the final executedPlan — the
     // wipe→build→reuse cycle above is the store-consumption proof)
+  }
+
+  test("in-place dataset regeneration rebuilds the stored graph from " +
+      "FRESH data even when the init kind is unchanged") {
+    // r15 VERDICT #6: the init-kind memo is process-lifetime; the
+    // hazard case is a corpus regenerated in place under the SAME kind
+    // — the stored graph (and the persisted vector cache feeding its
+    // rebuild) must follow the data, not the memo
+    val ds = "/tmp/graft_regen_ds"
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(ds))
+    val emb = s"$ds/embeddings.parquet"
+    val full = Catalog.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").persist()
+    full.write.mode("overwrite").parquet(emb)
+    val kind1 = SimilarityQueries.effectiveInitKind(spark, ds)
+    assert(SimilarityQueries.q165.run(spark, ds).count() > 0)
+    val store = s"/tmp/graft_fixtures/knn_graph_full_" +
+      graft.ops.Fixtures.pathKey(ds)
+    val oddEdges1 = spark.read.parquet(store)
+      .filter(col("u") % 2 =!= 0 || col("v") % 2 =!= 0).count()
+    // regenerate IN PLACE: keep only even ids (query node 0 survives)
+    // — same decade, so the policy kind cannot move
+    full.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(emb)
+    val kind2 = SimilarityQueries.effectiveInitKind(spark, ds)
+    assert(kind1 == kind2,
+      s"scenario needs the kind unchanged: $kind1 vs $kind2")
+    assert(SimilarityQueries.q165.run(spark, ds).count() > 0)
+    val g2 = spark.read.parquet(store).persist()
+    assert(g2.filter(col("u") % 2 =!= 0 || col("v") % 2 =!= 0).count()
+      === 0, "stored graph served edges from the PRE-regeneration " +
+        "corpus: stale persisted vectors or a stale stamp")
+    assert(oddEdges1 > 0,
+      "precondition: generation-1 graph must reference odd ids, or " +
+        "the stale-edge assertion above proves nothing")
+    g2.unpersist(); full.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ds))
   }
 }

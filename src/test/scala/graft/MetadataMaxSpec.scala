@@ -338,6 +338,33 @@ class MetadataMaxSpec extends SparkSuite {
     assert(MetadataMax.parquetRowCount(spark, dir).isEmpty)
   }
 
+  test("parquetRowCount under a hidden-named ANCESTOR counts, never " +
+      "lies Some(0)") {
+    // r15 ADVICE: listFiles returns fully-qualified paths, so the
+    // hidden-name walk must stop at the QUALIFIED table root — with
+    // the raw root, a table living under /….cache/… filtered every
+    // file out and answered Some(0) where the scan reads real rows
+    val dir = freshDir(".cachedroot") + "/tbl"
+    spark.range(0, 77).select(col("id")).write.parquet(dir)
+    val scanCount = spark.read.parquet(dir).count()
+    assert(scanCount === 77L)
+    assert(MetadataMax.parquetRowCount(spark, dir) === Some(scanCount))
+    // and when files exist but ALL are hidden (mid-write debris only),
+    // refuse rather than report an empty table
+    val dir2 = freshDir("allhidden")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val one = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val sub = new org.apache.hadoop.fs.Path(s"$dir2/_temporary/0")
+    fs.mkdirs(sub)
+    org.apache.hadoop.fs.FileUtil.copy(fs, one, fs,
+      new org.apache.hadoop.fs.Path(sub, one.getName),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(MetadataMax.parquetRowCount(spark, dir2).isEmpty,
+      "all-hidden dir must refuse, not answer Some(0)")
+  }
+
   test("every metadata face still folds after compaction (and refuses after INT96 rewrite)") {
     // q216/q219 rewrite files; q217/q218/q220 depend on footer stats
     // being present and exact afterward — pin that the compacted table

@@ -82,9 +82,30 @@ def main():
           ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
         print(f"embeddings x{n} written")
 
+    # lineitem/orders are written in replica CHUNKS into a parquet
+    # DIRECTORY (Spark and DuckDB both read it transparently): a
+    # single 1000x COPY materializes tens of GB in the duckdb buffer
+    # pool before the first byte lands — the r16 build watched it climb
+    # to 78% of a 128 GB box; 100-replica chunks stream in bounded
+    # memory and an interrupted build resumes at the missing chunk.
+    def chunked(table: str, select_sql):
+        d = out / f"{table}.parquet"
+        if d.exists() and not d.is_dir():
+            raise SystemExit(f"{d} exists as a file; remove it first")
+        d.mkdir(exist_ok=True)
+        step = min(n, 100)
+        for lo in range(0, n, step):
+            hi = min(n, lo + step)
+            part = d / f"part-{lo:05d}.parquet"
+            if part.exists():
+                continue
+            con.execute(f"""
+              COPY ({select_sql(lo, hi)})
+              TO '{part}' (FORMAT PARQUET)""")
+            print(f"{table} replicas [{lo},{hi}) written")
+
     if "lineitem" in tables:
-        con.execute(f"""
-          COPY (
+        chunked("lineitem", lambda lo, hi: f"""
             SELECT l.l_orderkey + r.i * 1000000000 AS l_orderkey,
                    l.l_partkey + r.i * 10000000 AS l_partkey,
                    l.l_suppkey + r.i * 1000000 AS l_suppkey,
@@ -92,20 +113,17 @@ def main():
                    l.l_discount, l.l_tax, l.l_returnflag,
                    l.l_linestatus, l.l_shipdate
             FROM read_parquet('{src}/lineitem.parquet') l,
-                 range({n}) r(i)
-          ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+                 range({lo}, {hi}) r(i)""")
         print(f"lineitem x{n} written")
 
     if "orders" in tables:
-        con.execute(f"""
-          COPY (
+        chunked("orders", lambda lo, hi: f"""
             SELECT o.o_orderkey + r.i * 1000000000 AS o_orderkey,
                    o.o_custkey + r.i * 10000000 AS o_custkey,
                    o.o_orderstatus, o.o_totalprice, o.o_orderdate,
                    o.o_orderpriority
             FROM read_parquet('{src}/orders.parquet') o,
-                 range({n}) r(i)
-          ) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+                 range({lo}, {hi}) r(i)""")
         print(f"orders x{n} written")
 
     for t in ALL_TABLES:
