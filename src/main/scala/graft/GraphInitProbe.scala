@@ -9,7 +9,15 @@ import org.apache.spark.sql.functions._
   * keep top-k per node, so a better init shows up as better neighbors,
   * not more of them). Usage:
   *
-  *   sbt "runMain graft.GraphInitProbe [sfDir] [maxBitsForced]"
+  *   sbt "runMain graft.GraphInitProbe [sfDir] [maxBitsForced] [targetBlock] [reverse]"
+  *
+  * `targetBlock` (default 256) scales BOTH kinds' bucket occupancy —
+  * the init self-join's pair volume is N·occupancy·tables, and on a
+  * single box the scored-pair shuffle is the probe's disk high-water
+  * mark (the r16 1M-vector run at occupancy 256 needed >60 GB and
+  * died; 64 fits). Lowering it keeps the A/B equal-width/equal-occ
+  * while RAISING the composite's cell count — the training-cost-at-
+  * size evidence the probe exists to collect.
   *
   * The probe exists because the composite path fires only past ~17M
   * vectors at the shipped defaults — three decades beyond the bundled
@@ -22,6 +30,7 @@ object GraphInitProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val forcedMaxBits = if (args.length > 1) args(1).toInt else 8
+    val targetBlock = if (args.length > 2) args(2).toLong else 256L
     val spark = Bench.session()
     val base = tables.Catalog.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
@@ -62,9 +71,10 @@ object GraphInitProbe {
     // whole-stage-codegen/JIT warm-up — A/B both orders before
     // believing a wall-time delta
     val runs = Seq(
-      "policy" -> ops.KnnGraph.initKind(n, 4),
-      "composite" -> ops.KnnGraph.initKind(n, 4, maxBits = forcedMaxBits))
-    val ordered = if (args.length > 2 && args(2) == "reverse")
+      "policy" -> ops.KnnGraph.initKind(n, 4, targetBlock),
+      "composite" -> ops.KnnGraph.initKind(n, 4, targetBlock,
+        maxBits = forcedMaxBits))
+    val ordered = if (args.length > 3 && args(3) == "reverse")
       runs.reverse else runs
     // each kind twice: the second reading per kind is steady-state
     // (first-position builds carry the session's codegen/JIT warm-up)
@@ -75,7 +85,7 @@ object GraphInitProbe {
     // the graph build they feed — at hundreds of cells the training
     // passes stop being noise, and this is where that shows or doesn't.
     // Runs AFTER the A/B rows so the JVM is warm (steady-state split).
-    ops.KnnGraph.initKind(n, 4, maxBits = forcedMaxBits) match {
+    ops.KnnGraph.initKind(n, 4, targetBlock, maxBits = forcedMaxBits) match {
       case ops.KnnGraph.InitKind.QuantizerCells(cells, subBits) =>
         for (t <- 0 to 1) {
           val t0 = System.nanoTime()

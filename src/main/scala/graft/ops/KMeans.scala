@@ -85,6 +85,39 @@ object KMeans {
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
   }
 
+  /** Assignment with the codebook as ONE array<struct> literal and the
+    * argmin FOLDED per row by `aggregate` — the large-k form that
+    * actually scales. [[assignToCentroids]] plants k struct
+    * expressions in the plan (planning/codegen dies at 10^4 cells);
+    * [[assignBroadcast]] keeps the plan constant-size but materializes
+    * the N·k row fan-out through a hash aggregate — measured r16 on a
+    * 1M×977-cell leg, the per-row object churn of 10^9 intermediate
+    * rows turns a ~1 min arithmetic pass into tens of minutes of CPU.
+    * Here the k-loop is runtime DATA inside one projection: constant
+    * plan size, zero shuffle, zero row fan-out — per row, k exact
+    * zip_with distances folded to the (d2, cid)-lexicographic min.
+    * Same arithmetic and tie-break as both other forms (spec-pinned
+    * bit-identical); `struct(d2, cid) < acc` is Spark's lexicographic
+    * struct ordering, strict, so the first (smallest-cid) minimum
+    * wins — exactly min(struct)'s behavior. */
+  def assignFolded(vecs: DataFrame,
+      cent: Seq[(Long, Seq[Long])]): DataFrame = {
+    val book = typedlit(cent) // array<struct<_1: cid, _2: carr>>
+    val best = aggregate(
+      book,
+      struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("cid")),
+      (acc, cb) => {
+        val d2 = aggregate(
+          zip_with(col("iv"), cb.getField("_2"),
+            (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, v) => a + v)
+        val cand = struct(d2.as("d2"), cb.getField("_1").as("cid"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+    vecs.select(col("vec_id"), col("iv"), best.as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+  }
+
   /** Train a `k`-cell codebook over `train` (vec_id, iv) with `iters`
     * Lloyd passes and return the collected centroids, cids 0..k-1.
     * Seeds are the k vectors at id-rank [seedRank·k, (seedRank+1)·k)
@@ -93,8 +126,8 @@ object KMeans {
     * the multi-table trick for a trained-quantizer blocking key
     * ([[KnnGraph.withInitBuckets]]). Driver materialization is the
     * sanctioned k×dim codebook (+ the seed slice read once). Uses
-    * [[assignBroadcast]] for the training passes, so k is unbounded
-    * by expression size. */
+    * [[assignFolded]] for the training passes, so k is unbounded
+    * by expression size AND free of the N·k row fan-out. */
   def trainCodebook(train: DataFrame, k: Int, iters: Int,
       seedRank: Int = 0): Seq[(Long, Seq[Long])] = {
     require(k >= 1 && iters >= 1 && seedRank >= 0,
@@ -110,7 +143,7 @@ object KMeans {
       case (r, i) => (i.toLong, r.getSeq[Long](1))
     }.toSeq
     for (_ <- 2 to iters) {
-      val asg = assignBroadcast(train, cent)
+      val asg = assignFolded(train, cent)
       cent = collectCentroids(
         train.join(asg.select("vec_id", "cid"), "vec_id")
           .select(col("cid"), posexplode(col("iv")))

@@ -122,7 +122,7 @@ object KnnGraph {
     * carry `vec_id` and the integer-scaled `iv`) according to `kind`:
     * sign-bucket tables over disjoint leading dims, or — past the
     * clamp — independently-seeded trained-quantizer cell ids
-    * ([[KMeans.trainCodebook]] seed slice t, [[KMeans.assignBroadcast]]
+    * ([[KMeans.trainCodebook]] seed slice t, [[KMeans.assignFolded]]
     * full-corpus assignment, one keyed join per table). `trainSampleMod`
     * trains each codebook on the deterministic `vec_id % mod = 0`
     * sample — at 10^7+ vectors the Lloyd update doesn't need every
@@ -153,7 +153,7 @@ object KnnGraph {
       names.zipWithIndex.foldLeft(vecs) { case (df, (nm, t)) =>
         val cent = KMeans.trainCodebook(train, usable.toInt, trainIters,
           seedRank = t)
-        val asg = KMeans.assignBroadcast(vecs, cent)
+        val asg = KMeans.assignFolded(vecs, cent)
           .select(col("vec_id"), col("cid"))
         // composite bucket: trained cell, sub-split by this table's
         // disjoint sign-bit slice (map-side, free) — see initKind
@@ -178,10 +178,15 @@ object KnnGraph {
 
   /** Top-`k` edges per source node by (cosine desc, target asc) from a
     * scored candidate-edge relation (u, v, cosine). */
-  private def topKPerNode(scored: DataFrame, k: Int): DataFrame = {
+  private def topKPerNode(scored: DataFrame, k: Int): DataFrame =
+    topKPerNodeScored(scored, k).select(col("u"), col("v"))
+
+  /** [[topKPerNode]] keeping the cosine — [[build]]'s rounds carry the
+    * score so kept edges are never re-scored. */
+  private def topKPerNodeScored(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("u")).orderBy(col("cosine").desc, col("v"))
     scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).select(col("u"), col("v"))
+      .filter(col("rn") <= k).select(col("u"), col("v"), col("cosine"))
   }
 
   /** Score candidate pairs (u, v) with exact cosine by joining the
@@ -223,21 +228,46 @@ object KnnGraph {
     * standard shape for iterative graph algorithms at scale. */
   def build(vecs: DataFrame, k: Int, rounds: Int = 1,
       bucketCols: Seq[String] = Seq("sb")): DataFrame = {
-    val cand0 = bucketCols.map { c =>
+    // SHUFFLE DISCIPLINE (the r16 disk-wall lesson, measured on a
+    // 1M-vector leg): scoring candidates by joining embeddings onto
+    // the fanned-out PAIR relation shuffles ~0.5 KB of vector payload
+    // per candidate — N·occupancy·0.5 KB for init (60+ GB at 1M×64,
+    // unbounded at policy scale). Instead the cosine is computed WHERE
+    // the vectors already sit co-located: inside the bucket self-join
+    // (zero extra payload movement — the bucket shuffle already
+    // carried each vector once), and for refinement by attaching
+    // endpoint embeddings to the EDGE relation (N·2k rows) before the
+    // neighbors-of-neighbors fan-out — k× less payload than scoring
+    // the (u,w) pairs after. Rounds carry (u, v, cosine), so kept
+    // edges are never re-scored. Pair sets, scores (exact integer
+    // arithmetic) and (cosine desc, v) tie-breaks are identical to the
+    // score-after form — the oracle replays pin hash-equality.
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    val scored0 = bucketCols.map { c =>
       vecs.as("a").join(vecs.as("b"),
           col(s"a.$c") === col(s"b.$c") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"),
+          graft.functions.CosineScaled(
+            col("a.embedding"), col("b.embedding")).as("cosine"))
     }.reduce(_ unionByName _).distinct()
-    val init = Checkpoints.truncate(topKPerNode(score(cand0, vecs), k), eager = false)
-    (1 to rounds).foldLeft(init) { (g, _) =>
-      val sym = symmetrize(g)
-      val cand = sym.as("e1").join(sym.as("e2"), col("e1.v") === col("e2.u"))
-        .select(col("e1.u").as("u"), col("e2.v").as("v"))
-        .filter(col("u") =!= col("v"))
-        .unionByName(g)
-        .distinct()
-      Checkpoints.truncate(topKPerNode(score(cand, vecs), k), eager = false)
+    val init = Checkpoints.truncate(topKPerNodeScored(scored0, k),
+      eager = false)
+    val out = (1 to rounds).foldLeft(init) { (g, _) =>
+      val sym = symmetrize(g.select(col("u"), col("v")))
+      val s1 = sym.select(col("u"), col("v").as("mid"))
+        .join(emb.select(col("vec_id").as("u"),
+          col("embedding").as("ue")), "u")
+      val s2 = sym.select(col("u").as("mid"), col("v").as("w"))
+        .join(emb.select(col("vec_id").as("w"),
+          col("embedding").as("we")), "w")
+      val fresh = s1.join(s2, "mid")
+        .filter(col("u") =!= col("w"))
+        .select(col("u"), col("w").as("v"),
+          graft.functions.CosineScaled(col("ue"), col("we")).as("cosine"))
+      val cand = fresh.unionByName(g).distinct()
+      Checkpoints.truncate(topKPerNodeScored(cand, k), eager = false)
     }
+    out.select(col("u"), col("v"))
   }
 
   /** Graph-traversal search (the HNSW search pattern as dataflow):

@@ -91,7 +91,8 @@ class KnnGraphSpec extends SparkSuite {
     }
   }
 
-  test("assignBroadcast ≡ assignToCentroids: bit-identical assignment, any k") {
+  test("assignBroadcast ≡ assignToCentroids ≡ assignFolded: " +
+      "bit-identical assignment, any k") {
     import graft.ops.KMeans
     val iv = Catalog.embeddings(spark, sf)
       .select(col("vec_id"), Similarity.intVec(col("embedding")).as("iv"))
@@ -99,6 +100,10 @@ class KnnGraphSpec extends SparkSuite {
     for (k <- Seq(3, 8)) {
       val cent = KMeans.trainCodebook(iv, k, iters = 2)
       assertSameRows(KMeans.assignBroadcast(iv, cent),
+        KMeans.assignToCentroids(iv, cent))
+      // the folded (single-literal, zero-fan-out) form ships in
+      // trainCodebook/withInitBuckets — tie-breaks must match exactly
+      assertSameRows(KMeans.assignFolded(iv, cent),
         KMeans.assignToCentroids(iv, cent))
     }
     iv.unpersist()
