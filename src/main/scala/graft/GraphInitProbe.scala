@@ -74,11 +74,15 @@ object GraphInitProbe {
       "policy" -> ops.KnnGraph.initKind(n, 4, targetBlock),
       "composite" -> ops.KnnGraph.initKind(n, 4, targetBlock,
         maxBits = forcedMaxBits))
-    val ordered = if (args.length > 3 && args(3) == "reverse")
-      runs.reverse else runs
+    val mode = if (args.length > 3) args(3) else ""
+    val ordered = if (mode == "reverse") runs.reverse else runs
     // each kind twice: the second reading per kind is steady-state
-    // (first-position builds carry the session's codegen/JIT warm-up)
-    (ordered ++ ordered).foreach { case (tag, kind) => run(tag, kind) }
+    // (first-position builds carry the session's codegen/JIT warm-up).
+    // mode "phases" skips the A/B builds entirely — the standalone
+    // train/assign split for cell counts where even one full build
+    // blows the measurement budget.
+    if (mode != "phases")
+      (ordered ++ ordered).foreach { case (tag, kind) => run(tag, kind) }
 
     // PHASE SPLIT for the composite kind (r15 VERDICT #1): time the
     // codebook training and the full-corpus assignment separately from
@@ -92,11 +96,17 @@ object GraphInitProbe {
           val cent = ops.KMeans.trainCodebook(base, cells, 2, seedRank = t)
           val tTrain = (System.nanoTime() - t0) / 1e9
           val t1 = System.nanoTime()
-          val asgN = ops.KMeans.assignBroadcast(base, cent).count()
+          // aggregate over BOTH computed columns: a bare count() lets
+          // Catalyst prune the whole argmin projection and times an
+          // empty scan (the 1.14 s phantom this line first printed)
+          val asgRow = ops.KMeans.assignFolded(base, cent)
+            .agg(count(col("cid")).as("n"), sum(col("d2")).as("sd"))
+            .head()
           val tAssign = (System.nanoTime() - t1) / 1e9
           println(f"[init-phase] table=$t cells=$cells subBits=$subBits: " +
             f"train=$tTrain%.2f s (2 Lloyd passes incl. seed collect), " +
-            f"assign=$tAssign%.2f s ($asgN rows)")
+            f"assign=$tAssign%.2f s (${asgRow.getLong(0)} rows, " +
+            f"d2 sum ${asgRow.getLong(1)})")
         }
       case other =>
         println(s"[init-phase] forced kind is not QuantizerCells ($other); " +
