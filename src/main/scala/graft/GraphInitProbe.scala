@@ -42,7 +42,7 @@ object GraphInitProbe {
     def run(tag: String, kind: ops.KnnGraph.InitKind): Unit = {
       val t0 = System.nanoTime()
       val bucketed = ops.KnnGraph
-        .withInitBuckets(base, kind)
+        .withInitBuckets(base, kind, nTrainHint = Some(n))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val occ = bucketed.groupBy("sb1").count()
         .agg(max("count").as("mx"), avg("count").as("av"),
@@ -54,7 +54,7 @@ object GraphInitProbe {
           .agg(sum(col("count") * col("count"))).head().getLong(0)
       }.sum
       val g = ops.KnnGraph.build(bucketed, k, rounds = 2,
-        bucketCols = Seq("sb1", "sb2"))
+        bucketCols = Seq("sb1", "sb2"), nHint = Some(n))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = g.count()
       val secs = (System.nanoTime() - t0) / 1e9
@@ -95,18 +95,31 @@ object GraphInitProbe {
           val t0 = System.nanoTime()
           val cent = ops.KMeans.trainCodebook(base, cells, 2, seedRank = t)
           val tTrain = (System.nanoTime() - t0) / 1e9
-          val t1 = System.nanoTime()
           // aggregate over BOTH computed columns: a bare count() lets
           // Catalyst prune the whole argmin projection and times an
-          // empty scan (the 1.14 s phantom this line first printed)
-          val asgRow = ops.KMeans.assignFolded(base, cent)
+          // empty scan (the 1.14 s phantom this line first printed).
+          // A/B the SHIPPED codegen'd argmin (assignCell) against the
+          // interpreted-HOF fold it replaced (assignFolded) — the
+          // named r16 lever, measured per table at this cell count —
+          // and cross-check the d2 sums agree (bit-identity at size,
+          // on top of KnnGraphSpec's row-level pin).
+          val t1 = System.nanoTime()
+          val cellRow = ops.KMeans.assignCell(base, cent)
             .agg(count(col("cid")).as("n"), sum(col("d2")).as("sd"))
             .head()
-          val tAssign = (System.nanoTime() - t1) / 1e9
+          val tCell = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          val foldRow = ops.KMeans.assignFolded(base, cent)
+            .agg(count(col("cid")).as("n"), sum(col("d2")).as("sd"))
+            .head()
+          val tFold = (System.nanoTime() - t2) / 1e9
+          require(cellRow.getLong(0) == foldRow.getLong(0) &&
+            cellRow.getLong(1) == foldRow.getLong(1),
+            s"assignCell/assignFolded diverge at size: $cellRow vs $foldRow")
           println(f"[init-phase] table=$t cells=$cells subBits=$subBits: " +
             f"train=$tTrain%.2f s (2 Lloyd passes incl. seed collect), " +
-            f"assign=$tAssign%.2f s (${asgRow.getLong(0)} rows, " +
-            f"d2 sum ${asgRow.getLong(1)})")
+            f"assignCell=$tCell%.2f s, assignFolded=$tFold%.2f s " +
+            f"(${cellRow.getLong(0)} rows, d2 sum ${cellRow.getLong(1)})")
         }
       case other =>
         println(s"[init-phase] forced kind is not QuantizerCells ($other); " +

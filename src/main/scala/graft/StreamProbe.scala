@@ -21,10 +21,14 @@ object StreamProbe {
     // vs state commit vs addBatch work); prettyJson stays for detail
     val sums = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val started = new java.util.concurrent.atomic.AtomicLong(0)
+    val terminated = new java.util.concurrent.atomic.AtomicLong(0)
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit =
+          e: StreamingQueryListener.QueryStartedEvent): Unit = {
+        started.incrementAndGet()
         println(s"[probe] started ${e.id} at ${e.timestamp}")
+      }
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         batches.incrementAndGet()
@@ -33,8 +37,10 @@ object StreamProbe {
         println(s"[probe] progress ${e.progress.prettyJson}")
       }
       override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        terminated.incrementAndGet()
         println(s"[probe] terminated ${e.id}")
+      }
     })
     val q = SparkEntry.queries(name)
     (1 to iters).foreach { i =>
@@ -42,9 +48,19 @@ object StreamProbe {
       val t0 = System.nanoTime()
       val n = q(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events land asynchronously; AvailableNow queries
-      // awaitTermination inside run, so by here they have all fired
-      Thread.sleep(500)
+      // listener events land asynchronously — but the bus delivers
+      // them in order per listener, so once every started query's
+      // TERMINATED event has arrived, all of its progress events have
+      // too. Latch on that (r16 ADVICE: a fixed sleep silently
+      // under-counts the durationMs terms the floor decomposition is
+      // built on) and WARN if the latch times out.
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (terminated.get() < started.get() &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      if (terminated.get() < started.get())
+        System.err.println(s"[probe] WARN: only ${terminated.get()} of " +
+          s"${started.get()} started queries reported terminated within " +
+          "10 s — durationMs sums below may be incomplete")
       val terms = {
         import scala.jdk.CollectionConverters._
         sums.asScala.toSeq.sortBy(-_._2)

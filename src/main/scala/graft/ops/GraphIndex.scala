@@ -46,8 +46,9 @@ object GraphIndex {
 
   /** Build the graph over `vecs` and store its edges at `path`. */
   def build(spark: SparkSession, vecs: DataFrame, k: Int, rounds: Int,
-      bucketCols: Seq[String], path: String): Unit =
-    KnnGraph.build(vecs, k, rounds, bucketCols)
+      bucketCols: Seq[String], path: String,
+      nHint: Option[Long] = None): Unit =
+    KnnGraph.build(vecs, k, rounds, bucketCols, nHint)
       .write.mode("overwrite").parquet(edgePath(path))
 
   def readEdges(spark: SparkSession, path: String): DataFrame = {
@@ -92,7 +93,7 @@ object GraphIndex {
     * (data, params), so reuse can never change a query's result. */
   def ensure(spark: SparkSession, path: String, all: DataFrame,
       isDelta: Column, k: Int, rounds: Int, bucketCols: Seq[String],
-      stamp: String): Unit = {
+      stamp: String, nHint: Option[Long] = None): Unit = {
     recover(spark, path)
     val fs = fsOf(spark, path)
     val metaP = new Path(s"$path/meta.json")
@@ -106,7 +107,7 @@ object GraphIndex {
       }
     if (have == want && fs.exists(new Path(edgePath(path)))) return
     fs.delete(metaP, false)
-    build(spark, all.filter(!isDelta), k, rounds, bucketCols, path)
+    build(spark, all.filter(!isDelta), k, rounds, bucketCols, path, nHint)
     appendDelta(spark, path, all, isDelta, k, bucketCols)
     val out = fs.create(metaP, true)
     try out.write(want.getBytes("UTF-8")) finally out.close()
@@ -126,7 +127,7 @@ object GraphIndex {
     * the meta so a parameter change forces the rebuild. */
   def ensureLayered(spark: SparkSession, path: String, vecs: DataFrame,
       k: Int, rounds: Int, bucketCols: Seq[String], levelMod: Long,
-      levels: Int, stamp: String): Unit = {
+      levels: Int, stamp: String, nHint: Option[Long] = None): Unit = {
     recover(spark, path)
     val fs = fsOf(spark, path)
     val metaP = new Path(s"$path/meta.json")
@@ -141,7 +142,8 @@ object GraphIndex {
       }
     if (have == want && fs.exists(new Path(edgePath(path)))) return
     fs.delete(metaP, false)
-    KnnGraph.buildLayers(vecs, k, rounds, bucketCols, levelMod, levels)
+    KnnGraph.buildLayers(vecs, k, rounds, bucketCols, levelMod, levels,
+        nHint)
       .write.mode("overwrite").parquet(edgePath(path))
     val out = fs.create(metaP, true)
     try out.write(want.getBytes("UTF-8")) finally out.close()

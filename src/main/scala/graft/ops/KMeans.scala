@@ -118,6 +118,21 @@ object KMeans {
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
   }
 
+  /** Assignment via the codegen'd native argmin
+    * ([[graft.functions.NearestCell]]) — the SHIPPED large-k form.
+    * [[assignFolded]] already has the right plan shape (constant plan
+    * size, zero shuffle, zero row fan-out) but evaluates interpreted
+    * higher-order functions at ≈5.9 µs/row·cell (PERF.md r16, 196
+    * cells); here the same k·dim integer loop runs as one codegen'd
+    * primitive pass with the codebook as flat reference arrays — same
+    * arithmetic, same (d2, cid) tie-break, bit-identical to all three
+    * composable forms (KnnGraphSpec pins the quad-form identity). */
+  def assignCell(vecs: DataFrame,
+      cent: Seq[(Long, Seq[Long])]): DataFrame =
+    vecs.select(col("vec_id"),
+        graft.functions.NearestCell(col("iv"), cent).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+
   /** Train a `k`-cell codebook over `train` (vec_id, iv) with `iters`
     * Lloyd passes and return the collected centroids, cids 0..k-1.
     * Seeds are the k vectors at id-rank [seedRank·k, (seedRank+1)·k)
@@ -126,8 +141,8 @@ object KMeans {
     * the multi-table trick for a trained-quantizer blocking key
     * ([[KnnGraph.withInitBuckets]]). Driver materialization is the
     * sanctioned k×dim codebook (+ the seed slice read once). Uses
-    * [[assignFolded]] for the training passes, so k is unbounded
-    * by expression size AND free of the N·k row fan-out. */
+    * [[assignCell]] for the training passes, so k is unbounded by
+    * expression size, free of the N·k row fan-out, AND codegen'd. */
   def trainCodebook(train: DataFrame, k: Int, iters: Int,
       seedRank: Int = 0): Seq[(Long, Seq[Long])] = {
     require(k >= 1 && iters >= 1 && seedRank >= 0,
@@ -143,7 +158,7 @@ object KMeans {
       case (r, i) => (i.toLong, r.getSeq[Long](1))
     }.toSeq
     for (_ <- 2 to iters) {
-      val asg = assignFolded(train, cent)
+      val asg = assignCell(train, cent)
       cent = collectCentroids(
         train.join(asg.select("vec_id", "cid"), "vec_id")
           .select(col("cid"), posexplode(col("iv")))

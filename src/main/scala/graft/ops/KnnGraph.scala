@@ -122,14 +122,19 @@ object KnnGraph {
     * carry `vec_id` and the integer-scaled `iv`) according to `kind`:
     * sign-bucket tables over disjoint leading dims, or — past the
     * clamp — independently-seeded trained-quantizer cell ids
-    * ([[KMeans.trainCodebook]] seed slice t, [[KMeans.assignFolded]]
+    * ([[KMeans.trainCodebook]] seed slice t, [[KMeans.assignCell]]
     * full-corpus assignment, one keyed join per table). `trainSampleMod`
     * trains each codebook on the deterministic `vec_id % mod = 0`
     * sample — at 10^7+ vectors the Lloyd update doesn't need every
-    * row, only the assignment does. */
+    * row, only the assignment does. `nTrainHint` is the train-side
+    * row count when the caller already knows it (parquet footers,
+    * [[MetadataMax.parquetRowCount]] style) — without it the
+    * seed-slice clamp below costs one full count() pass over a
+    * potentially 10^9-row corpus before training starts. */
   def withInitBuckets(vecs: DataFrame, kind: InitKind,
       names: Seq[String] = Seq("sb1", "sb2"), trainIters: Int = 2,
-      trainSampleMod: Long = 1L): DataFrame = kind match {
+      trainSampleMod: Long = 1L,
+      nTrainHint: Option[Long] = None): DataFrame = kind match {
     case InitKind.SignBuckets(bits) =>
       names.zipWithIndex.foldLeft(vecs) { case (df, (nm, i)) =>
         df.withColumn(nm, signBucket(col("iv"), bits, i * bits))
@@ -139,13 +144,20 @@ object KnnGraph {
         if (trainSampleMod <= 1L) vecs
         else vecs.filter(col("vec_id") % trainSampleMod === 0)
       // [[initKind]]'s cells formula assumes policy-scale N; a forced
-      // clamp on a tiny corpus (GraphInitProbe, specs) would ask
-      // trainCodebook for more disjoint seed slices than rows exist
-      // and trip its require. Degrade deterministically instead:
-      // shrink cells so every table can seed its slice, and below one
-      // cell per table fall back to the sign-bucket key outright.
-      val nTrain = train.count()
+      // clamp on a tiny corpus (GraphInitProbe, specs) — or a large
+      // trainSampleMod at scale — would ask trainCodebook for more
+      // disjoint seed slices than rows exist and trip its require.
+      // Degrade deterministically instead: shrink cells so every
+      // table can seed its slice (LOUDLY — a silently narrower key
+      // than the stamp records was the r16 ADVICE finding), and below
+      // one cell per table fall back to the sign-bucket key outright.
+      val nTrain = nTrainHint.getOrElse(train.count())
       val usable = math.min(cells.toLong, nTrain / math.max(names.length, 1))
+      if (usable < cells)
+        System.err.println(s"[graft] WARN withInitBuckets: codebook " +
+          s"clamped to $usable of $cells cells (train rows $nTrain, " +
+          s"${names.length} disjoint seed slices) — the effective init " +
+          s"key is narrower than the policy width")
       if (usable < 1L)
         withInitBuckets(vecs,
           InitKind.SignBuckets(math.max(subBits, 1)), names)
@@ -153,7 +165,7 @@ object KnnGraph {
       names.zipWithIndex.foldLeft(vecs) { case (df, (nm, t)) =>
         val cent = KMeans.trainCodebook(train, usable.toInt, trainIters,
           seedRank = t)
-        val asg = KMeans.assignFolded(vecs, cent)
+        val asg = KMeans.assignCell(vecs, cent)
           .select(col("vec_id"), col("cid"))
         // composite bucket: trained cell, sub-split by this table's
         // disjoint sign-bit slice (map-side, free) — see initKind
@@ -175,6 +187,26 @@ object KnnGraph {
     (0 until bits).map(i =>
       when(element_at(iv, offset + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** REFINEMENT-FORM POLICY, as code (mirrors [[initKind]] — the r16
+    * q164 lesson made policy): above the crossover, [[build]]'s
+    * refinement attaches endpoint embeddings to the N·2k EDGE relation
+    * BEFORE the neighbors-of-neighbors fan-out, so shuffled payload is
+    * bounded by the edge relation — the form that keeps a 10^6-vector
+    * build inside a ~3 GB shuffle envelope where scoring the fanned-out
+    * pairs filled 60 GB of disk and died (PERF.md r16). Below it the
+    * two attach joins cost more than the payload they save (+0.3–0.6 s
+    * at 2·10^3 vectors, sf0.1) and the fan-out is deduped BEFORE
+    * scoring instead — the r15 shape. Both forms produce identical
+    * pair sets, scores and tie-breaks (KnnGraphSpec pins equality; the
+    * DuckDB oracle replay pins it end-to-end), so the choice is pure
+    * planning. An UNKNOWN corpus size chooses attach — the form that
+    * cannot die at scale. */
+  val attachCrossover = 100000L
+
+  /** True = attach-embeddings-to-edges refinement; false =
+    * dedup-then-score-pairs. See [[attachCrossover]]. */
+  def refineAttach(n: Long): Boolean = n >= attachCrossover
 
   /** Top-`k` edges per source node by (cosine desc, target asc) from a
     * scored candidate-edge relation (u, v, cosine). */
@@ -227,7 +259,8 @@ object KnnGraph {
     * to an executor-materialized leaf — O(k·N) rows per round, the
     * standard shape for iterative graph algorithms at scale. */
   def build(vecs: DataFrame, k: Int, rounds: Int = 1,
-      bucketCols: Seq[String] = Seq("sb")): DataFrame = {
+      bucketCols: Seq[String] = Seq("sb"),
+      nHint: Option[Long] = None): DataFrame = {
     // SHUFFLE DISCIPLINE (the r16 disk-wall lesson, measured on a
     // 1M-vector leg): scoring candidates by joining embeddings onto
     // the fanned-out PAIR relation shuffles ~0.5 KB of vector payload
@@ -235,13 +268,16 @@ object KnnGraph {
     // unbounded at policy scale). Instead the cosine is computed WHERE
     // the vectors already sit co-located: inside the bucket self-join
     // (zero extra payload movement — the bucket shuffle already
-    // carried each vector once), and for refinement by attaching
-    // endpoint embeddings to the EDGE relation (N·2k rows) before the
-    // neighbors-of-neighbors fan-out — k× less payload than scoring
+    // carried each vector once), and for refinement — per
+    // [[refineAttach]]'s corpus-size policy — by attaching endpoint
+    // embeddings to the EDGE relation (N·2k rows) before the
+    // neighbors-of-neighbors fan-out: k× less payload than scoring
     // the (u,w) pairs after. Rounds carry (u, v, cosine), so kept
-    // edges are never re-scored. Pair sets, scores (exact integer
-    // arithmetic) and (cosine desc, v) tie-breaks are identical to the
-    // score-after form — the oracle replays pin hash-equality.
+    // edges are never re-scored on the attach path. Pair sets, scores
+    // (exact integer arithmetic) and (cosine desc, v) tie-breaks are
+    // identical across both refinement forms — the oracle replays pin
+    // hash-equality.
+    val attach = nHint.forall(refineAttach)
     val emb = vecs.select(col("vec_id"), col("embedding"))
     val scored0 = bucketCols.map { c =>
       vecs.as("a").join(vecs.as("b"),
@@ -254,17 +290,32 @@ object KnnGraph {
       eager = false)
     val out = (1 to rounds).foldLeft(init) { (g, _) =>
       val sym = symmetrize(g.select(col("u"), col("v")))
-      val s1 = sym.select(col("u"), col("v").as("mid"))
-        .join(emb.select(col("vec_id").as("u"),
-          col("embedding").as("ue")), "u")
-      val s2 = sym.select(col("u").as("mid"), col("v").as("w"))
-        .join(emb.select(col("vec_id").as("w"),
-          col("embedding").as("we")), "w")
-      val fresh = s1.join(s2, "mid")
-        .filter(col("u") =!= col("w"))
-        .select(col("u"), col("w").as("v"),
-          graft.functions.CosineScaled(col("ue"), col("we")).as("cosine"))
-      val cand = fresh.unionByName(g).distinct()
+      val cand =
+        if (attach) {
+          val s1 = sym.select(col("u"), col("v").as("mid"))
+            .join(emb.select(col("vec_id").as("u"),
+              col("embedding").as("ue")), "u")
+          val s2 = sym.select(col("u").as("mid"), col("v").as("w"))
+            .join(emb.select(col("vec_id").as("w"),
+              col("embedding").as("we")), "w")
+          val fresh = s1.join(s2, "mid")
+            .filter(col("u") =!= col("w"))
+            .select(col("u"), col("w").as("v"),
+              graft.functions.CosineScaled(col("ue"), col("we")).as("cosine"))
+          fresh.unionByName(g).distinct()
+        } else {
+          // small-N form: fan out SKINNY (u, v) pairs and dedup them
+          // BEFORE attaching any payload — below the crossover the
+          // distinct collapse is worth more than avoiding the
+          // pair-side scoring joins (see [[refineAttach]])
+          val pairs = sym.select(col("u"), col("v").as("mid"))
+            .join(sym.select(col("u").as("mid"), col("v")), "mid")
+            .filter(col("u") =!= col("v"))
+            .select(col("u"), col("v"))
+            .unionByName(g.select(col("u"), col("v")))
+            .distinct()
+          score(pairs, emb)
+        }
       Checkpoints.truncate(topKPerNodeScored(cand, k), eager = false)
     }
     out.select(col("u"), col("v"))
@@ -325,10 +376,14 @@ object KnnGraph {
     * entry stage scans a whole hash bucket (~N/2^bits). */
   def buildLayers(vecs: DataFrame, k: Int, rounds: Int = 1,
       bucketCols: Seq[String] = Seq("sb"), levelMod: Long = 10L,
-      levels: Int = 2): DataFrame =
+      levels: Int = 2, nHint: Option[Long] = None): DataFrame =
     (0 to levels).map { l =>
       val mod = math.pow(levelMod.toDouble, l.toDouble).toLong
-      build(vecs.filter(col("vec_id") % mod === 0), k, rounds, bucketCols)
+      // layer ℓ holds ~n/levelMod^ℓ nodes — the refinement-form policy
+      // applies to each layer's OWN size, so upper layers of a huge
+      // corpus may legitimately take the small-N form
+      build(vecs.filter(col("vec_id") % mod === 0), k, rounds, bucketCols,
+          nHint = nHint.map(_ / mod))
         .withColumn("layer", lit(l))
     }.reduce(_ unionByName _)
 

@@ -1117,7 +1117,8 @@ object SimilarityQueries {
       val vecs = graphVecs(s, d)
       val src = filter.map(vecs.filter).getOrElse(vecs)
       graft.ops.KnnGraph.build(src, graphK, rounds = graphRounds,
-        bucketCols = Seq("sb1", "sb2")).write.mode("overwrite").parquet(stg)
+          bucketCols = Seq("sb1", "sb2"), nHint = Some(corpusN(s, d)))
+        .write.mode("overwrite").parquet(stg)
     }
     s.read.parquet(store)
   }
@@ -1143,14 +1144,21 @@ object SimilarityQueries {
   private def embStamp(s: SparkSession, d: String): String =
     try graft.ops.Fixtures.datasetStamp(s, s"$d/embeddings.parquet")
     catch { case _: Exception => "nostamp" }
+  /** Embedding-corpus row count from parquet FOOTERS (zero jobs; one
+    * count() as the refusal fallback), memoized per content stamp —
+    * feeds [[effectiveInitKind]], the [[graft.ops.KnnGraph.build]]
+    * refinement-form hint, and [[graft.ops.KnnGraph.withInitBuckets]]'s
+    * seed-slice clamp (which would otherwise pay a full count pass). */
+  private val corpusNMemo = scala.collection.concurrent
+    .TrieMap.empty[(String, String), Long]
+  private def corpusN(s: SparkSession, d: String): Long =
+    corpusNMemo.getOrElseUpdate((d, embStamp(s, d)),
+      graft.ops.MetadataMax.parquetRowCount(s, s"$d/embeddings.parquet")
+        .getOrElse(Catalog.embeddings(s, d).count()))
   private[graft] def effectiveInitKind(s: SparkSession,
       d: String): graft.ops.KnnGraph.InitKind =
-    graphInitMemo.getOrElseUpdate((d, embStamp(s, d)), {
-      val n = graft.ops.MetadataMax
-        .parquetRowCount(s, s"$d/embeddings.parquet")
-        .getOrElse(Catalog.embeddings(s, d).count())
-      graft.ops.KnnGraph.initKind(n, graphBits)
-    })
+    graphInitMemo.getOrElseUpdate((d, embStamp(s, d)),
+      graft.ops.KnnGraph.initKind(corpusN(s, d), graphBits))
 
   /** The init kind as a stamp token for the stored-graph fixtures.
     * The sign path keeps the legacy `bits=N` spelling so every
@@ -1167,23 +1175,30 @@ object SimilarityQueries {
   // cached AND persisted, so staleness would serve old DATA, not just
   // an old plan: the memo value carries the content stamp it was built
   // under, and a stamp mismatch (in-place regeneration) unpersists the
-  // stale cache and derives fresh — under the then-current init kind
+  // stale cache and derives fresh — under the then-current init kind.
+  // The check-then-rebuild section is synchronized (r16 ADVICE): the
+  // memo is mutation-bearing (unpersist of the displaced entry), and
+  // two concurrent first-callers would otherwise both build, the
+  // loser's persisted corpus copy leaking for the session lifetime.
   private val graphVecsMemo = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), (String, DataFrame)]
   private def graphVecs(s: SparkSession, d: String): DataFrame = {
     val stamp = embStamp(s, d)
-    val df = graphVecsMemo.get((s, d)) match {
-      case Some((st, cached)) if st == stamp => cached
-      case prev =>
-        prev.foreach(_._2.unpersist())
-        val base = Catalog.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), col("label"),
-            Similarity.intVec(col("embedding")).as("iv"))
-        val fresh = graft.ops.KnnGraph
-          .withInitBuckets(base, effectiveInitKind(s, d))
-          .drop("iv")
-        graphVecsMemo((s, d)) = (stamp, fresh)
-        fresh
+    val df = graphVecsMemo.synchronized {
+      graphVecsMemo.get((s, d)) match {
+        case Some((st, cached)) if st == stamp => cached
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val base = Catalog.embeddings(s, d)
+            .select(col("vec_id"), col("embedding"), col("label"),
+              Similarity.intVec(col("embedding")).as("iv"))
+          val fresh = graft.ops.KnnGraph
+            .withInitBuckets(base, effectiveInitKind(s, d),
+              nTrainHint = Some(corpusN(s, d)))
+            .drop("iv")
+          graphVecsMemo((s, d)) = (stamp, fresh)
+          fresh
+      }
     }
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -1343,7 +1358,7 @@ object SimilarityQueries {
     val idx = s"${graft.ops.Fixtures.root(s)}/graph_index_layered/$tag"
     graft.ops.GraphIndex.ensureLayered(s, idx, graphVecs(s, d), graphK,
       graphRounds, Seq("sb1", "sb2"), layerMod, layerLevels,
-      dataStamp(s, d))
+      dataStamp(s, d), nHint = Some(corpusN(s, d)))
     s.read.parquet(s"$idx/edges")
   }
 
@@ -1385,7 +1400,9 @@ object SimilarityQueries {
   val q164 = Q("q164_knn_graph",
     (s, d) => {
       val vecs = graphVecs(s, d)
-      val graph = graft.ops.KnnGraph.build(vecs, graphK, rounds = graphRounds, bucketCols = Seq("sb1", "sb2"))
+      val graph = graft.ops.KnnGraph.build(vecs, graphK,
+        rounds = graphRounds, bucketCols = Seq("sb1", "sb2"),
+        nHint = Some(corpusN(s, d)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val audited = vecs.filter(col("vec_id") % graphAuditMod === 0)
       val brute = bruteEdges(vecs, audited)
@@ -1569,10 +1586,12 @@ object SimilarityQueries {
       val vecs = graphVecs(s, d)
       val isDelta = (col("vec_id") % graphDeltaMod) >= graphDeltaFrom
       val base = graft.ops.KnnGraph.build(vecs.filter(!isDelta), graphK,
-        rounds = graphRounds, bucketCols = bc)
+        rounds = graphRounds, bucketCols = bc,
+        nHint = Some(corpusN(s, d)))
       val maint = graft.ops.KnnGraph.maintain(vecs, base, isDelta, graphK, bc)
       val rebuilt = graft.ops.KnnGraph.build(vecs, graphK,
-        rounds = graphRounds, bucketCols = bc)
+        rounds = graphRounds, bucketCols = bc,
+        nHint = Some(corpusN(s, d)))
       val audited = vecs.filter(col("vec_id") % graphAuditMod === 0)
       val deg = maint.groupBy(col("u")).agg(count(lit(1)).as("degree"))
       val ovr = maint.join(rebuilt, Seq("u", "v"))
@@ -1698,11 +1717,13 @@ object SimilarityQueries {
         val vecs = graft.ops.KnnGraph
           .withInitBuckets(
             corpus.select(col("vec_id"), col("embedding"), iv.as("iv")),
-            effectiveInitKind(s, d))
+            effectiveInitKind(s, d),
+            nTrainHint = Some(corpusN(s, d) + corpusN(s, d) / 5))
           .drop("iv")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val graph = graft.ops.KnnGraph.build(vecs, graphK,
-          rounds = graphRounds, bucketCols = Seq("sb1", "sb2"))
+          rounds = graphRounds, bucketCols = Seq("sb1", "sb2"),
+          nHint = Some(corpusN(s, d) + corpusN(s, d) / 5))
         val strong = graft.ops.KnnGraph.score(graph, vecs)
           .filter(col("cosine") >= thr)
           .select(col("u").as("doc_a"), col("v").as("doc_b"))
@@ -1823,7 +1844,7 @@ object SimilarityQueries {
       val isDelta = (col("vec_id") % graphDeltaMod) >= graphDeltaFrom
       val stamp = dataStamp(s, d)
       graft.ops.GraphIndex.ensure(s, idx, vecs, isDelta, graphK,
-        graphRounds, bc, stamp)
+        graphRounds, bc, stamp, nHint = Some(corpusN(s, d)))
       graft.ops.GraphIndex.search(s, idx, vecs, queryVecId, graphBeam,
         topK, bc)
     },
@@ -1972,7 +1993,7 @@ object SimilarityQueries {
       val vecs = graphVecs(s, d)
       graft.ops.GraphIndex.ensureLayered(s, idx, vecs, graphK,
         graphRounds, Seq("sb1", "sb2"), layerMod, layerLevels,
-        dataStamp(s, d))
+        dataStamp(s, d), nHint = Some(corpusN(s, d)))
       graft.ops.GraphIndex.searchLayered(s, idx, vecs, queryVecId,
         graphBeam, topK, layerMod, layerLevels)
     },
@@ -2671,10 +2692,11 @@ object SimilarityQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bucketed = graft.ops.KnnGraph
           .withInitBuckets(base,
-            graft.ops.KnnGraph.InitKind.QuantizerCells(cells, subBits))
+            graft.ops.KnnGraph.InitKind.QuantizerCells(cells, subBits),
+            nTrainHint = Some(corpusN(s, d)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.ops.KnnGraph.build(bucketed, graphK, rounds = graphRounds,
-          bucketCols = Seq("sb1", "sb2"))
+          bucketCols = Seq("sb1", "sb2"), nHint = Some(corpusN(s, d)))
           .select(col("u"), col("v"))
       },
       Some(

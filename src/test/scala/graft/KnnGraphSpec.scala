@@ -91,7 +91,7 @@ class KnnGraphSpec extends SparkSuite {
     }
   }
 
-  test("assignBroadcast ≡ assignToCentroids ≡ assignFolded: " +
+  test("assignBroadcast ≡ assignToCentroids ≡ assignFolded ≡ assignCell: " +
       "bit-identical assignment, any k") {
     import graft.ops.KMeans
     val iv = Catalog.embeddings(spark, sf)
@@ -101,12 +101,57 @@ class KnnGraphSpec extends SparkSuite {
       val cent = KMeans.trainCodebook(iv, k, iters = 2)
       assertSameRows(KMeans.assignBroadcast(iv, cent),
         KMeans.assignToCentroids(iv, cent))
-      // the folded (single-literal, zero-fan-out) form ships in
-      // trainCodebook/withInitBuckets — tie-breaks must match exactly
       assertSameRows(KMeans.assignFolded(iv, cent),
+        KMeans.assignToCentroids(iv, cent))
+      // the codegen'd native argmin ships in
+      // trainCodebook/withInitBuckets — tie-breaks must match exactly
+      assertSameRows(KMeans.assignCell(iv, cent),
         KMeans.assignToCentroids(iv, cent))
     }
     iv.unpersist()
+  }
+
+  test("NearestCell: exact distances, (d2, cid)-lexicographic ties, " +
+      "codebook-order independence") {
+    import graft.ops.KMeans
+    val s = spark
+    import s.implicits._
+    // hand-built: vector (0, 0); cells 5 and 2 equidistant (d2 = 2),
+    // cell 9 far — the tie must break to the SMALLER cid regardless of
+    // the order the codebook arrives in
+    val v = Seq((0L, Seq(0L, 0L))).toDF("vec_id", "iv")
+    val cbA = Seq((5L, Seq(1L, 1L)), (2L, Seq(-1L, -1L)),
+      (9L, Seq(10L, 10L)))
+    val cbB = cbA.reverse
+    for (cb <- Seq(cbA, cbB)) {
+      val r = KMeans.assignCell(v, cb).head()
+      assert(r.getLong(1) == 2L && r.getLong(2) == 2L,
+        s"tie must break to smallest cid, got $r (codebook $cb)")
+      // and the interpreted fold agrees on the same codebook order
+      assertSameRows(KMeans.assignCell(v, cb), KMeans.assignFolded(v, cb))
+    }
+    // exact arithmetic at 1e6 scale magnitudes (no overflow for the
+    // committed |iv| ≤ 1e6, dim 64 envelope: 64·(2e6)² < 2^63)
+    val big = Seq((1L, Seq(1000000L, -1000000L))).toDF("vec_id", "iv")
+    val cbBig = Seq((0L, Seq(-1000000L, 1000000L)))
+    val rb = KMeans.assignCell(big, cbBig).head()
+    assert(rb.getLong(2) == 8L * 1000000L * 1000000L)
+  }
+
+  test("build: attach and score-after refinement forms are row-identical " +
+      "(the refineAttach crossover is pure planning)") {
+    // same corpus, both sides of the crossover forced via nHint —
+    // results must be bit-identical, so the policy can never change an
+    // answer (the q164 regression fix rests on this)
+    val small = KnnGraph.build(vecs, k, rounds = 2, nHint = Some(1L))
+    val large = KnnGraph.build(vecs, k, rounds = 2,
+      nHint = Some(Long.MaxValue))
+    assertSameRows(small, large)
+    // default (unknown N) must be the attach form's result too
+    assertSameRows(KnnGraph.build(vecs, k, rounds = 2), large)
+    // policy boundary
+    assert(!KnnGraph.refineAttach(KnnGraph.attachCrossover - 1))
+    assert(KnnGraph.refineAttach(KnnGraph.attachCrossover))
   }
 
   test("quantizer-cell init: independent tables, full assignment, graph invariants") {

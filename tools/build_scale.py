@@ -99,9 +99,17 @@ def main():
             part = d / f"part-{lo:05d}.parquet"
             if part.exists():
                 continue
+            # COPY to a temp name and rename only on success: an
+            # interrupted COPY (ENOSPC/kill — the motivating scenarios)
+            # must not leave a truncated part that the exists() resume
+            # check would silently treat as complete (r16 ADVICE)
+            tmp = d / f"part-{lo:05d}.parquet.tmp"
+            if tmp.exists():
+                tmp.unlink()
             con.execute(f"""
               COPY ({select_sql(lo, hi)})
-              TO '{part}' (FORMAT PARQUET)""")
+              TO '{tmp}' (FORMAT PARQUET)""")
+            os.rename(tmp, part)
             print(f"{table} replicas [{lo},{hi}) written")
 
     if "lineitem" in tables:
