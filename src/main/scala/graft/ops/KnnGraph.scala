@@ -188,24 +188,35 @@ object KnnGraph {
       when(element_at(iv, offset + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** REFINEMENT-FORM POLICY, as code (mirrors [[initKind]] — the r16
-    * q164 lesson made policy): above the crossover, [[build]]'s
-    * refinement attaches endpoint embeddings to the N·2k EDGE relation
-    * BEFORE the neighbors-of-neighbors fan-out, so shuffled payload is
-    * bounded by the edge relation — the form that keeps a 10^6-vector
-    * build inside a ~3 GB shuffle envelope where scoring the fanned-out
-    * pairs filled 60 GB of disk and died (PERF.md r16). Below it the
-    * two attach joins cost more than the payload they save (+0.3–0.6 s
-    * at 2·10^3 vectors, sf0.1) and the fan-out is deduped BEFORE
-    * scoring instead — the r15 shape. Both forms produce identical
-    * pair sets, scores and tie-breaks (KnnGraphSpec pins equality; the
-    * DuckDB oracle replay pins it end-to-end), so the choice is pure
-    * planning. An UNKNOWN corpus size chooses attach — the form that
-    * cannot die at scale. */
-  val attachCrossover = 100000L
+  /** REFINEMENT-FORM POLICY, as code (mirrors [[initKind]]): [[build]]
+    * carries BOTH refinement forms — attach endpoint embeddings to the
+    * N·2k EDGE relation before the neighbors-of-neighbors fan-out (the
+    * r16 shape whose shuffled payload is bounded by the edge relation:
+    * the form that keeps a 10^6-vector build inside a ~3 GB shuffle
+    * envelope where scoring the fanned-out pairs filled 60 GB of disk
+    * and died), or dedup the skinny pair fan-out and score it after
+    * (the r15 shape). Both produce identical pair sets, scores and
+    * tie-breaks (KnnGraphSpec pins equality; the DuckDB oracle replay
+    * pins it end-to-end), so the choice is pure planning.
+    *
+    * The crossover was MEASURED r17 ([[graft.RefineFormProbe]],
+    * interleaved warm min-of-3): attach wins at EVERY size — 2.29 vs
+    * 2.39 s at 2·10^3 vectors, 12.40 vs 13.56 s at 2·10^4, and at
+    * 10^6 it is the only form that completes on one box. The r16
+    * window's +0.3 s q164 reading that had been attributed to the
+    * attach joins does not reproduce under a controlled A/B — it was
+    * window drift. So the policy is the degenerate crossover 0:
+    * attach everywhere. The score-after form (and the `nHint` plumbing
+    * that can force it) stays as the spec's bit-identity witness and
+    * as the re-tuning lever should a future corpus/hardware regime
+    * move the crossover — the probe that measures it is committed. */
+  val attachCrossover = 0L
 
   /** True = attach-embeddings-to-edges refinement; false =
-    * dedup-then-score-pairs. See [[attachCrossover]]. */
+    * dedup-then-score-pairs. See [[attachCrossover]]. With the
+    * measured degenerate crossover, only a NEGATIVE `n` — which no
+    * real corpus has — selects the score-after witness; the spec and
+    * [[graft.RefineFormProbe]] use that to exercise both forms. */
   def refineAttach(n: Long): Boolean = n >= attachCrossover
 
   /** Top-`k` edges per source node by (cosine desc, target asc) from a

@@ -140,18 +140,21 @@ class KnnGraphSpec extends SparkSuite {
 
   test("build: attach and score-after refinement forms are row-identical " +
       "(the refineAttach crossover is pure planning)") {
-    // same corpus, both sides of the crossover forced via nHint —
-    // results must be bit-identical, so the policy can never change an
-    // answer (the q164 regression fix rests on this)
-    val small = KnnGraph.build(vecs, k, rounds = 2, nHint = Some(1L))
-    val large = KnnGraph.build(vecs, k, rounds = 2,
+    // same corpus, both forms forced via nHint (a negative hint is the
+    // score-after witness) — results must be bit-identical, so the
+    // policy can never change an answer
+    val scoreAfter = KnnGraph.build(vecs, k, rounds = 2, nHint = Some(-1L))
+    val attach = KnnGraph.build(vecs, k, rounds = 2,
       nHint = Some(Long.MaxValue))
-    assertSameRows(small, large)
+    assertSameRows(scoreAfter, attach)
     // default (unknown N) must be the attach form's result too
-    assertSameRows(KnnGraph.build(vecs, k, rounds = 2), large)
-    // policy boundary
+    assertSameRows(KnnGraph.build(vecs, k, rounds = 2), attach)
+    // policy boundary: the r17-measured crossover is degenerate —
+    // attach at every real size, score-after only via the negative
+    // witness hint
     assert(!KnnGraph.refineAttach(KnnGraph.attachCrossover - 1))
     assert(KnnGraph.refineAttach(KnnGraph.attachCrossover))
+    assert(KnnGraph.refineAttach(2000L) && KnnGraph.refineAttach(0L))
   }
 
   test("quantizer-cell init: independent tables, full assignment, graph invariants") {
