@@ -309,4 +309,32 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("native argmin equals the direct fold on arbitrary codebooks " +
+      "(NearestCell, incl. equidistant ties)") {
+    // values from a SMALL set so equidistant ties actually occur, and
+    // duplicate cells (same centroid, different cid) are likely
+    val dim = 3
+    val vGen = Gen.listOfN(dim, Gen.choose(-3L, 3L))
+    val cellGen = Gen.zip(Gen.choose(0L, 9L), vGen)
+    val caseGen = Gen.zip(
+      Gen.listOfN(5, vGen),
+      Gen.nonEmptyListOf(cellGen).map(_.take(6)))
+    check("nearestCell", Prop.forAll(caseGen) { case (vecs, cells) =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "iv")
+      val cent = cells.map { case (cid, c) => (cid, c: Seq[Long]) }
+      val got = graft.ops.KMeans.assignCell(df, cent)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toList
+      // reference: global (d2, cid)-lexicographic minimum, pure Scala
+      val want = vecs.zipWithIndex.map { case (v, i) =>
+        val (d2, cid) = cent.map { case (cid, c) =>
+          (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+        }.min
+        (i.toLong, cid, d2)
+      }.toList
+      got == want
+    })
+  }
 }
