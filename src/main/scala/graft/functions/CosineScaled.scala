@@ -125,6 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineScaled.registryEntry)
     ext.injectFunction(BoundedTopKAgg.registryEntry)
+    ext.injectFunction(TopKEdgesAgg.registryEntry)
     ext.injectFunction(FoldAccents.registryEntry)
     ext.injectFunction(CmsSketch.mergeRegistryEntry)
     ext.injectFunction(CmsSketch.estimateRegistryEntry)

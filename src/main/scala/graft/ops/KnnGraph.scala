@@ -161,19 +161,37 @@ object KnnGraph {
       if (usable < 1L)
         withInitBuckets(vecs,
           InitKind.SignBuckets(math.max(subBits, 1)), names)
-      else
-      names.zipWithIndex.foldLeft(vecs) { case (df, (nm, t)) =>
-        val cent = KMeans.trainCodebook(train, usable.toInt, trainIters,
-          seedRank = t)
-        val asg = KMeans.assignCell(vecs, cent)
-          .select(col("vec_id"), col("cid"))
-        // composite bucket: trained cell, sub-split by this table's
-        // disjoint sign-bit slice (map-side, free) — see initKind
-        val bucket =
-          if (subBits == 0) col("cid")
-          else col("cid") * (1L << subBits) +
-            signBucket(col("iv"), subBits, t * subBits)
-        df.join(asg, "vec_id").withColumn(nm, bucket).drop("cid")
+      else {
+        // Train the per-table codebooks on CONCURRENT driver threads:
+        // each training is an independent chain of tiny jobs (seed
+        // collect, per-pass assignment + centroid collect), and
+        // running the chains sequentially stacks their per-job
+        // scheduling floors end to end — measured r17
+        // (DriverFloorProbe, q221: ~50% of wall is inter-job driver
+        // gaps). Concurrent submission is the standard Spark
+        // multi-job pattern; results are unaffected by interleaving
+        // (disjoint seed slices, deterministic Lloyd math), only the
+        // driver floors overlap. At cluster scale the FIFO scheduler
+        // interleaves the chains' tasks — total work is unchanged.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val cents = Await.result(
+          Future.sequence(names.indices.map { t =>
+            Future(t -> KMeans.trainCodebook(train, usable.toInt,
+              trainIters, seedRank = t))
+          }), Duration.Inf).toMap
+        names.zipWithIndex.foldLeft(vecs) { case (df, (nm, t)) =>
+          val asg = KMeans.assignCell(vecs, cents(t))
+            .select(col("vec_id"), col("cid"))
+          // composite bucket: trained cell, sub-split by this table's
+          // disjoint sign-bit slice (map-side, free) — see initKind
+          val bucket =
+            if (subBits == 0) col("cid")
+            else col("cid") * (1L << subBits) +
+              signBucket(col("iv"), subBits, t * subBits)
+          df.join(asg, "vec_id").withColumn(nm, bucket).drop("cid")
+        }
       }
   }
 
@@ -225,10 +243,37 @@ object KnnGraph {
     topKPerNodeScored(scored, k).select(col("u"), col("v"))
 
   /** [[topKPerNode]] keeping the cosine — [[build]]'s rounds carry the
-    * score so kept edges are never re-scored. */
-  private def topKPerNodeScored(scored: DataFrame, k: Int): DataFrame = {
+    * score so kept edges are never re-scored. DISTINCT SEMANTICS:
+    * duplicate (u, v, cosine) rows count once — callers feed raw
+    * candidate unions and this ranking dedups them.
+    *
+    * ONE exchange ([[graft.functions.TopKEdgesAgg]]): per-node dedup +
+    * (cosine desc, v asc) rank + keep-k fold into a single bounded
+    * aggregation whose map-side partials carry ≤ k entries per
+    * (mapper, node). The `distinct()` + `row_number` window pair this
+    * replaces shuffled the full candidate relation TWICE — and under
+    * AQE each exchange is a separately-materialized query stage, the
+    * per-stage driver loop DriverFloorProbe measured as most of a
+    * small-corpus build's wall (26 jobs / 0.1 s ideal compute on a
+    * 2.4 s q164). [[plans.TopKPerGroup]] has the same shuffle
+    * discipline but ranks the MULTISET (a duplicate candidate would
+    * eat one of the k slots), so the graph family needs the fused
+    * dedup+rank form. */
+  private[graft] def topKPerNodeScored(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("u"))
+      .agg(graft.functions.TopKEdgesAgg
+        .edges(col("v"), col("cosine"), k).as("top"))
+      .select(col("u"), explode(col("top")).as("e"))
+      .select(col("u"), col("e.v").as("v"), col("e.cosine").as("cosine"))
+
+  /** The `distinct() + row_number ≤ k` window formulation — the
+    * bit-identity WITNESS for [[topKPerNodeScored]] (KnnGraphSpec
+    * property-pins agreement on adversarial candidate multisets:
+    * duplicates, cosine ties, sub-k groups). Not on any hot path. */
+  private[graft] def topKPerNodeScoredWindow(scored: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("u")).orderBy(col("cosine").desc, col("v"))
-    scored.withColumn("rn", row_number().over(w))
+    scored.distinct().withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select(col("u"), col("v"), col("cosine"))
   }
 
@@ -296,7 +341,7 @@ object KnnGraph {
         .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"),
           graft.functions.CosineScaled(
             col("a.embedding"), col("b.embedding")).as("cosine"))
-    }.reduce(_ unionByName _).distinct()
+    }.reduce(_ unionByName _) // cross-table dups collapse in the topK agg
     val init = Checkpoints.truncate(topKPerNodeScored(scored0, k),
       eager = false)
     val out = (1 to rounds).foldLeft(init) { (g, _) =>
@@ -313,7 +358,7 @@ object KnnGraph {
             .filter(col("u") =!= col("w"))
             .select(col("u"), col("w").as("v"),
               graft.functions.CosineScaled(col("ue"), col("we")).as("cosine"))
-          fresh.unionByName(g).distinct()
+          fresh.unionByName(g) // dups collapse in the topK agg
         } else {
           // small-N form: fan out SKINNY (u, v) pairs and dedup them
           // BEFORE attaching any payload — below the crossover the

@@ -255,6 +255,38 @@ class KnnGraphSpec extends SparkSuite {
     assert(b0.count() == 1)
   }
 
+  test("topKPerNodeScored (fused dedup+rank aggregate) ≡ distinct + " +
+      "row_number window, on adversarial candidate multisets") {
+    val spk = spark
+    import spk.implicits._
+    // duplicates (same (u,v,cosine) repeated — the fresh ∪ carried-graph
+    // overlap), cosine TIES at different v (tie-break to smaller v),
+    // sub-k groups, a group of only duplicates, and a NULL cosine that
+    // must rank after every non-null — the window's DESC NULLS LAST
+    val rows: Seq[(Long, Long, Option[Double])] = Seq(
+      (1L, 10L, Some(0.9)), (1L, 10L, Some(0.9)), (1L, 11L, Some(0.9)),
+      (1L, 12L, Some(0.8)), (1L, 13L, Some(0.8)), (1L, 14L, Some(0.7)),
+      (1L, 15L, Some(0.7)), (1L, 16L, Some(0.6)), // > k candidates
+      (2L, 20L, Some(0.5)), // sub-k group
+      (3L, 30L, Some(0.4)), (3L, 30L, Some(0.4)), // only duplicates
+      (4L, 40L, Some(0.1)), (4L, 41L, None), (4L, 42L, None)) // null tail
+    val df = rows.toDF("u", "v", "cosine")
+    for (k <- Seq(1, 2, 3, 6)) {
+      val agg = KnnGraph.topKPerNodeScored(df, k)
+      val win = KnnGraph.topKPerNodeScoredWindow(df, k)
+      assertSameRows(agg, win)
+    }
+    // and randomized: small value ranges force collisions of every kind
+    val rnd = new scala.util.Random(17)
+    val rand = Seq.fill(600)((rnd.nextInt(8).toLong,
+      rnd.nextInt(30).toLong,
+      Option.when(rnd.nextInt(20) != 0)(rnd.nextInt(5) / 4.0)))
+      .toDF("u", "v", "cosine")
+    for (k <- Seq(1, 3, 6))
+      assertSameRows(KnnGraph.topKPerNodeScored(rand, k),
+        KnnGraph.topKPerNodeScoredWindow(rand, k))
+  }
+
   test("graph edges: no self loops, no duplicates, degree <= k") {
     val g = KnnGraph.build(vecs, k, rounds = 1)
     assert(g.filter(col("u") === col("v")).count() == 0)
