@@ -287,6 +287,21 @@ class KnnGraphSpec extends SparkSuite {
         KnnGraph.topKPerNodeScoredWindow(rand, k))
   }
 
+  test("topKPerNodeScored plans as ONE exchange, no Window, no full sort") {
+    val spk = spark
+    import spk.implicits._
+    val df = Seq((1L, 2L, 0.5), (1L, 3L, 0.4)).toDF("u", "v", "cosine")
+    val plan = KnnGraph.topKPerNodeScored(df, k).queryExecution
+      .executedPlan.toString
+    // the whole point of the fusion: dedup+rank+keep-k is one
+    // ObjectHashAggregate pair around one exchange — the distinct
+    // exchange and the window sort must be GONE from the plan
+    assert(plan.contains("topk_edges"), s"fused aggregate missing:\n$plan")
+    assert(!plan.contains("Window"), s"window survived the fusion:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("graph edges: no self loops, no duplicates, degree <= k") {
     val g = KnnGraph.build(vecs, k, rounds = 1)
     assert(g.filter(col("u") === col("v")).count() == 0)
