@@ -10,13 +10,20 @@ import org.apache.spark.sql.functions._
   * build's round dataflow changes). Reports wall, stage/task counts,
   * total shuffle read/write bytes, and memory/disk spill. Usage:
   *
-  *   sbt "runMain graft.BuildEnvelopeProbe <sfDir> [k] [rounds]"
+  *   sbt "runMain graft.BuildEnvelopeProbe <sfDir> [k] [rounds] [maxBitsForced] [targetBlock]"
+  *
+  * The two optional trailing args force the composite
+  * trained-quantizer key below its natural ~17M-vector clamp
+  * (GraphInitProbe's drill mechanism), so the past-the-clamp build
+  * can be enveloped at reachable corpus sizes.
   */
 object BuildEnvelopeProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 6
     val rounds = if (args.length > 2) args(2).toInt else 2
+    val maxBitsForced = if (args.length > 3) Some(args(3).toInt) else None
+    val targetBlock = if (args.length > 4) args(4).toLong else 256L
     val spark = Bench.session()
     val shR = new java.util.concurrent.atomic.AtomicLong(0)
     val shW = new java.util.concurrent.atomic.AtomicLong(0)
@@ -40,10 +47,18 @@ object BuildEnvelopeProbe {
         ops.Similarity.intVec(col("embedding")).as("iv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
-    val kind = ops.KnnGraph.initKind(n, 4)
+    val kind = maxBitsForced match {
+      case Some(mb) => ops.KnnGraph.initKind(n, 4, targetBlock, maxBits = mb)
+      case None => ops.KnnGraph.initKind(n, 4, targetBlock)
+    }
     println(s"[envelope] n=$n kind=$kind k=$k rounds=$rounds")
+    // withInitBuckets is where codebook TRAINING runs eagerly (the
+    // assignment joins stay lazy and execute inside the build below)
+    val tInit0 = System.nanoTime()
     val vecs = ops.KnnGraph
       .withInitBuckets(base, kind, nTrainHint = Some(n)).drop("iv")
+    println(f"[envelope] init-key derivation (incl. eager codebook " +
+      f"training): ${(System.nanoTime() - tInit0) / 1e9}%.1f s")
     val t0 = System.nanoTime()
     val edges = ops.KnnGraph.build(vecs, k, rounds,
       bucketCols = Seq("sb1", "sb2"), nHint = Some(n)).count()
