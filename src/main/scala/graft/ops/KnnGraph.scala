@@ -333,6 +333,14 @@ object KnnGraph {
     // (exact integer arithmetic) and (cosine desc, v) tie-breaks are
     // identical across both refinement forms — the oracle replays pin
     // hash-equality.
+    //
+    // Why symmetrize KEEPS its distinct when the candidate ranking
+    // fused its own (TopKEdgesAgg dedups anyway): a duplicate sym row
+    // — every mutual edge, typically half the graph — would ride the
+    // attach joins carrying a ~0.5 KB embedding payload per copy
+    // (~k·vecbytes extra per node), where the distinct it would save
+    // shuffles only the skinny (u, v) pair (~2k·16 B per node). The
+    // payload discipline above wins that trade by ~10× at any scale.
     val attach = nHint.forall(refineAttach)
     val emb = vecs.select(col("vec_id"), col("embedding"))
     val scored0 = bucketCols.map { c =>
