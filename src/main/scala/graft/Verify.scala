@@ -40,7 +40,7 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] bpe fixture failed: ${e.getMessage}")
     }
-    // Stored-graph ORACLE MIRRORS (q165/q166/q170/q175 oracles read
+    // Stored-graph ORACLE MIRRORS (q165/q166/q168/q170/q175 oracles read
     // these instead of replaying construction; q211 is the content
     // anchor — see SimilarityQueries' fixture section).
     try graft.queries.SimilarityQueries.oracleGraphFixtures(spark, sfDir)
@@ -83,7 +83,9 @@ object Verify {
       graft.queries.SimilarityQueries.knnRefhFixturePath ->
         graft.queries.SimilarityQueries.knnRefhReplaySql,
       graft.queries.SimilarityQueries.knnRefx1FixturePath ->
-        graft.queries.SimilarityQueries.knnRefx1ReplaySql)
+        graft.queries.SimilarityQueries.knnRefx1ReplaySql,
+      graft.queries.SimilarityQueries.knnDup168FixturePath ->
+        graft.queries.SimilarityQueries.knnDup168ReplaySql)
     Files.writeString(Paths.get(s"$outDir/fixture_sql.json"),
       fixtures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))

@@ -1257,11 +1257,12 @@ object SimilarityQueries {
       .stripMargin
   }
 
-  /** The `n` CTE body (vec_id, iv, nrm, sb1, sb2) over whatever `iv`
-    * CTE precedes it — factored out so q168 can feed the dup-injected
-    * corpus through the identical derivation. */
-  private val graphNSql: String =
-    s"""n AS MATERIALIZED (SELECT vec_id, iv, label,
+  /** The `n`-shaped CTE body (vec_id, iv, nrm, sb1, sb2) over an
+    * arbitrary int-vector CTE — parameterized so q168's dup-injected
+    * corpus (and q211's audit of its stored graph) run the identical
+    * derivation under distinct CTE names. */
+  private def graphNSqlNamed(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (SELECT vec_id, iv, label,
        |        CAST(list_aggregate(list_transform(iv, x -> x * x), 'sum')
        |          AS DOUBLE) AS nrm,
        |        list_aggregate(list_transform(generate_series(1, $graphBits),
@@ -1272,7 +1273,10 @@ object SimilarityQueries {
        |          i -> CASE WHEN iv[i] > 0
        |               THEN CAST(1 AS BIGINT) << (i - $graphBits - 1)
        |               ELSE CAST(0 AS BIGINT) END), 'sum') AS sb2
-       |      FROM iv)""".stripMargin
+       |      FROM $src)""".stripMargin
+
+  /** The standard `n` over the plain corpus's `iv`. */
+  private def graphNSql: String = graphNSqlNamed("n", "iv")
 
   /** The corpus CTE chain `iv` → `n` over the plain embeddings
     * table. */
@@ -1307,6 +1311,13 @@ object SimilarityQueries {
   /** Layer-1 graph `refx1(u, v)` mirror (q175's middle layer). */
   val knnRefx1FixturePath = "/tmp/graft_fixtures/knn_refx1.parquet"
 
+  /** Dup-injected-corpus graph `ref(u, v)` mirror (q168's candidate
+    * structure — r18, closing the r17 asymmetry: q168 moved to a
+    * stored engine graph without giving its oracle the mirror the
+    * other four consumers have, so the bench yardstick kept charging
+    * DuckDB full construction while Spark timed probe-only work). */
+  val knnDup168FixturePath = "/tmp/graft_fixtures/knn_dup168.parquet"
+
   /** Standalone DuckDB replays producing each mirror's rows — dumped
     * by Verify as fixture_sql.json entries. Defs, not vals: they read
     * params declared later in this object (init order). */
@@ -1326,6 +1337,30 @@ object SimilarityQueries {
        |nx1 AS MATERIALIZED (SELECT * FROM n WHERE vec_id % $layerMod = 0),
        |${graphChainSql("nx1", "x1")}
        |SELECT u, v FROM refx1""".stripMargin
+
+  /** q168's dup-injected corpus as CTE text — `e` (base ∪ every-5th
+    * vector re-appearing under vec_id+100000), its int-vector `iv`,
+    * and the node CTE under the given names. Shared verbatim by the
+    * q168 oracle (names e/iv/n), the dup168 mirror replay, and q211's
+    * audit chain (names ed/ivd/nd) so the corpus derivation can never
+    * drift between probe, replay, and anchor. */
+  private def dup168CorpusCtes(e: String, iv: String, n: String): String =
+    s"""$e AS (
+       |  SELECT vec_id, label, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, label, embedding FROM embeddings
+       |  WHERE vec_id % 5 = 0),
+       |$iv AS (SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+       |             AS BIGINT)) AS iv
+       |       FROM $e),
+       |${graphNSqlNamed(n, iv)}""".stripMargin
+
+  def knnDup168ReplaySql: String =
+    s"""WITH ${dup168CorpusCtes("e", "iv", "n")},
+       |${graphChainSql("n", "")}
+       |SELECT u, v FROM ref""".stripMargin
 
   /** A mirror-reading CTE, same name/columns as the chain it
     * replaces. */
@@ -1347,7 +1382,9 @@ object SimilarityQueries {
           .select(col("u"), col("v")),
       knnRefx1FixturePath ->
         storedLayeredEdges(s, d).filter(col("layer") === 1)
-          .select(col("u"), col("v")))
+          .select(col("u"), col("v")),
+      knnDup168FixturePath ->
+        storedDup168Graph(s, d).select(col("u"), col("v")))
   }
 
   /** The stored LAYERED index's edge relation (u, v, layer) — q175's
@@ -1713,17 +1750,26 @@ object SimilarityQueries {
     * build inside the dedup query measured construction twice and the
     * dedup dataflow (edge re-score at the threshold + components) not
     * at all. The fixture stamp carries the data generation, every
-    * graph parameter AND the dup-injection recipe; the oracle still
-    * replays construction end-to-end, so a stale or wrong stored graph
-    * hash-fails the gate. */
-  val q168 = {
-    val thr = 0.99
-    def dupCorpus(s: SparkSession, d: String): DataFrame = {
-      val e = Catalog.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      e.unionAll(e.filter(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-    }
-    def storedDupGraph(s: SparkSession, d: String): DataFrame = {
+    * graph parameter AND the dup-injection recipe. The oracle reads
+    * the [[knnDup168FixturePath]] mirror (r18 — the same probe-only
+    * symmetry as the other four consumers; r17 had left this oracle
+    * replaying construction, which made the bench yardstick charge
+    * DuckDB build+probe against Spark's probe-only side); q211
+    * hash-anchors the mirror's content against the full DuckDB
+    * construction replay, so a stale or wrong stored graph still
+    * fails the gate. */
+  /** q168's dup-injected corpus (engine side of
+    * [[dup168CorpusCtes]]). */
+  private def dup168Corpus(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.unionAll(e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  /** q168's stored candidate graph over the dup-injected corpus —
+    * also the source of the [[knnDup168FixturePath]] oracle mirror
+    * and a q211 audit subject. */
+  private def storedDup168Graph(s: SparkSession, d: String): DataFrame = {
       val store = s"${graft.ops.Fixtures.root(s)}/knn_graph_dup168_" +
         graft.ops.Fixtures.pathKey(d)
       val stamp = graft.ops.Fixtures.datasetStamp(s, s"$d/embeddings.parquet") +
@@ -1735,7 +1781,7 @@ object SimilarityQueries {
         // fixed 1.2× of the base corpus — one policy source)
         val vecs = graft.ops.KnnGraph
           .withInitBuckets(
-            dupCorpus(s, d).select(col("vec_id"), col("embedding"),
+            dup168Corpus(s, d).select(col("vec_id"), col("embedding"),
               iv.as("iv")),
             effectiveInitKind(s, d),
             nTrainHint = Some(corpusN(s, d) + corpusN(s, d) / 5))
@@ -1748,14 +1794,17 @@ object SimilarityQueries {
         vecs.unpersist()
       }
       s.read.parquet(store)
-    }
+  }
+
+  val q168 = {
+    val thr = 0.99
     Q("q168_graph_semantic_dedup",
       (s, d) => {
         // post-construction the dedup needs only (vec_id, embedding):
         // the blocking keys exist to build the graph, not to score its
         // edges or resolve components
-        val corpus = dupCorpus(s, d)
-        val strong = graft.ops.KnnGraph.score(storedDupGraph(s, d), corpus)
+        val corpus = dup168Corpus(s, d)
+        val strong = graft.ops.KnnGraph.score(storedDup168Graph(s, d), corpus)
           .filter(col("cosine") >= thr)
           .select(col("u").as("doc_a"), col("v").as("doc_b"))
         graft.ops.Dedup.connectedComponents(
@@ -1763,18 +1812,8 @@ object SimilarityQueries {
           .select(col("doc_id").as("vec_id"), col("rep"))
       },
       Some(
-        s"""WITH RECURSIVE e AS (
-           |  SELECT vec_id, label, embedding FROM embeddings
-           |  UNION ALL
-           |  SELECT vec_id + 100000, label, embedding FROM embeddings
-           |  WHERE vec_id % 5 = 0),
-           |iv AS (SELECT vec_id, label,
-           |         list_transform(embedding,
-           |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
-           |             AS BIGINT)) AS iv
-           |       FROM e),
-           |$graphNSql,
-           |${graphChainSql("n", "")},
+        s"""WITH RECURSIVE ${dup168CorpusCtes("e", "iv", "n")},
+           |${fixtureRefCte("ref", knnDup168FixturePath)},
            |strong AS MATERIALIZED (SELECT r.u, r.v FROM ref r
            |    JOIN n a ON r.u = a.vec_id JOIN n b ON r.v = b.vec_id
            |    WHERE ${cosSql("a", "b")} >= $thr),
@@ -2608,13 +2647,15 @@ object SimilarityQueries {
     * [[Q.benchExcluded]] like q171): every stored graph the timed
     * oracles now read as a fixed-path mirror — the full graph
     * ([[knnRefFixturePath]]), the history base
-    * ([[knnRefhFixturePath]]), and all three layers of the layered
-    * index — dumped as (g, u, v) edge rows and hash-compared against
-    * the FULL construction replay in DuckDB. This is the q162 anchor
-    * role for the graph family: if any store (or the layered layer 0
-    * vs the flat build) drifted from the chain the oracle replays,
-    * this query goes red, so the probe-only consumer oracles
-    * (q165/q166/q170/q175) stay trustworthy. */
+    * ([[knnRefhFixturePath]]), all three layers of the layered
+    * index, and the dup-injected q168 graph
+    * ([[knnDup168FixturePath]], r18) — dumped as (g, u, v) edge rows
+    * and hash-compared against the FULL construction replay in
+    * DuckDB. This is the q162 anchor role for the graph family: if
+    * any store (or the layered layer 0 vs the flat build) drifted
+    * from the chain the oracle replays, this query goes red, so the
+    * probe-only consumer oracles (q165/q166/q168/q170/q175) stay
+    * trustworthy. */
   val q211 = Q("q211_stored_graph_audit",
     (s, d) => {
       val isDelta = (col("vec_id") % graphDeltaMod) >= graphDeltaFrom
@@ -2624,8 +2665,9 @@ object SimilarityQueries {
       // every layer 0..layerLevels audited, DERIVED from layerLevels —
       // raising it must grow the audit on both sides in lockstep, not
       // leave upper layers silently uncovered (ADVICE r11)
-      (0 to layerLevels).map(l =>
-        tag(layered.filter(col("layer") === l), s"l$l"))
+      ((0 to layerLevels).map(l =>
+        tag(layered.filter(col("layer") === l), s"l$l")) :+
+        tag(storedDup168Graph(s, d), "dup168"))
         .foldLeft(
           tag(storedBuiltGraph(s, d, "full", None), "full")
             .unionByName(tag(
@@ -2651,10 +2693,13 @@ object SimilarityQueries {
          |nh AS MATERIALIZED (SELECT * FROM n
          |      WHERE vec_id % $graphDeltaMod < $graphDeltaFrom),
          |${graphChainSql("nh", "h")},
-         |$layerCtes
+         |$layerCtes,
+         |${dup168CorpusCtes("ed", "ivd", "nd")},
+         |${graphChainSql("nd", "d")}
          |SELECT 'full' AS g, u, v FROM ref
          |UNION ALL SELECT 'base' AS g, u, v FROM refh
-         |$layerSelects""".stripMargin
+         |$layerSelects
+         |UNION ALL SELECT 'dup168' AS g, u, v FROM refd""".stripMargin
     })
 
   /** q221 — kNN-graph construction on the TRAINED-QUANTIZER init (the
