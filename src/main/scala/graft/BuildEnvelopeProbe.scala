@@ -59,6 +59,14 @@ object BuildEnvelopeProbe {
       .withInitBuckets(base, kind, nTrainHint = Some(n)).drop("iv")
     println(f"[envelope] init-key derivation (incl. eager codebook " +
       f"training): ${(System.nanoTime() - tInit0) / 1e9}%.1f s")
+    // zero the counters AFTER draining in-flight listener events
+    // (ADVICE r17): the listener has been live since before count()
+    // and the eager codebook training, so without this reset the
+    // printed "build:" envelope folds pre-build stages in.
+    try org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+    catch { case _: Throwable => () }
+    Seq(shR, shW, spillMem, spillDisk).foreach(_.set(0L))
+    stages.set(0); tasks.set(0)
     val t0 = System.nanoTime()
     val edges = ops.KnnGraph.build(vecs, k, rounds,
       bucketCols = Seq("sb1", "sb2"), nHint = Some(n)).count()

@@ -28,8 +28,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
   *   sbt "runMain graft.DriverFloorProbe <queryName> [sfDir] [iters]"
   */
 object DriverFloorProbe {
-  private final case class Job(id: Int, var start: Long = 0L,
-    var end: Long = 0L, var site: String = "")
+  // start/end are written on the listener thread and read on the main
+  // thread after the bus drain; volatile gives the read a formal
+  // happens-before instead of relying on the drain's side effects
+  // (ADVICE r17).
+  private final case class Job(id: Int, @volatile var start: Long = 0L,
+    @volatile var end: Long = 0L, var site: String = "")
 
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -72,6 +76,11 @@ object DriverFloorProbe {
     })
     (1 to iters).foreach { it =>
       spark.sharedState.cacheManager.clearCache()
+      // drain BEFORE arming the recorder (ADVICE r17): in-flight
+      // warmup/clearCache stage events would otherwise land after
+      // record = true and leak into this iteration's counters
+      try org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+      catch { case _: Throwable => () }
       jobs.clear(); byId.clear()
       stageWall.set(0); taskTime.set(0); stages.set(0); tasks.set(0)
       record = true

@@ -9,11 +9,20 @@ import org.apache.spark.sql.SparkSession
   * spans can be reviewed (`sbt "runMain graft.Explain <sfDir> <outFile>"`).
   * Queries with side effects (load protocol, streaming) explain their
   * final read, which is what the plan review cares about anyway.
+  *
+  * Runs with [[graft.ops.Checkpoints]] explain mode ON (r18):
+  * lineage truncation becomes identity, so the iterative builds'
+  * per-round construction plans (the former PLAN_AUDIT `†` blind
+  * spot) print in full instead of stopping at the last checkpoint.
+  * Execution that happens while constructing the DataFrames (eager
+  * codebook training, fixture ensure()) tolerates the untruncated
+  * lineage at audit scale (sf0.001).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outFile = if (args.length > 1) args(1) else "/tmp/graft_plans.txt"
+    graft.ops.Checkpoints.enableExplainMode()
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

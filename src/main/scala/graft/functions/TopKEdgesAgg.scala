@@ -38,11 +38,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType,
   * v asc) with (cosine, v) as the element identity — a duplicate
   * insert is a no-op wherever it lands, ties keep the smaller v, a
   * NULL cosine ranks after every non-null (kept only when fewer than
-  * k non-null candidates exist, exactly like the window). No NaN or
-  * -0.0 handling is needed: cosines are [[CosineScaled]] outputs
-  * (finite; +0.0 only), and the comparator uses SQL double semantics
-  * (primitive <, >) so it would agree with Spark's sort on them
-  * anyway.
+  * k non-null candidates exist, exactly like the window). The
+  * internal graph path only ever feeds [[CosineScaled]] outputs
+  * (finite; +0.0 only), but `topk_edges` is registered session-wide,
+  * so the comparator is a TOTAL order over arbitrary doubles
+  * (ADVICE r17): NaN compares largest (first under DESC) via
+  * `java.lang.Double.compare`, exactly Spark's sort order, and -0.0
+  * is normalized to +0.0 at intake so the dedup identity matches
+  * Spark's normalized-float equality (`distinct()` treats them
+  * equal).
   *
   * Returns `array<struct<v bigint, cosine double>>` in rank order —
   * deterministic under ANY partitioning (set semantics + total
@@ -82,8 +86,10 @@ case class TopKEdgesAgg(left: Expression, right: Expression, k: Int,
     val v = left.eval(input)
     if (v != null) { // a NULL v cannot be an edge endpoint; window rows
       val c = right.eval(input) // with null v never survive the join
+      val cd = if (c == null) 0d else c.asInstanceOf[Double]
       add(buf, TopKEdgesAgg.Edge(c == null,
-        if (c == null) 0d else c.asInstanceOf[Double], v.asInstanceOf[Long]))
+        if (cd == 0d) 0d else cd, // -0.0 → +0.0: Spark-equal, one key
+        v.asInstanceOf[Long]))
     }
     buf
   }
@@ -151,16 +157,21 @@ object TopKEdgesAgg {
 
   /** One kept edge. Natural order = the window form's sort key:
     * cosine DESC with NULLs last, then v ASC; equality ⇔ same
-    * (cosine, v) — the dedup identity `distinct()` used. Primitive
-    * double comparison is exact for the CosineScaled domain (finite,
-    * no -0.0/NaN — see class doc). */
+    * (cosine, v) — the dedup identity `distinct()` used. TOTAL over
+    * arbitrary doubles (ADVICE r17 — the primitive <,> form was
+    * intransitive for NaN): `java.lang.Double.compare` ranks NaN
+    * largest (first under DESC, Spark's sort order); -0.0 never
+    * reaches the buffer (normalized at update intake; serialized
+    * buffers only ever contain normalized values). */
   final case class Edge(cosNull: Boolean, cos: Double, v: Long)
     extends Comparable[Edge] {
     override def compareTo(o: Edge): Int =
       if (cosNull != o.cosNull) { if (cosNull) 1 else -1 } // nulls last
-      else if (!cosNull && cos > o.cos) -1 // larger cosine first
-      else if (!cosNull && cos < o.cos) 1
-      else java.lang.Long.compare(v, o.v) // ties: smaller v first
+      else {
+        val c = java.lang.Double.compare(o.cos, cos) // larger cosine first
+        if (c != 0) c
+        else java.lang.Long.compare(v, o.v) // ties: smaller v first
+      }
   }
 
   /** DataFrame API: `.agg(TopKEdgesAgg.edges(col("v"), col("cosine"), k))`

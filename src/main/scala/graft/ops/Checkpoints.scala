@@ -27,6 +27,21 @@ object Checkpoints {
 
   @volatile private var reliable: Boolean = false
 
+  @volatile private var explain: Boolean = false
+
+  /** EXPLAIN-ONLY mode (r18, closing PLAN_AUDIT's construction blind
+    * spot): [[truncate]] becomes identity, so an iterative build's
+    * FULL per-round plan stays in the logical tree and
+    * `explain("formatted")` can print the construction shapes that
+    * checkpointing normally hides (the most-rewritten dataflow in the
+    * repo — TopKEdgesAgg ranking, attach-form refinement). Never
+    * enable for real execution: the per-round ~5× logical-plan growth
+    * this module exists to stop comes straight back. Process-wide,
+    * like the reliable switch. */
+  def enableExplainMode(): Unit = explain = true
+
+  def disableExplainMode(): Unit = explain = false
+
   /** Route subsequent [[truncate]] calls through RELIABLE
     * checkpointing into `dir` (sets the context checkpoint dir). */
   def enableReliable(spark: org.apache.spark.sql.SparkSession,
@@ -43,5 +58,18 @@ object Checkpoints {
   /** Truncate `df`'s lineage under the active policy. Semantics are
     * identical either way — only failure-recovery cost differs. */
   def truncate(df: DataFrame, eager: Boolean): DataFrame =
+    if (explain) df
+    else if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+
+  /** Truncation for ACTION-DRIVEN loops (convergence checks execute
+    * every round during DataFrame CONSTRUCTION —
+    * [[Dedup.connectedComponents]]): explain mode keeps real
+    * truncation here, because identity would grow the EXECUTED plan
+    * ~4× per round (the jump self-joins) for no explain-side payoff —
+    * the rounds run as jobs while the DataFrame is being built either
+    * way, so the final explain can never show more than the last
+    * round's shape. Fixed-round builds ([[KnnGraph]]) use [[truncate]]
+    * and DO print their full construction under explain mode. */
+  def truncateDriven(df: DataFrame, eager: Boolean): DataFrame =
     if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
 }

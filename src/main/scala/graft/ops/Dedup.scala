@@ -419,7 +419,7 @@ object Dedup {
     // executor loss mid-build.
     var labels = sym.select(col("v")).distinct()
       .select(col("v"), col("v").as("rep"))
-      .transform(Checkpoints.truncate(_, eager = true))
+      .transform(Checkpoints.truncateDriven(_, eager = true))
     var prevSum = labels.agg(sum(col("rep"))).first().getLong(0)
     var converged = false
     var i = 0
@@ -430,7 +430,7 @@ object Dedup {
       val prop = labels.join(nmin, Seq("v"), "left")
         .select(col("v"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      val next = Checkpoints.truncate(jump(jump(prop)), eager = true)
+      val next = Checkpoints.truncateDriven(jump(jump(prop)), eager = true)
       val s = next.agg(sum(col("rep"))).first().getLong(0)
       labels = next
       converged = s == prevSum

@@ -173,14 +173,29 @@ object KnnGraph {
         // (disjoint seed slices, deterministic Lloyd math), only the
         // driver floors overlap. At cluster scale the FIFO scheduler
         // interleaves the chains' tasks — total work is unchanged.
+        // Dedicated pool, not ExecutionContext.global (ADVICE r17):
+        // each training BLOCKS on Spark actions, so on the shared
+        // global pool a caller already using it could starve or
+        // serialize the chains; a pool sized to the table count keeps
+        // the concurrency self-contained and is shut down after Await.
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val cents = Await.result(
-          Future.sequence(names.indices.map { t =>
-            Future(t -> KMeans.trainCodebook(train, usable.toInt,
-              trainIters, seedRank = t))
-          }), Duration.Inf).toMap
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          names.length,
+          (r: Runnable) => {
+            val th = new Thread(r, "graft-codebook-train")
+            th.setDaemon(true)
+            th
+          })
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val cents =
+          try Await.result(
+            Future.sequence(names.indices.map { t =>
+              Future(t -> KMeans.trainCodebook(train, usable.toInt,
+                trainIters, seedRank = t))
+            }), Duration.Inf).toMap
+          finally pool.shutdown()
         names.zipWithIndex.foldLeft(vecs) { case (df, (nm, t)) =>
           val asg = KMeans.assignCell(vecs, cents(t))
             .select(col("vec_id"), col("cid"))

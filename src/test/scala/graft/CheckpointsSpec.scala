@@ -41,6 +41,26 @@ class CheckpointsSpec extends SparkSuite {
     assert(files.nonEmpty, "reliable mode must write to the checkpoint dir")
   }
 
+  test("explain mode exposes the full construction plan, and turning " +
+      "it off restores truncation") {
+    Checkpoints.enableExplainMode()
+    val plan =
+      try KnnGraph.build(vecs, 6, rounds = 1)
+        .queryExecution.executedPlan.toString
+      finally Checkpoints.disableExplainMode()
+    // with truncation as identity the per-round ranking aggregate and
+    // the corpus scan are IN the explained plan (the former PLAN_AUDIT
+    // † blind spot); normally the plan stops at the checkpoint leaf
+    assert(plan.contains("topk_edges"),
+      s"construction ranking missing from explain-mode plan:\n$plan")
+    assert(!plan.contains("ExistingRDD"),
+      s"checkpoint leaf survived in explain mode:\n$plan")
+    val after = KnnGraph.build(vecs, 6, rounds = 1)
+      .queryExecution.executedPlan.toString
+    assert(after.contains("ExistingRDD") && !after.contains("topk_edges"),
+      s"truncation not restored after disableExplainMode:\n$after")
+  }
+
   test("connected components agree across modes (distributed path)") {
     val s = spark
     import s.implicits._

@@ -287,6 +287,30 @@ class KnnGraphSpec extends SparkSuite {
         KnnGraph.topKPerNodeScoredWindow(rand, k))
   }
 
+  test("topKPerNodeScored is a total order on adversarial doubles: " +
+      "NaN and -0.0 (the session-registered topk_edges surface)") {
+    val spk = spark
+    import spk.implicits._
+    // The internal graph path never yields NaN/-0.0 (CosineScaled),
+    // but topk_edges is registered session-wide — arbitrary user SQL
+    // can feed them (ADVICE r17: the primitive <,> comparator was
+    // intransitive for NaN and silently corrupted the TreeSet). The
+    // window form is the Spark-semantics reference: NaN sorts
+    // LARGEST (first under DESC, before nulls), -0.0 equals 0.0
+    // under normalized-float dedup.
+    val nan = Double.NaN
+    val rows: Seq[(Long, Long, Option[Double])] = Seq(
+      (1L, 10L, Some(nan)), (1L, 11L, Some(1.0)), (1L, 12L, Some(nan)),
+      (1L, 13L, Some(-0.0)), (1L, 14L, Some(0.0)), (1L, 15L, Some(-1.0)),
+      (1L, 16L, None), // NULL still ranks after NaN and every finite
+      (2L, 22L, Some(nan)), (2L, 22L, Some(nan)), // NaN dup: ONE edge
+      (3L, 30L, Some(-0.0)), (3L, 30L, Some(0.0))) // -0.0 ≡ 0.0: ONE edge
+    val df = rows.toDF("u", "v", "cosine")
+    for (k <- Seq(1, 2, 3, 6))
+      assertSameRows(KnnGraph.topKPerNodeScored(df, k),
+        KnnGraph.topKPerNodeScoredWindow(df, k))
+  }
+
   test("topKPerNodeScored plans as ONE exchange, no Window, no full sort") {
     val spk = spark
     import spk.implicits._
