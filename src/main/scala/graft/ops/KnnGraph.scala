@@ -487,9 +487,27 @@ object KnnGraph {
     def beamOf(cand: DataFrame, width: Int): DataFrame =
       scored(cand).orderBy(col("cosine").desc, col("vec_id"))
         .limit(width).select(col("vec_id"))
+    // PIN each descent step (r18): every step's DataFrame is consumed
+    // TWICE downstream (`f` and `f.join` inside hopIn; the nested
+    // layer-0 double hop), so left lazy the beam subtrees re-expand
+    // ~2× per level — the explained plan carried 13 TakeOrdered /
+    // 33 BroadcastExchange and one probe materialized 78 one-task AQE
+    // stage-jobs of ~70-130 ms driver floor each (the whole fresh-JVM
+    // premium DriverFloorProbe attributed). Persisting the ≤ beam- or
+    // fanout-sized step makes downstream references plan as
+    // InMemoryRelation leaves: each step's dataflow runs ONCE. The
+    // pins are bounded (≤ beam·(2k+1) rows); the caller-facing result
+    // is eagerly truncated and the pins released before returning, the
+    // [[search]] cache-hygiene pattern.
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pins += p
+      p
+    }
     val topMod = math.pow(levelMod.toDouble, levels.toDouble).toLong
-    val entryTop = beamOf(
-      vecs.filter(col("vec_id") % topMod === 0).select(col("vec_id")), beam)
+    val entryTop = pin(beamOf(
+      vecs.filter(col("vec_id") % topMod === 0).select(col("vec_id")), beam))
     def hopIn(l: Int)(f: DataFrame): DataFrame = {
       val sym = symmetrize(layered.filter(col("layer") === l)
         .select(col("u"), col("v")))
@@ -498,12 +516,15 @@ object KnnGraph {
           .select(col("s.v").as("vec_id"))).distinct()
     }
     val entry0 = (levels - 1 to 1 by -1).foldLeft(entryTop) { (entry, l) =>
-      beamOf(hopIn(l)(entry), beam)
+      pin(beamOf(hopIn(l)(entry), beam))
     }
     // layer 0: two hops from the descended beam, one exact rerank
-    val candidates = hopIn(0)(hopIn(0)(entry0))
-    scored(candidates.filter(col("vec_id") =!= queryId))
+    val candidates = hopIn(0)(pin(hopIn(0)(entry0)))
+    val ranked = scored(candidates.filter(col("vec_id") =!= queryId))
       .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+    val out = Checkpoints.truncate(ranked, eager = true)
+    pins.foreach(_.unpersist())
+    out
   }
 
   /** Incrementally maintain a k-NN graph when a delta of new vectors

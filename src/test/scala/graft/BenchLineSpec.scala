@@ -108,7 +108,9 @@ class BenchLineSpec extends SparkSuite {
       "q38_json_roundtrip", "q39_orc_roundtrip", "q69_schema_evolution",
       "q71_incremental_agg", "q127_targeted_delete", "q132_time_travel",
       "q131_observed_metrics", "q138_persistent_ann_index",
-      "q170_persistent_graph_index", "q175_layered_graph_search",
+      "q170_persistent_graph_index",
+      // q175 left for dataflow in r18: stamped-store probe, the
+      // q94/q96/q115 precedent (see Q.sideEffecting's note)
       "q145_xml_roundtrip", "q150_ann_recall", "q152_sql_delete_frontdoor",
       "q163_sql_insert_frontdoor", "q172_sql_script_frontdoor",
       "q173_sql_script_audit")
