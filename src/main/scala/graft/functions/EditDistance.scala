@@ -68,7 +68,18 @@ object BandedEditDistance {
     while (i < ab.length) { if (ab(i) < 0) return fallback(a, b, k); i += 1 }
     i = 0
     while (i < bb.length) { if (bb(i) < 0) return fallback(a, b, k); i += 1 }
-    asciiBanded(ab, bb, k)
+    // strip the common prefix and suffix before banding (r18): edit
+    // distance is invariant to shared ends, and real-world match keys
+    // (ids, URLs, "Customer#000…" names) share long prefixes — the
+    // O(len) scans replace O(len·k) band cells. ASCII-only here, so
+    // byte equality is character equality.
+    var p = 0
+    val maxP = math.min(ab.length, bb.length)
+    while (p < maxP && ab(p) == bb(p)) p += 1
+    var ea = ab.length
+    var eb = bb.length
+    while (ea > p && eb > p && ab(ea - 1) == bb(eb - 1)) { ea -= 1; eb -= 1 }
+    asciiBanded(ab, p, ea - p, bb, p, eb - p, k)
   }
 
   private def fallback(a: UTF8String, b: UTF8String, k: Int): Int = {
@@ -76,14 +87,14 @@ object BandedEditDistance {
     if (d < 0 || d > k) k + 1 else d
   }
 
-  /** Ukkonen banded DP over byte arrays: only cells with
+  /** Ukkonen banded DP over byte-array SLICES (`aOff`/`bOff` +
+    * lengths `n`/`m` — the post-strip windows): only cells with
     * |i - j| ≤ k are reachable within distance k. */
-  private def asciiBanded(a: Array[Byte], b: Array[Byte], k: Int): Int = {
-    val n = a.length
-    val m = b.length
+  private def asciiBanded(a: Array[Byte], aOff: Int, n: Int,
+      b: Array[Byte], bOff: Int, m: Int, k: Int): Int = {
     if (math.abs(n - m) > k) return k + 1
-    if (n == 0) return m
-    if (m == 0) return n
+    if (n == 0) return if (m > k) k + 1 else m
+    if (m == 0) return if (n > k) k + 1 else n
     val big = k + 1
     var prev = rowA.get()
     var cur = rowB.get()
@@ -100,7 +111,7 @@ object BandedEditDistance {
       var rowMin = cur(0)
       j = lo
       while (j <= hi) {
-        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        val cost = if (a(aOff + i - 1) == b(bOff + j - 1)) 0 else 1
         // prev row band was [i-1-k, i-1+k]; prev index of column j is
         // j - (max(1, i-1-k) - 1); compute via offsets
         val prevLo = math.max(1, i - 1 - k)
