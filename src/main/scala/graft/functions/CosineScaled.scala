@@ -129,6 +129,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(FoldAccents.registryEntry)
     ext.injectFunction(CmsSketch.mergeRegistryEntry)
     ext.injectFunction(CmsSketch.estimateRegistryEntry)
+    ext.injectFunction(TokenRepStats.registryEntry)
     ext.injectOptimizerRule(_ => BandedLevenshteinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,36 +56,38 @@ object CorpusQueries {
   private[queries] val uniT = 0.12 // top-unigram frac above → repetitive
   private[queries] val biT = 0.20  // dup-bigram frac above → repetitive
 
+  /** Appends (n_tokens, top_unigram_frac, dup_bigram_frac, rep_label)
+    * from ONE [[graft.functions.TokenRepStats]] pass over `text` —
+    * shared by q80 and the q93 pipeline so the label derivation cannot
+    * drift, and so q93 computes labels AND fingerprints in a single
+    * corpus scan (r18; the previous form shuffled the exploded token
+    * relation four times and re-scanned documents for the join).
+    * Zero-token docs drop out (the exploded form's aggregation dropped
+    * them too); a doc with no bigram reports 0.0 dup fraction (the old
+    * left-join NULL → coalesce path). */
+  private def withRepStats(docs: DataFrame): DataFrame = docs
+    .withColumn("st", graft.functions.TokenRepStats(tokens(col("text"))))
+    .filter(col("st.n_tok") > 0)
+    .withColumn("n_tokens", col("st.n_tok"))
+    .withColumn("top_unigram_frac",
+      col("st.max_uni").cast("double") / col("st.n_tok").cast("double"))
+    .withColumn("dup_bigram_frac",
+      when(col("st.n_bi") > 0,
+          (col("st.n_bi") - col("st.n_bi_d")).cast("double")
+            / col("st.n_bi").cast("double"))
+        .otherwise(lit(0.0)))
+    .withColumn("rep_label",
+      when(col("top_unigram_frac") > uniT, "repetitive")
+        .when(col("dup_bigram_frac") > biT, "repetitive")
+        .otherwise("ok"))
+    .drop("st")
+
   val q80 = {
     Q("q80_repetition_filter",
-      (s, d) => {
-        val base = Catalog.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"),
-            filter(
-              zip_with(col("toks"),
-                slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-                (a, b) => concat(a, lit(" "), b)),
-              x => x.isNotNull).as("bigrams"))
-        val uni = base.select(col("doc_id"), explode(col("toks")).as("t"))
-          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(sum(col("c")).as("n_tok"),
-            max(col("c")).as("max_uni"))
-        val bi = base.select(col("doc_id"), explode(col("bigrams")).as("b"))
-          .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(sum(col("c")).as("n_bi"),
-            count(lit(1)).as("n_bi_d"))
-        uni.join(bi, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tok").cast("bigint").as("n_tokens"),
-            (col("max_uni").cast("double") / col("n_tok").cast("double"))
-              .as("top_unigram_frac"),
-            coalesce((col("n_bi") - col("n_bi_d")).cast("double")
-              / col("n_bi").cast("double"), lit(0.0)).as("dup_bigram_frac"))
-          .withColumn("rep_label",
-            when(col("top_unigram_frac") > uniT, "repetitive")
-              .when(col("dup_bigram_frac") > biT, "repetitive")
-              .otherwise("ok"))
-      },
+      (s, d) => withRepStats(Catalog.documents(s, d)
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("n_tokens"), col("top_unigram_frac"),
+          col("dup_bigram_frac"), col("rep_label")),
       Some(
         s"""WITH d AS (SELECT doc_id, $tokSqlArr AS a FROM documents),
            |uni AS (
@@ -383,17 +386,22 @@ object CorpusQueries {
     * projection; the composition adds nothing super-linear. */
   val q93 = Q("q93_pack_pipeline",
     (s, d) => {
-      // q80's output already carries n_tokens — reusing it saves a
-      // second regex tokenization pass over the corpus
-      val rep = q80.run(s, d)
+      // labels AND fingerprints in ONE corpus scan (withRepStats, r18)
+      // — the previous form ran q80's whole dataflow, re-scanned
+      // documents for the fingerprints, and joined the two
+      val keep = withRepStats(Catalog.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text")))
         .filter(col("rep_label") === "ok")
-        .select(col("doc_id"), col("n_tokens"))
-      val keep = Catalog.documents(s, d)
         .select(col("doc_id"), col("source"),
-          fingerprintMd5(col("text")).as("fp"))
-        .join(rep, "doc_id")
-      val canon = keep.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      val surv = keep.join(canon, Seq("fp", "doc_id"), "left_semi")
+          fingerprintMd5(col("text")).as("fp"), col("n_tokens"))
+      // min-doc_id-per-fp via an UNORDERED fp window (whole-partition
+      // frame) instead of groupBy + semi-join: the aggregate form
+      // re-materialized the scan (stats + normalize + md5) for each
+      // side — same single fp-keyed shuffle, ONE corpus scan
+      val surv = keep
+        .withColumn("min_id",
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("min_id")).drop("min_id")
       graft.ops.Packing.pack(surv, "source", "doc_id", "n_tokens", 512)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
