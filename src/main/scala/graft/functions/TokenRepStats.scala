@@ -128,4 +128,13 @@ object TokenRepStats {
       require(args.length == 1, "token_rep_stats takes 1 argument")
       TokenRepStats(args(0))
     })
+
+  /** Imperative registration (idempotent) for sessions built without
+    * the extensions config. */
+  def register(
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : Unit = {
+    val (id, info, builder) = registryEntry
+    registry.registerFunction(id, info, builder)
+  }
 }
