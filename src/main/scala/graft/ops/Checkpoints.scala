@@ -42,6 +42,12 @@ object Checkpoints {
 
   def disableExplainMode(): Unit = explain = false
 
+  /** True while explain mode is on — operators that release bounded
+    * caches before returning (the searchLayers pins) keep them
+    * registered instead, so the audited plan shows the
+    * InMemoryRelation leaves the EXECUTED plan really has. */
+  def explainEnabled: Boolean = explain
+
   /** Route subsequent [[truncate]] calls through RELIABLE
     * checkpointing into `dir` (sets the context checkpoint dir). */
   def enableReliable(spark: org.apache.spark.sql.SparkSession,

@@ -523,7 +523,10 @@ object KnnGraph {
     val ranked = scored(candidates.filter(col("vec_id") =!= queryId))
       .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
     val out = Checkpoints.truncate(ranked, eager = true)
-    pins.foreach(_.unpersist())
+    // under explain mode the (lazy) returned plan must keep resolving
+    // the pins to InMemoryRelation leaves — the executed shape; the
+    // audit session leaks only beam-sized cache entries
+    if (!Checkpoints.explainEnabled) pins.foreach(_.unpersist())
     out
   }
 
