@@ -729,17 +729,23 @@ object CorpusQueries {
         val dup = grams.groupBy(col("gram"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select(col("gram"))
-        val covered = grams.join(dup, "gram")
-          .select(col("doc_id"),
-            explode(sequence(col("p"), col("p") + (substrK - 1))).as("t"))
-          .distinct()
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("t"))
-        val spans = covered
+        // islands straight from the matched gram POSITIONS (r18): a
+        // position p covers tokens [p, p+K-1], so two matches merge
+        // into one island iff their gap is ≤ K, and the island's
+        // covered-token count is max(p) − min(p) + K. Identical to
+        // exploding every covered token and re-deduping — minus the
+        // K× row blow-up and the distinct's full shuffle.
+        val matched = grams.join(dup, "gram")
+          .select(col("doc_id"), col("p"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        val spans = matched
           .withColumn("newi",
-            when(col("t") - lag(col("t"), 1).over(w) === 1, 0).otherwise(1))
+            when(col("p") - lag(col("p"), 1).over(w) <= substrK, 0)
+              .otherwise(1))
           .withColumn("island", sum(col("newi")).over(w))
           .groupBy(col("doc_id"), col("island"))
-          .agg(count(lit(1)).as("span_len"))
+          .agg((max(col("p")) - min(col("p")) + substrK)
+            .cast("bigint").as("span_len"))
         spans.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_spans"),
             sum(col("span_len")).as("n_dup_tokens"))

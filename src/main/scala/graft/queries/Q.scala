@@ -50,6 +50,13 @@ object Q {
     "q131_observed_metrics", // observed full-table copy
     "q138_persistent_ann_index", // builds + appends the stored index
     "q170_persistent_graph_index", // builds + swaps the stored graph
+    // r18: the compaction family was misclassified dataflow — each
+    // timed run stages a full 64-file rewrite of events and then
+    // compacts + publishes it (two complete table writes); that is
+    // the taxonomy's protocol definition verbatim ("staged writes /
+    // publishes — durability I/O the oracle's SELECT never pays"),
+    // the same reason the index builds are protocol
+    "q216_compact_publish", "q219_compact_small_tail",
     "q145_xml_roundtrip", // rewrites the XML scratch copy
     "q150_ann_recall", // builds its own stored index to audit
     "q152_sql_delete_frontdoor", // rewrites its scratch table via SQL

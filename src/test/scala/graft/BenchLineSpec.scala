@@ -111,6 +111,7 @@ class BenchLineSpec extends SparkSuite {
       "q170_persistent_graph_index",
       // q175 left for dataflow in r18: stamped-store probe, the
       // q94/q96/q115 precedent (see Q.sideEffecting's note)
+      "q216_compact_publish", "q219_compact_small_tail", // r18, see Q
       "q145_xml_roundtrip", "q150_ann_recall", "q152_sql_delete_frontdoor",
       "q163_sql_insert_frontdoor", "q172_sql_script_frontdoor",
       "q173_sql_script_audit")
