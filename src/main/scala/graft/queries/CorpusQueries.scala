@@ -84,7 +84,7 @@ object CorpusQueries {
 
   val q80 = {
     Q("q80_repetition_filter",
-      (s, d) => withRepStats(Catalog.documents(s, d)
+      (s, d) => withRepStats(Catalog.documentsSpread(s, d)
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("n_tokens"), col("top_unigram_frac"),
           col("dup_bigram_frac"), col("rep_label")),
@@ -389,7 +389,7 @@ object CorpusQueries {
       // labels AND fingerprints in ONE corpus scan (withRepStats, r18)
       // — the previous form ran q80's whole dataflow, re-scanned
       // documents for the fingerprints, and joined the two
-      val keep = withRepStats(Catalog.documents(s, d)
+      val keep = withRepStats(Catalog.documentsSpread(s, d)
           .select(col("doc_id"), col("source"), col("text")))
         .filter(col("rep_label") === "ok")
         .select(col("doc_id"), col("source"),
@@ -713,7 +713,7 @@ object CorpusQueries {
     val substrK = 8
     Q("q176_substring_dedup",
       (s, d) => {
-        val toks = Catalog.documents(s, d)
+        val toks = Catalog.documentsSpread(s, d)
           .select(col("doc_id"),
             split(normalizeText(col("text")), " ").as("w"))
           .select(col("doc_id"), col("w"), size(col("w")).as("n"))

@@ -33,8 +33,17 @@ object DedupQueries {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0""".stripMargin
 
-  private[queries] def docsNear(s: SparkSession, d: String): DataFrame = {
-    val docs = Catalog.documents(s, d).select(col("doc_id"), col("text"))
+  /** `spread = true` rebalances the scan (Catalog.documentsSpread)
+    * before the downstream shingle construction — measured A/B: it
+    * cuts the minhash family (q19 1.48 → 1.32, q194 1.65 → 1.38 at
+    * sf0.1) but REGRESSES the prefix-filtered jaccard (q78
+    * 1.53 → ~2.0, whose pruning works best on the unexchanged scan
+    * order), so each consumer picks. */
+  private[queries] def docsNear(s: SparkSession, d: String,
+      spread: Boolean = false): DataFrame = {
+    val base = if (spread) Catalog.documentsSpread(s, d)
+      else Catalog.documents(s, d)
+    val docs = base.select(col("doc_id"), col("text"))
     docs.unionAll(docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" graft near dup tail")).as("text")))
@@ -119,7 +128,8 @@ object DedupQueries {
   /** q19 — MinHash+LSH candidate pairs (shingle → 8-sig → 4 bands →
     * bucket join). */
   val q19 = Q("q19_dedup_minhash_lsh",
-    (s, d) => Dedup.minhashCandidates(docsNear(s, d), 3, shingleMaxDf),
+    (s, d) => Dedup.minhashCandidates(docsNear(s, d, spread = true), 3,
+      shingleMaxDf),
     Some(
       s"""WITH ${shinglesSql(docsNearSql)},
          |hashed0 AS (SELECT doc_id, ${ringHashSql("shingle")} AS h FROM shingles),
@@ -525,7 +535,7 @@ object DedupQueries {
   val q194 = Q("q194_lsh_collision_stats",
     (s, d) => {
       val hs = Dedup.capHashed(
-        Dedup.hashedShingles(docsNear(s, d), 3), shingleMaxDf)
+        Dedup.hashedShingles(docsNear(s, d, spread = true), 3), shingleMaxDf)
       val bands = Dedup.lshBands(Dedup.minhashSignature(hs))
       bands.groupBy(col("bh")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
@@ -613,7 +623,7 @@ object DedupQueries {
   val q196 = Q("q196_ngram_novelty",
     (s, d) => {
       val sh = Dedup.hashedShingles(
-        Catalog.documents(s, d).select(col("doc_id"), col("text")), 3)
+        Catalog.documentsSpread(s, d).select(col("doc_id"), col("text")), 3)
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -762,7 +772,7 @@ object DedupQueries {
         // is id-type-agnostic) — no join back to documents, one fewer
         // shuffle of the shingle-sized relation
         val sv = Dedup.hashedShingles(
-            Catalog.documents(s, d)
+            Catalog.documentsSpread(s, d)
               .select(col("source").as("doc_id"), col("text")), 3)
           .select(col("doc_id").as("source"), col("h")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

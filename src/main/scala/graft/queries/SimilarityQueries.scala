@@ -2440,7 +2440,7 @@ object SimilarityQueries {
       (s, d) => {
         import graft.ops.{ModelInference, TextAnalysis}
         import org.apache.spark.sql.expressions.Window
-        val chunks = Catalog.documents(s, d)
+        val chunks = Catalog.documentsSpread(s, d)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
           .select(col("doc_id"), col("t"),
             explode(sequence(lit(0L),

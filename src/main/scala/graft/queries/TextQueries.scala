@@ -553,7 +553,7 @@ object TextQueries {
     // vocabulary-sized stored relations — c(w1·) = Σ_w2 c(w1,w2)
     // exactly, never a fresh corpus pass.
     val (bc, cuStore) = graft.ops.LmCounts.stored(s, d)
-    val docs = Catalog.documents(s, d)
+    val docs = Catalog.documentsSpread(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
     val bi = docs.filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -758,7 +758,7 @@ object TextQueries {
     Q("q189_dsir_importance",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = Catalog.documents(s, d)
+        val toks = Catalog.documentsSpread(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         val cr = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1243,7 +1243,7 @@ object TextQueries {
       // (context totals, continuation counts n1+/n1·, the bigram-type
       // total) derives from it by vocabulary-sized groupBys.
       val (bc, _) = graft.ops.LmCounts.stored(s, d)
-      val docs = Catalog.documents(s, d)
+      val docs = Catalog.documentsSpread(s, d)
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val bi = docs.filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode(expr(

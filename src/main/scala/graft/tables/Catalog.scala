@@ -65,5 +65,23 @@ object Catalog {
   def lineitem(spark: SparkSession, d: String): DataFrame   = apply(spark, d, "lineitem")
   def events(spark: SparkSession, d: String): DataFrame     = apply(spark, d, "events")
   def documents(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "documents")
+
+  /** `documents`, REBALANCED for per-row compute-dense pipelines
+    * (tokenization, n-gram construction, shingling, chunk embedding):
+    * a corpus delivered as few consolidated files — single-row-group
+    * parquet exports are common — scans as fewer tasks than cores, so
+    * the expensive per-document work serializes on one core while the
+    * rest idle. When the scan already splits to at least the session
+    * parallelism (the many-files regime every large deployment is in)
+    * this is the identity — the exchange exists only where the input
+    * layout under-parallelizes, and it moves the narrow projected
+    * columns, not the whole row. Cheap projections/aggregations keep
+    * using [[documents]]: their scans don't dominate, and several pin
+    * zero-exchange plan shapes. */
+  def documentsSpread(spark: SparkSession, d: String): DataFrame = {
+    val df = documents(spark, d)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
   def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
 }
