@@ -642,16 +642,23 @@ object LoadQueries {
     * offset" should cost on a 100 TB fact. */
   val q217 = Q("q217_metadata_max_offset",
     (s, d) => {
-      val tag = Paths.get(d).getFileName.toString
-        .replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"/tmp/graft_metamax_q/$tag/events_micros"
-      val key = "spark.sql.parquet.outputTimestampType"
-      val prev = s.conf.get(key, "INT96")
-      s.conf.set(key, "TIMESTAMP_MICROS")
-      try Catalog.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .write.mode("overwrite").parquet(base)
-      finally s.conf.set(key, prev)
+      // staged copy behind a STAMPED fixture store (r18, the
+      // q94/q96/q115 pattern): the MICROS copy is a pure function of
+      // the dataset generation, so it builds once per generation and
+      // every later run times only the footer-fold probe
+      val base = s"${graft.ops.Fixtures.root(s)}/metamax_q217_" +
+        graft.ops.Fixtures.pathKey(d)
+      val stamp = graft.ops.Fixtures
+        .datasetStamp(s, s"$d/events.parquet") + "|micros|v1"
+      graft.ops.Fixtures.ensure(s, base, stamp) { stg =>
+        val key = "spark.sql.parquet.outputTimestampType"
+        val prev = s.conf.get(key, "INT96")
+        s.conf.set(key, "TIMESTAMP_MICROS")
+        try Catalog.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .write.mode("overwrite").parquet(stg)
+        finally s.conf.set(key, prev)
+      }
       s.read.parquet(base).createOrReplaceTempView("mm_events_q217")
       val df = s.sql(
         """SELECT IFNULL(MAX(ts) - INTERVAL 3 DAY,
@@ -689,17 +696,20 @@ object LoadQueries {
     * metadata; this is what OPTIMIZE/statistics jobs should cost. */
   val q218 = Q("q218_metadata_min_count",
     (s, d) => {
-      val tag = Paths.get(d).getFileName.toString
-        .replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"/tmp/graft_metamax_q/$tag/events_faces"
-      val key = "spark.sql.parquet.outputTimestampType"
-      val prev = s.conf.get(key, "INT96")
-      s.conf.set(key, "TIMESTAMP_MICROS")
-      try Catalog.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          nullif(col("event_type"), lit("click")).as("maybe_type"))
-        .write.mode("overwrite").parquet(base)
-      finally s.conf.set(key, prev)
+      val base = s"${graft.ops.Fixtures.root(s)}/metamax_q218_" +
+        graft.ops.Fixtures.pathKey(d)
+      val stamp = graft.ops.Fixtures
+        .datasetStamp(s, s"$d/events.parquet") + "|micros+nullif|v1"
+      graft.ops.Fixtures.ensure(s, base, stamp) { stg =>
+        val key = "spark.sql.parquet.outputTimestampType"
+        val prev = s.conf.get(key, "INT96")
+        s.conf.set(key, "TIMESTAMP_MICROS")
+        try Catalog.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            nullif(col("event_type"), lit("click")).as("maybe_type"))
+          .write.mode("overwrite").parquet(stg)
+        finally s.conf.set(key, prev)
+      }
       s.read.parquet(base).createOrReplaceTempView("mm_events_q218")
       val df = s.sql(
         """SELECT COUNT(*) AS n_rows,
@@ -782,17 +792,20 @@ object LoadQueries {
     * day or ten years. */
   val q220 = Q("q220_metadata_pruned_day",
     (s, d) => {
-      val tag = Paths.get(d).getFileName.toString
-        .replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"/tmp/graft_metamax_q/$tag/events_by_day"
-      val key = "spark.sql.parquet.outputTimestampType"
-      val prev = s.conf.get(key, "INT96")
-      s.conf.set(key, "TIMESTAMP_MICROS")
-      try Catalog.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          to_date(col("ts")).as("day"))
-        .write.partitionBy("day").mode("overwrite").parquet(base)
-      finally s.conf.set(key, prev)
+      val base = s"${graft.ops.Fixtures.root(s)}/metamax_q220_" +
+        graft.ops.Fixtures.pathKey(d)
+      val stamp = graft.ops.Fixtures
+        .datasetStamp(s, s"$d/events.parquet") + "|micros+byday|v1"
+      graft.ops.Fixtures.ensure(s, base, stamp) { stg =>
+        val key = "spark.sql.parquet.outputTimestampType"
+        val prev = s.conf.get(key, "INT96")
+        s.conf.set(key, "TIMESTAMP_MICROS")
+        try Catalog.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            to_date(col("ts")).as("day"))
+          .write.partitionBy("day").mode("overwrite").parquet(stg)
+        finally s.conf.set(key, prev)
+      }
       // the probed day: the table's first day, computed from the
       // PARTITION LISTING (directory names — no data touched), so the
       // filter below is a literal on the partition column

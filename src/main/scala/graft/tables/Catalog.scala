@@ -51,10 +51,21 @@ object Catalog {
 
   /** SQL front door: register every table as a temp view so
     * `spark.sql(...)` works over the testdata — the surface reference
-    * users (a SQL pipeline) actually write against. */
+    * users (a SQL pipeline) actually write against. Memoized per
+    * (session, sfDir): a production session registers its catalog
+    * once, and re-registering 10 views per query re-reads 10 footers
+    * for identical definitions; switching sfDir (tests do) re-points
+    * every view. */
+  private val viewsFor =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach(n =>
-      apply(spark, sfDir, n).createOrReplaceTempView(n))
+    if (viewsFor.get(spark) != sfDir) {
+      tableNames.foreach(n =>
+        apply(spark, sfDir, n).createOrReplaceTempView(n))
+      viewsFor.put(spark, sfDir)
+      ()
+    }
 
   def region(spark: SparkSession, d: String): DataFrame     = apply(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame     = apply(spark, d, "nation")
