@@ -286,11 +286,15 @@ class ModelInferenceSpec extends SparkSuite {
   }
 
   test("q186 plans the inference exchange between declarative spans") {
-    val plan = graft.queries.SimilarityQueries.q186.run(spark, sf)
-      .queryExecution.executedPlan.toString
+    val df = graft.queries.SimilarityQueries.q186.run(spark, sf)
+    // materialize first (r18): the rebalanced corpus scan made the
+    // chunk-index subplan adaptive, and AQE prints codegen "*(n)"
+    // markers only once stages are FINAL — the unexecuted printout
+    // hid spans that execution does codegen
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("MapPartitions"),
       s"q186 must carry the batched inference stage:\n${plan.take(2000)}")
-    // codegen spans render as "*(n)" prefixes in executedPlan.toString
     assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
       s"the spans around the seam must stay codegen'd:\n${plan.take(2000)}")
   }
