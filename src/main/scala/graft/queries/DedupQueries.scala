@@ -126,9 +126,13 @@ object DedupQueries {
          |FROM corpus GROUP BY 1""".stripMargin))
 
   /** q19 — MinHash+LSH candidate pairs (shingle → 8-sig → 4 bands →
-    * bucket join). */
+    * bucket join). Keeps the PLAIN scan like q78: the same-box r18
+    * A/B read spread 2.22 s (1.9 s GC, 10 MB shuffle) vs plain 1.45 s
+    * (0.3 s GC, 1 MB) — the extra exchange of the near-dup union costs
+    * more than the rebalance buys this pipeline, whose band join
+    * already re-shuffles everything it needs. */
   val q19 = Q("q19_dedup_minhash_lsh",
-    (s, d) => Dedup.minhashCandidates(docsNear(s, d, spread = true), 3,
+    (s, d) => Dedup.minhashCandidates(docsNear(s, d), 3,
       shingleMaxDf),
     Some(
       s"""WITH ${shinglesSql(docsNearSql)},
