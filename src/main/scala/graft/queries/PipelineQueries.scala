@@ -22,12 +22,19 @@ object PipelineQueries {
 
   val q41 = Q("q41_training_prep",
     (s, d) => {
-      val docs = Catalog.documents(s, d)
+      // compute-dense per-document stage (quality regexes, md5, 3-gram
+      // shingles) ⇒ rebalance an under-split scan first (r18)
+      val docs = Catalog.documentsSpread(s, d)
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= minQuality)
         .select(col("doc_id"), col("lang"), col("text"))
 
-      // exact dedup: keep the min doc_id per content fingerprint
+      // exact dedup: keep the min doc_id per content fingerprint.
+      // The window form shuffles the text payload by fp ONCE — and the
+      // r18 A/B kept it: a decide-on-narrow-rows + anti-join form
+      // (shuffle (doc_id, fp) only) recomputes the quality regexes on
+      // a second scan branch, and compute dominates here (2.2 s window
+      // vs 5.5 s narrow same-box; the fp exchange is ~3 MB at sf0.1).
       val keep = docs
         .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
         .withColumn("keep_id", min(col("doc_id")).over(
