@@ -39,6 +39,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TokenRepStats(child: Expression) extends UnaryExpression {
 
+  /** Declared non-deterministic ON PURPOSE (it is a pure function of
+    * the token array): filter pushdown substitutes project aliases, so
+    * a filter on any field of the result struct (q80's `n_tok > 0`,
+    * q93's rep-label gate) was re-expanding this whole pass BELOW the
+    * scan-rebalance Exchange — q93's pushed condition evaluated
+    * token_rep_stats SIX times per row in the single-task scan stage,
+    * then once more post-exchange for the projection. Marking the
+    * expression non-deterministic forbids the optimizer to duplicate
+    * or reorder it (the spark_optimization_guide §4.4 prescription for
+    * expensive expressions), so each row pays the pass exactly once,
+    * above the exchange. The blocked legitimate optimizations (filter
+    * pushdown past it, constant folding) don't apply here: its
+    * consumers filter only on its OUTPUT. TokenRepStatsSpec pins the
+    * single-evaluation plan shape. */
+  override lazy val deterministic: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

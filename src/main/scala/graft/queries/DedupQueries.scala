@@ -34,11 +34,16 @@ object DedupQueries {
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0""".stripMargin
 
   /** `spread = true` rebalances the scan (Catalog.documentsSpread)
-    * before the downstream shingle construction — measured A/B: it
-    * cuts the minhash family (q19 1.48 → 1.32, q194 1.65 → 1.38 at
-    * sf0.1) but REGRESSES the prefix-filtered jaccard (q78
-    * 1.53 → ~2.0, whose pruning works best on the unexchanged scan
-    * order), so each consumer picks. */
+    * before the downstream shingle construction; each consumer picks
+    * by measurement. As of r19 every docsNear consumer measures PLAIN
+    * as at-least-as-fast: the minhash family's first shuffle (band/
+    * signature groupBy) re-partitions everything regardless, so the
+    * up-front exchange is pure cost — q19 reverted in r18 (spread
+    * 2.22 s vs plain 1.45 s same-box), q194 in r19 (driver window
+    * 1.44 → 1.69 with spread; isolated A/B flat-to-worse), and q78's
+    * prefix-filtered pruning prefers the unexchanged scan order
+    * (1.53 → ~2.0 with spread, r18). The flag stays for corpora whose
+    * layout genuinely under-splits a compute-dense consumer. */
   private[queries] def docsNear(s: SparkSession, d: String,
       spread: Boolean = false): DataFrame = {
     val base = if (spread) Catalog.documentsSpread(s, d)
@@ -538,8 +543,13 @@ object DedupQueries {
     */
   val q194 = Q("q194_lsh_collision_stats",
     (s, d) => {
+      // plain scan (r19): the r18 spread regressed in the driver window
+      // (1.44 → 1.69) and the same-box isolated A/B read flat-to-worse
+      // (spread min 1.67 / median 1.99 vs plain min 1.75 / median 1.84
+      // over 5 fresh-JVM runs) — the band groupBy re-shuffles everything
+      // anyway, so the up-front exchange is pure cost (q19's shape)
       val hs = Dedup.capHashed(
-        Dedup.hashedShingles(docsNear(s, d, spread = true), 3), shingleMaxDf)
+        Dedup.hashedShingles(docsNear(s, d), 3), shingleMaxDf)
       val bands = Dedup.lshBands(Dedup.minhashSignature(hs))
       bands.groupBy(col("bh")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
@@ -626,8 +636,12 @@ object DedupQueries {
     */
   val q196 = Q("q196_ngram_novelty",
     (s, d) => {
+      // plain scan (r19): the r18 spread regressed in the driver window
+      // (0.86 → 1.22) and the isolated A/B reads plain faster too (0.99
+      // vs 1.05 min-of-5) — the distinct() right above re-shuffles by
+      // (doc_id, h) anyway, so the round-robin exchange buys nothing
       val sh = Dedup.hashedShingles(
-        Catalog.documentsSpread(s, d).select(col("doc_id"), col("text")), 3)
+        Catalog.documents(s, d).select(col("doc_id"), col("text")), 3)
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))

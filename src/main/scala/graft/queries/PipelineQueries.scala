@@ -22,9 +22,14 @@ object PipelineQueries {
 
   val q41 = Q("q41_training_prep",
     (s, d) => {
-      // compute-dense per-document stage (quality regexes, md5, 3-gram
-      // shingles) ⇒ rebalance an under-split scan first (r18)
-      val docs = Catalog.documentsSpread(s, d)
+      // plain scan (r19 revert of the r18 spread): Catalyst pushes the
+      // quality filter BELOW the round-robin exchange (ADVICE r18), so
+      // the regex scoring ran in the single-task scan stage either way
+      // and the exchange only re-dealt survivors the fp window was
+      // about to shuffle again; driver window +12% with spread, and the
+      // same-box isolated A/B reads plain 1.43 vs spread 1.86 (min-of-5
+      // fresh-JVM runs)
+      val docs = Catalog.documents(s, d)
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= minQuality)
         .select(col("doc_id"), col("lang"), col("text"))

@@ -553,7 +553,12 @@ object TextQueries {
     // vocabulary-sized stored relations — c(w1·) = Σ_w2 c(w1,w2)
     // exactly, never a fresh corpus pass.
     val (bc, cuStore) = graft.ops.LmCounts.stored(s, d)
-    val docs = Catalog.documentsSpread(s, d)
+    // plain scan (r19 revert of the r18 spread): the per-doc work here
+    // is one split + explode before a corpus-token shuffle that
+    // re-partitions by (w1, w2) anyway; the isolated A/B reads plain at
+    // or under spread for all three consumers (q178 0.80 vs 0.83,
+    // q188 1.08 vs 1.20, q193 1.24 vs 1.28, min-of-5 fresh-JVM runs)
+    val docs = Catalog.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
     val bi = docs.filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(

@@ -45,6 +45,33 @@ class TokenRepStatsSpec extends SparkSuite {
     }
   }
 
+  test("filter on a result field evaluates the pass ONCE per row " +
+      "(non-deterministic blocks pushdown duplication, r19)") {
+    val spk = spark
+    import spk.implicits._
+    // the q80/q93 shape: repartition, project the struct, filter on its
+    // fields — filter pushdown used to substitute the alias and re-run
+    // the whole pass below the exchange (6x per row for q93's gate)
+    val df = Seq((1L, Seq("a", "b", "a")), (2L, Seq("c")))
+      .toDF("id", "toks")
+      .repartition(2)
+      .withColumn("st", TokenRepStats(col("toks")))
+      .filter(col("st.n_tok") > 0 &&
+        col("st.max_uni").cast("double") / col("st.n_tok") <= 0.9)
+      .select(col("id"), col("st.n_bi"))
+    val optimized = df.queryExecution.optimizedPlan
+    var n = 0
+    optimized.foreach(_.expressions.foreach(_.foreach {
+      case _: TokenRepStats => n += 1
+      case _ => ()
+    }))
+    assert(n == 1, s"expected exactly ONE TokenRepStats in the " +
+      s"optimized plan, found $n:\n$optimized")
+    // and the filter still filters: row 2 (single token, max_uni=1/1)
+    // is dropped by the 0.9 gate, row 1 (2/3) kept
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("registered as token_rep_stats for SQL, and codegen path agrees " +
       "with interpreted eval") {
     val spk = spark
