@@ -478,9 +478,12 @@ object PipelineQueries {
         .withColumn("h",
           TextAnalysis.hash60(col("doc_id").cast("string")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wCum = Window.orderBy(col("nll_milli"))
-      val cuts = scored.groupBy(col("nll_milli")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(wCum))
+      // cumulative histogram via the keyed two-phase form (GridCum,
+      // r19): the old global ORDER BY window put the whole milli-grid
+      // through one task
+      val cuts = graft.ops.GridCum.withCum(
+          scored.groupBy(col("nll_milli")).agg(count(lit(1)).as("c")),
+          col("nll_milli"), "c", "cum")
         .crossJoin(broadcast(scored.agg(count(lit(1)).as("tot"))))
         .agg(
           min(when(col("cum") * 4 >= col("tot"), col("nll_milli"))).as("c1"),

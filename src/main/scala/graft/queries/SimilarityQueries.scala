@@ -76,10 +76,18 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"), posexplode(col("iv")))
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // norms / qdims / cent are each consumed TWICE below (qnrm +
+      // final join; cdot + fine dot; cnrm + cdot) — left lazy, every
+      // consumer re-runs the aggregation over the cached dims and pays
+      // its own AQE stage-jobs (the q175 re-expansion shape, r19).
+      // Pinned, each plans and runs ONCE; state is N norms rows,
+      // 64 qdims rows, cells×64 centroid rows.
       val norms = dims.groupBy(col("vec_id"))
         .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qdims = dims.filter(col("vec_id") === queryVecId)
         .select(col("p").as("qp"), col("x").as("qx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qnrm = norms.filter(col("vec_id") === queryVecId)
         .select(col("nrm").as("qnrm"))
 
@@ -87,6 +95,7 @@ object SimilarityQueries {
       val cent = dims.groupBy(col("label"), col("p"))
         .agg(round(sum(col("x")).cast("double") / count(lit(1))).cast("bigint")
           .as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnrm = cent.groupBy(col("label"))
         .agg(sum(col("c") * col("c")).cast("double").as("cnrm"))
       val cdot = cent.join(broadcast(qdims), col("p") === col("qp"))
@@ -183,9 +192,13 @@ object SimilarityQueries {
             % 2001 - 1000).as("w"))
       val proj = dims.join(broadcast(hyper), "p")
         .groupBy(col("vec_id"), col("pl")).agg(sum(col("x") * col("w")).as("s"))
+      // sig and norms are each consumed twice (qb + cand; qnrm + final
+      // join) — pinned so the signature/norm aggregations run ONCE
+      // instead of once per consumer (the q24/q68 treatment, r19)
       val sig = proj.groupBy(col("vec_id"))
         .agg(sum(when(col("s") > 0,
           pow(lit(2.0), col("pl")).cast("bigint")).otherwise(0L)).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qb = sig.filter(col("vec_id") === queryVecId)
         .select(col("bucket").as("qbucket"))
       val cand = sig.crossJoin(broadcast(qb))
@@ -194,6 +207,7 @@ object SimilarityQueries {
 
       val norms = dims.groupBy(col("vec_id"))
         .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qdims = dims.filter(col("vec_id") === queryVecId)
         .select(col("p").as("qp"), col("x").as("qx"))
       val qnrm = norms.filter(col("vec_id") === queryVecId)
@@ -286,8 +300,11 @@ object SimilarityQueries {
       val cand = sig.filter(col("bucket").isin(probeSet: _*))
         .filter(col("vec_id") =!= queryVecId)
         .select(col("vec_id"))
+      // norms is consumed twice (qnrm + final join) — pinned so the
+      // aggregation runs ONCE (the q24/q68 treatment, r19)
       val norms = dims.groupBy(col("vec_id"))
         .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qdims = dims.filter(col("vec_id") === queryVecId)
         .select(col("p").as("qp"), col("x").as("qx"))
       val qnrm = norms.filter(col("vec_id") === queryVecId)
@@ -438,12 +455,19 @@ object SimilarityQueries {
         val asg = graft.ops.KMeans.assign(vecs, k, iters = 2)
           .select(col("vec_id"), col("cid"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // celled / norms / qdims / cent are each consumed TWICE below —
+        // unpinned, every consumer re-ran the dims⋈asg join or the
+        // aggregation over cache and paid its own AQE stage-jobs (the
+        // q175 re-expansion shape, r19); pinned, each runs ONCE
         val celled = dims.join(asg, "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         val norms = dims.groupBy(col("vec_id"))
           .agg(sum(col("x") * col("x")).cast("double").as("nrm"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val qdims = dims.filter(col("vec_id") === queryVecId)
           .select(col("p").as("qp"), col("x").as("qx"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val qnrm = norms.filter(col("vec_id") === queryVecId)
           .select(col("nrm").as("qnrm"))
 
@@ -451,6 +475,7 @@ object SimilarityQueries {
         val cent = celled.groupBy(col("cid"), col("p"))
           .agg(round(sum(col("x")).cast("double") / count(lit(1)))
             .cast("bigint").as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cnrm = cent.groupBy(col("cid"))
           .agg(sum(col("c") * col("c")).cast("double").as("cnrm"))
         val cdot = cent.join(broadcast(qdims), col("p") === col("qp"))
@@ -1950,6 +1975,11 @@ object SimilarityQueries {
         val e = intVecs(s, d)
           .withColumn("nrm", Similarity.norm2(col("iv")).cast("double"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // NOT pinned (r19 A/B): the query batch is consumed three times,
+        // but each consumer is a broadcast build that is its own job
+        // regardless, and all three re-filters read the cached corpus —
+        // pinning ADDED stage-jobs (17 → 20 in DriverFloorProbe) for
+        // zero task-time cut, the inverse of the q24/q68 result
         val qs = e.filter(col("vec_id") % batchQMod === 0)
           .select(col("vec_id").as("query_id"), col("iv").as("qiv"),
             col("nrm").as("qnrm"))

@@ -762,7 +762,6 @@ object TextQueries {
     val etaPct = 20 // keep the top fifth
     Q("q189_dsir_importance",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val toks = Catalog.documentsSpread(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         val cr = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
@@ -790,9 +789,14 @@ object TextQueries {
           .withColumn("lw_milli",
             floor(col("lw_micro").cast("double") / 1000.0).cast("bigint"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val wCum = Window.orderBy(col("lw_milli").desc)
-        val cut = scored.groupBy(col("lw_milli")).agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum(col("c")).over(wCum))
+        // descending cumulative histogram via the keyed two-phase form
+        // (GridCum, r19): this grid is a per-doc SUM of micro-logs, so
+        // its value range grows with document length — the old global
+        // ORDER BY DESC window was the one provably-unbounded
+        // single-task sort left in the registry
+        val cut = graft.ops.GridCum.withCum(
+            scored.groupBy(col("lw_milli")).agg(count(lit(1)).as("c")),
+            col("lw_milli").desc, "c", "cum")
           .crossJoin(broadcast(
             scored.agg(count(lit(1)).as("tot"))))
           .agg(max(when(col("cum") * 100 >= col("tot") * etaPct,
