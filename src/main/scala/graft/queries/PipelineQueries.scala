@@ -40,12 +40,17 @@ object PipelineQueries {
       // (shuffle (doc_id, fp) only) recomputes the quality regexes on
       // a second scan branch, and compute dominates here (2.2 s window
       // vs 5.5 s narrow same-box; the fp exchange is ~3 MB at sf0.1).
+      // pinned (r19): keep is consumed TWICE — the LSH-candidates
+      // branch and the anti-join left side — so unpinned, the whole
+      // scan → quality regexes → fp window pipeline ran once per
+      // branch (the q24/q68 re-expansion shape); pinned it runs once
       val keep = docs
         .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
         .withColumn("keep_id", min(col("doc_id")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
         .filter(col("doc_id") === col("keep_id"))
         .drop("fp", "keep_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // near-dup removal: drop the higher id of each LSH candidate pair
       // candidate drops ≈ near-dup count ≪ corpus — broadcast the anti

@@ -416,17 +416,28 @@ object RelationalQueries {
   /** q73 — NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM):
     * NULL keys MATCH each other, unlike plain `=` which drops them —
     * the semantics dirty dimension keys need. Aggregated to per-key
-    * counts so the NULL×NULL product stays bounded in the output. */
+    * counts so the NULL×NULL product stays bounded in the output.
+    *
+    * r19: each side is counted per key BEFORE the null-safe join and
+    * the pair count is the product — pairs-per-key equals the product
+    * of the sides' key counts, so the result is identical while the
+    * joined intermediate shrinks from Σ_k cl(k)·cr(k) rows (~45M at
+    * sf0.1, quadratic per hot key at scale) to |keys|² at most (guide
+    * §2.3 aggregate before the shuffle / §3.3 exploding joins). The
+    * join itself stays `<=>` over the histograms — the semantics under
+    * test — and the oracle still runs the row-level null-safe join. */
   val q73 = Q("q73_null_safe_join",
     (s, d) => {
       val l = Catalog.orders(s, d).select(
         when(col("o_orderkey") % 100 === 0, lit(null))
           .otherwise(col("o_custkey") % 50).as("lk"))
+        .groupBy(col("lk")).agg(count(lit(1)).as("nl"))
       val r = Catalog.customer(s, d).select(
         when(col("c_custkey") % 100 === 0, lit(null))
           .otherwise(col("c_custkey") % 50).as("rk"))
+        .groupBy(col("rk")).agg(count(lit(1)).as("nr"))
       l.join(r, col("lk") <=> col("rk"))
-        .groupBy(col("lk").as("k")).agg(count(lit(1)).as("n"))
+        .select(col("lk").as("k"), (col("nl") * col("nr")).as("n"))
     },
     Some(
       """WITH l AS (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
