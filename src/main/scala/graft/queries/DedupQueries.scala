@@ -427,7 +427,16 @@ object DedupQueries {
               Dedup.hashedShingles(corpus.filter(!isDelta), 3))
             .write.mode("overwrite").parquet(stg)
         }
-        // 2. the incremental run: sign the delta only, join the index
+        // 2. the incremental run: sign the delta only, join the index.
+        // Delta signing stays EXPLODED (r19 A/B): the array-side form
+        // (see q194) was tried and reverted — q96 has no DF-cap pass,
+        // so the exploded pipeline pays only ONE corpus-shaped shuffle
+        // here, and the band self-join downstream dominates; the
+        // interpreted higher-order transforms tripled summed task time
+        // (DriverFloorProbe 1.02 → 3.53 s) for a shuffle that is cheap
+        // at this shape, and the bench window read +0.3 s. q194, which
+        // also drops the cap's countDistinct aggregation, is where the
+        // swap pays.
         val baseSigs = s.read.parquet(idxPath)
         val deltaSigs = Dedup.minhashSignature(
             Dedup.hashedShingles(corpus.filter(isDelta), 3))
@@ -548,9 +557,24 @@ object DedupQueries {
       // (spread min 1.67 / median 1.99 vs plain min 1.75 / median 1.84
       // over 5 fresh-JVM runs) — the band groupBy re-shuffles everything
       // anyway, so the up-front exchange is pure cost (q19's shape)
-      val hs = Dedup.capHashed(
-        Dedup.hashedShingles(docsNear(s, d), 3), shingleMaxDf)
-      val bands = Dedup.lshBands(Dedup.minhashSignature(hs))
+      //
+      // signatures derived ARRAY-SIDE (r19): the exploded
+      // hashedShingles → minhashSignature form pushed the corpus's
+      // whole (doc_id, h) relation (~40× the input bytes) through a
+      // grouped-min shuffle that exists only to fold per-doc minima —
+      // the exact shape the round-13 stress replaced in
+      // minhashCandidates. signatureFromArrays folds the same minima
+      // in-row (bit-identical values, minhash being multiset-
+      // invariant; capArrays drops the same hot hashes as capHashed),
+      // so the only corpus-shaped exchange left is the band groupBy
+      // itself. The per-doc array is persisted for the same reason as
+      // in minhashCandidates: the DF pre-pass and the 8 signature
+      // columns otherwise each re-derive tokenize→shingle→hash.
+      val arrs = Dedup.capArrays(
+        Dedup.hashedShingleArrays(docsNear(s, d), 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        shingleMaxDf)
+      val bands = Dedup.lshBands(Dedup.signatureFromArrays(arrs))
       bands.groupBy(col("bh")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
         .groupBy(col("c")).agg(count(lit(1)).as("n_buckets"))
