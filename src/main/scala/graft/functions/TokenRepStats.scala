@@ -52,7 +52,12 @@ case class TokenRepStats(child: Expression) extends UnaryExpression {
     * above the exchange. The blocked legitimate optimizations (filter
     * pushdown past it, constant folding) don't apply here: its
     * consumers filter only on its OUTPUT. TokenRepStatsSpec pins the
-    * single-evaluation plan shape. */
+    * single-evaluation plan shape. CAVEAT for future consumers: a
+    * non-deterministic expression is only legal in Project / Filter /
+    * Aggregate / Window operators — placing the SQL-registered
+    * token_rep_stats() directly in a join condition or as an aggregate
+    * function's argument now fails CheckAnalysis; project it to a
+    * column first (every current consumer already does). */
   override lazy val deterministic: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

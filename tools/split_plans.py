@@ -15,9 +15,16 @@ from pathlib import Path
 def main():
     src, out, suffix = sys.argv[1], sys.argv[2], sys.argv[3]
     wanted = set(sys.argv[4:])
-    text = Path(src).read_text()
+    # leading \n so a header at byte 0 still splits; duplicate headers
+    # (e.g. two concatenated dumps) are an error — evidence files must
+    # come from exactly one run
+    text = "\n" + Path(src).read_text()
     Path(out).mkdir(parents=True, exist_ok=True)
     sections = re.split(r"\n=+\n== (\S+)\n=+\n", text)
+    names = [sections[i] for i in range(1, len(sections), 2)]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        sys.exit(f"ERROR: duplicate sections in {src}: {sorted(dupes)}")
     found = set()
     for i in range(1, len(sections), 2):
         name, body = sections[i], sections[i + 1]
